@@ -1,0 +1,11 @@
+from .core import (  # noqa: F401
+    fare_from_components,
+    histogram_bucket,
+    month_period,
+    r4,
+    safe_cast_double,
+    safe_div,
+    season,
+    topk,
+    zscore_over_all,
+)

@@ -1,0 +1,72 @@
+"""SparkSession factory.
+
+Replaces the reference's ad-hoc session builders
+(``spark_jobs/etl_yellow_s3.py:12-33``, ``smoke_test.py``) with one
+factory that turns on everything Catalyst/AQE gives us for free and pins
+the semantics the DuckDB-oracle comparison needs (UTC session timezone,
+ANSI off so casts/divisions are null-on-error like the reference's
+``errors="coerce"`` pandas semantics).
+
+Scale posture: these configs are written for a real cluster; on
+``local[N]`` they are still correct (AQE coalesces the 200-default
+shuffle down, Arrow speeds every pandas-UDF exchange).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_all"]
+
+
+def get_spark(
+    app_name: str = "nyc_taxi_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Defaults favor the driver's local[..] harness but every setting is
+    cluster-appropriate: AQE handles runtime partition coalescing and
+    skew joins, so we do not hand-tune ``shuffle.partitions`` per job the
+    way the reference did (2 in v1, 200 in v2 — ``etl_yellow_s3.py:16``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The driver's events table stores TIMESTAMP(NANOS) which the
+        # vectorized parquet reader rejects; read as long and convert
+        # (sources/catalog.py) — micro-precision is lossless here.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Null-on-error casts & division semantics (reference relies on
+        # pandas errors="coerce" / Spark 3 non-ANSI behavior).
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def stop_all() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
