@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is fully materialized through the noop sink (forces every
+operator, writes nothing, no driver collect). One warm session; first a
+JVM warm-up pass on a trivial plan so session startup isn't billed to
+the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nyc_taxi_etl_spark.plans import QUERIES  # noqa: E402
+from nyc_taxi_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "hourly_value_stats",
+    "returnflag_summary",
+    "orders_rollup",
+    "region_order_revenue",
+    "top_suppliers_per_nation",
+    "valid_lines_unit_price",
+    "daily_pct_of_baseline",
+    "extreme_days_zscore",
+    "quantity_segmentation",
+    "value_histogram",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    try:
+        spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+        names = [n for n in HEADLINE if n in QUERIES]
+        extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA")
+        if extra:
+            names += [n for n in extra.split(",") if n in QUERIES and n not in names]
+
+        timings: dict[str, float] = {}
+        t_all = time.perf_counter()
+        for name in names:
+            t0 = time.perf_counter()
+            materialize(QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        total = round(time.perf_counter() - t_all, 3)
+
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            sf_val: float | str = float(sf)
+        except ValueError:
+            sf_val = sf
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_catalog_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_val,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
