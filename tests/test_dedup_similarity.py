@@ -1,0 +1,108 @@
+"""Deeper checks for dedup/similarity internals — beyond the catalog's
+end-output oracles (which can mask candidate-generation bugs behind the
+verify step)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_spark.operators import dedup as D
+from nyc_taxi_etl_spark.operators import similarity as S
+from nyc_taxi_etl_spark.sources.catalog import load_table
+
+from .compare import assert_frames_match
+from .conftest import SF_DIR
+
+
+def test_minhash_signatures_match_oracle(spark, duck):
+    """Signatures themselves (not just verified pairs) must replay in
+    DuckDB — catches seed-shadowing / degenerate-hash bugs."""
+    docs = load_table(spark, SF_DIR, "documents")
+    sp = D.minhash_signatures(docs, num_hashes=4).toPandas()
+    du = duck.execute(
+        """
+        WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w
+                     FROM documents),
+        shl AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                   for i in generate_series(1, len(w)-2)])
+                  WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                  ELSE [] END sh FROM tok)
+        SELECT doc_id,
+          list_aggregate(list_transform(sh, s -> md5('0' || ':' || s)), 'min') mh_0,
+          list_aggregate(list_transform(sh, s -> md5('1' || ':' || s)), 'min') mh_1,
+          list_aggregate(list_transform(sh, s -> md5('2' || ':' || s)), 'min') mh_2,
+          list_aggregate(list_transform(sh, s -> md5('3' || ':' || s)), 'min') mh_3
+        FROM shl
+        """
+    ).df()
+    assert_frames_match(sp, du, "minhash_signatures")
+
+
+def test_minhash_signature_columns_are_independent(spark):
+    """The num_hashes permutations must actually differ (degenerate
+    identical columns would silently weaken LSH to one band)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    row = D.minhash_signatures(docs, num_hashes=6).limit(1).collect()[0]
+    sig = [row[f"mh_{i}"] for i in range(6)]
+    assert len(set(sig)) == 6, f"degenerate signature: {sig}"
+
+
+def test_lsh_recall_against_bruteforce(spark):
+    """Hyperplane-LSH ANN must recover most exact top-5 neighbors."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_knn(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.hyperplane_lsh_knn(
+            emb, queries, k=5, bits=3, tables=10, dim=64
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """LSH candidates must recover ALL pairs with jaccard ≥ 0.8 (the
+    planted near-dups) — P(miss | j=0.9, r=3, b=4) < 1%, and the test
+    data's pairs are ≥ 0.88."""
+    docs = load_table(spark, SF_DIR, "documents")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, min_jaccard=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, verify_threshold=0.8).collect()
+    }
+    assert truth, "expected planted near-dup pairs in test data"
+    assert truth == lsh, f"missed={truth - lsh} extra={lsh - truth}"
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    """Planted near-dups (jaccard ≥ 0.9) should land within Hamming ≤ 6
+    of 32 simhash bits; unrelated docs should not."""
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    truth = [
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, min_jaccard=0.9).collect()
+    ]
+    assert truth
+    for a, b in truth:
+        ham = bin(sig[a] ^ sig[b]).count("1")
+        assert ham <= 6, f"near-dup pair ({a},{b}) hamming {ham}"
+
+
+def test_exact_dedup_no_false_merges(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    groups = D.exact_dedup(docs)
+    assert groups.agg(F.sum("dup_count")).collect()[0][0] == n_docs
