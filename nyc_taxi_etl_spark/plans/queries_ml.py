@@ -1,0 +1,69 @@
+"""Catalog queries for the ML analyses (SURVEY.md §2.11): MLlib KMeans
+cluster profiles and per-group Isolation-Forest outlier detection.
+
+Neither is ANSI-SQL-expressible (iterative Lloyd's; randomized forest),
+so these are registered WITHOUT oracles — the driver applies its weaker
+rows-only check, and the pytest suite pins the semantics instead
+(deterministic seeds, planted-outlier recall, cluster-count invariants).
+
+Reference sites:
+  * KMeans(n_clusters=4) on log1p features + per-cluster describe —
+    ``notebooks/comprehensive_trip_analysis_part2.ipynb:1008-1030``.
+  * IsolationForest(contamination=0.02) per cab type —
+    ``notebooks/comprehensive_trip_analysis_part2.ipynb:926-960``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml import isolation_forest_by_group, kmeans_cluster_profile
+from .queries import query, t
+
+
+@query("kmeans_lineitem_profile")
+def kmeans_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-means on log1p(quantity, extendedprice, discount), profiled
+    per cluster (A17 describe). Deterministic under seed=42 within one
+    Spark version; k rows out.
+
+    Scale: MLlib KMeans aggregates per-partition partial sums per
+    iteration — no driver-side data, shuffle size O(k × features)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return kmeans_cluster_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], k=4, seed=42
+    ).withColumn("cluster", F.col("cluster").cast("long"))
+
+
+@query("isolation_outliers_by_flag")
+def isolation_outliers_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation-Forest outlier rate per l_returnflag group (the
+    reference's per-cab-type fit). Output: group, rows scored, outliers
+    flagged at contamination=0.02.
+
+    Scale: one Arrow batch per group via applyInPandas; groups are the
+    shuffle key. The in-UDF fit caps rows per group, so executor memory
+    is bounded no matter the table size."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    scored = isolation_forest_by_group(
+        li,
+        "l_returnflag",
+        ["l_quantity", "l_extendedprice"],
+        contamination=0.02,
+        n_trees=50,
+        seed=42,
+        max_rows_per_group=20_000,
+    )
+    return (
+        scored.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("rows_scored"),
+            F.sum("is_outlier").cast("long").alias("outliers"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,103 @@
+"""ML operator tests: KMeans cluster profiles and the numpy Isolation
+Forest (semantics pinned by seed-determinism and planted-outlier recall
+— no SQL oracle exists for iterative/randomized algorithms)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_spark.ml import (
+    isolation_forest_by_group,
+    isolation_forest_scores,
+    kmeans_assign,
+    kmeans_cluster_profile,
+)
+
+
+def test_kmeans_assign_partitions_all_rows(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 4 * 100 + F.rand(seed=1) * 5).alias("x"),
+        (F.col("id") % 4 * 100 + F.rand(seed=2) * 5).alias("y"),
+    )
+    out = kmeans_assign(df, ["x", "y"], k=4, seed=42, log_features=False)
+    assert out.count() == 1000
+    clusters = [r["cluster"] for r in out.select("cluster").distinct().collect()]
+    assert len(clusters) == 4
+    # well-separated blobs: each cluster is pure wrt x//100 band
+    bands = (
+        out.groupBy("cluster")
+        .agg(F.countDistinct(F.floor(F.col("x") / 50).cast("int")).alias("b"))
+        .collect()
+    )
+    assert all(r["b"] == 1 for r in bands)
+
+
+def test_kmeans_profile_shape_and_determinism(spark, sf_dir="/root/testdata/sf0.001"):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p1 = kmeans_cluster_profile(li, ["l_quantity", "l_extendedprice", "l_discount"], k=4, seed=42).toPandas()
+    p2 = kmeans_cluster_profile(li, ["l_quantity", "l_extendedprice", "l_discount"], k=4, seed=42).toPandas()
+    assert len(p1) == 4
+    assert p1["n"].sum() == li.count()
+    pd.testing.assert_frame_equal(p1, p2)
+
+
+def test_iforest_scores_flag_planted_outlier():
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame(
+        {
+            "a": np.concatenate([rng.normal(10, 1, 500), [1000.0]]),
+            "b": np.concatenate([rng.normal(5, 1, 500), [-900.0]]),
+        }
+    )
+    scores = isolation_forest_scores(pdf, ["a", "b"], n_trees=50, seed=42)
+    assert scores.shape == (501,)
+    assert (scores >= 0).all() and (scores <= 1).all()
+    # the planted extreme point must be the top-scored anomaly
+    assert scores[-1] == scores.max()
+    assert scores[-1] > np.median(scores) + 0.1
+
+
+def test_iforest_scores_deterministic():
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame({"a": rng.normal(0, 1, 300), "b": rng.normal(0, 1, 300)})
+    s1 = isolation_forest_scores(pdf, ["a", "b"], n_trees=30, seed=7)
+    s2 = isolation_forest_scores(pdf, ["a", "b"], n_trees=30, seed=7)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_iforest_by_group_contamination(spark):
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "g": ["x"] * 500 + ["y"] * 500,
+            "v1": rng.normal(0, 1, 1000),
+            "v2": rng.normal(0, 1, 1000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = isolation_forest_by_group(
+        df, "g", ["v1", "v2"], contamination=0.02, n_trees=30, seed=42
+    )
+    agg = {
+        r["g"]: (r["n"], r["o"])
+        for r in out.groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("is_outlier").alias("o"))
+        .collect()
+    }
+    for g, (n, o) in agg.items():
+        assert n == 500, g
+        # quantile threshold → ~2% flagged (ties can add a few)
+        assert 5 <= o <= 25, (g, o)
+
+
+def test_iforest_tiny_group_degrades_gracefully(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["solo"], "v1": [1.0], "v2": [2.0]})
+    )
+    row = isolation_forest_by_group(df, "g", ["v1", "v2"]).collect()[0]
+    assert row["anomaly_score"] == 0.0 and row["is_outlier"] == 0.0
