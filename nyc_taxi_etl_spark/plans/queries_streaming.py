@@ -1,0 +1,145 @@
+"""Catalog queries that execute through Structured Streaming.
+
+Each entry stages the sf events table as a streaming file source,
+drains it with ``Trigger.AvailableNow`` through a windowed/stateful
+streaming plan, and returns the materialized result — so the driver's
+DuckDB comparison checks REAL streaming execution (micro-batching,
+state store, group-state) against plain ANSI SQL. This is the
+extension surface SURVEY.md §2.10 calls for: the reference's batch
+month-loop incrementality re-expressed as checkpointed streams.
+
+Oracle notes:
+  * tumbling window ≡ ``time_bucket(INTERVAL '1 hour', ts)``;
+  * session windows ≡ the classic gaps-and-islands rewrite (lag →
+    new-session flag → cumulative sum → per-island agg), with Spark's
+    boundary semantics: a gap of EXACTLY ``gap`` starts a new session
+    (window end is exclusive);
+  * the stateful running-totals operator converges to the plain
+    per-user aggregate, selected via ``max_by`` on the final emission.
+
+Window bounds are emitted as 'yyyy-MM-dd HH:mm:ss' strings so the
+cross-engine hash is timezone-representation-proof.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import (
+    read_events_stream,
+    run_available_now,
+    tumbling_event_counts,
+    user_running_totals,
+    user_session_windows,
+)
+from .queries import query
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the file source requires a directory: stage the single
+    # events.parquet into a temp dir via symlink (no data copy)
+    d = tempfile.mkdtemp(prefix="events_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    return read_events_stream(spark, d, max_files_per_trigger=None)
+
+
+def _drain(sdf: DataFrame, mode: str) -> DataFrame:
+    name = "q_" + uuid.uuid4().hex[:12]
+    return run_available_now(sdf, name, tempfile.mkdtemp(prefix="ckpt_"), output_mode=mode)
+
+
+@query(
+    "streaming_tumbling_counts",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS event_count,
+           ROUND(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly dashboard computed BY THE STREAMING ENGINE (tumbling
+    window, complete mode) — must equal the batch GROUP BY the oracle
+    runs. Scale: per-micro-batch partial aggregation into the state
+    store; state is O(open windows × event types)."""
+    out = _drain(tumbling_event_counts(_events_stream(spark, sf_dir), watermark=None), "complete")
+    return out.select(
+        F.date_format("window_start", _FMT).alias("window_start"),
+        "event_type",
+        "event_count",
+        "sum_value",
+    )
+
+
+@query(
+    "streaming_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    islands AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           CAST(count(*) AS BIGINT) AS events_in_session,
+           ROUND(sum(value), 4) AS session_value
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization via the streaming engine's
+    session_window (30-minute gap), oracle-checked against the
+    gaps-and-islands SQL rewrite. Scale: session state is bounded by
+    the watermark in production (complete mode here only to compare the
+    full result)."""
+    out = _drain(
+        user_session_windows(_events_stream(spark, sf_dir), gap="30 minutes", watermark=None),
+        "complete",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", _FMT).alias("session_start"),
+        F.date_format("session_end", _FMT).alias("session_end"),
+        "events_in_session",
+        "session_value",
+    )
+
+
+@query(
+    "streaming_user_totals",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS events_seen,
+           ROUND(sum(coalesce(value, 0)), 4) AS value_total
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState running
+    per-user totals) drained over the whole table; its final emission
+    per user must equal the batch aggregate. ``max_by`` picks the last
+    (highest events_seen) emission per user."""
+    out = _drain(user_running_totals(_events_stream(spark, sf_dir)), "update")
+    return out.groupBy("user_id").agg(
+        F.max("events_seen").alias("events_seen"),
+        F.round(F.max_by("value_total", "events_seen"), 4).alias("value_total"),
+    )

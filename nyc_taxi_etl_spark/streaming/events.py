@@ -1,0 +1,232 @@
+"""Structured Streaming over the events table.
+
+The reference is strictly batch; its "incrementality" is a month-file
+loop with skip-if-exists (``scripts/batch_etl_simple.py:45-56``,
+``scripts/download_tlc_range_s3.py:104-111`` — SURVEY.md §2.10). The
+Spark-native engine replaces that with the idiomatic pattern: a file
+streaming source discovers new files per trigger (the month loop),
+checkpointing replaces the manifest ledger, and watermarked windowed
+aggregations replace the hour/day/month groupBys.
+
+Every aggregation here is the streaming twin of a batch catalog query
+(plans/queries.py), and the tests assert stream==batch parity by
+running the stream with ``Trigger.AvailableNow`` over the same files.
+
+Scale posture: file-source listing is incremental (only new files per
+trigger, ``maxFilesPerTrigger`` bounds batch size); watermarks bound
+state so hour-window state is O(windows_in_flight × key cardinality),
+not O(rows); the stateful per-user operator keys state by user_id —
+state store shards across executors with the shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..sources.catalog import _ensure_confs
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_event_counts",
+    "sliding_value_avg",
+    "user_session_windows",
+    "user_running_totals",
+    "run_available_now",
+]
+
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """File streaming source over events parquet files.
+
+    ``events_dir`` is a directory new monthly files land in — the
+    streaming replacement for the reference's month-discovery loop
+    (S6). ``maxFilesPerTrigger`` bounds per-batch input like the
+    reference's one-month-per-run scope (§3.1).
+    """
+    _ensure_confs(spark)
+    # Streaming sources need a user-supplied schema; take the physical
+    # one from a footer-only static read so both layouts work: raw
+    # TIMESTAMP(NANOS) files surface ts as epoch-nanos bigint (under
+    # nanosAsLong), restaged curated files carry real timestamps.
+    physical = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(physical)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in physical)["ts"]
+    if ts_type == "bigint":
+        # epoch-nanos → microsecond TIMESTAMP (integer DIV keeps
+        # exactness; watermarks require TIMESTAMP, not NTZ — session tz
+        # is pinned UTC so wall times match the batch catalog).
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def tumbling_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Hourly event dashboard as a watermarked tumbling-window agg —
+    the streaming twin of ``hourly_value_stats`` (A1/A11).
+
+    ``watermark=None`` runs unwatermarked (complete-mode analytics /
+    stream-batch parity checks); production append-mode runs keep the
+    watermark so state stays bounded."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "event_count",
+            "sum_value",
+        )
+    )
+
+
+def sliding_value_avg(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str | None = "4 hours",
+) -> DataFrame:
+    """Sliding-window moving average of event value (each event lands
+    in window/slide overlapping windows)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src
+        .groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_count",
+            "avg_value",
+        )
+    )
+
+
+def user_session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Per-user sessionization: events within ``gap`` of each other
+    merge into one session (dynamic-length session_window)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("events_in_session"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "events_in_session",
+            "session_value",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("events_seen", LongType()),
+        StructField("value_total", DoubleType()),
+    ]
+)
+
+
+def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count + value total, emitted once per micro-batch a
+    user appears in. This is the engine's extension surface for
+    stateful logic Spark's built-ins don't express (SURVEY.md §2.11).
+
+    State per key is two scalars — bounded regardless of stream length.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "events_seen": [n],
+                "value_total": [round(total, 4)],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    sdf: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drain all currently-available input through the streaming plan
+    (Trigger.AvailableNow) into an in-memory sink; returns the result
+    as a DataFrame. Used for tests and for the reference-style
+    "process the backlog then stop" batch-catchup runs."""
+    spark = sdf.sparkSession
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(query_name)
