@@ -1,0 +1,193 @@
+"""Catalog queries completing the SURVEY.md §2 inventory: sampling
+(M1–M3), set operations beyond union (intersect/except), seasonality
+mean-of-group (A7), ETL row-count audits (A20), and a grouping-sets
+cube (the idiomatic superset of A5's three-granularity rollup).
+
+Sampling note (SURVEY §7.3 "hard parts"): the reference samples with
+pandas/numpy RNGs whose sequences Spark cannot reproduce; chasing that
+RNG would pin tests to an implementation detail. The engine therefore
+exposes BOTH ``DataFrame.sample`` (seeded Bernoulli — the scale path,
+used in ml.py and exercised in tests) and this catalog's deterministic
+hash-mod sample, which IS cross-engine reproducible and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query, t
+
+
+@query(
+    "deterministic_sample",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS total
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1–M3 re-expressed scale-safely: a key-mod predicate yields the
+    same ~5% subset on every engine and every run — the property the
+    reference's seeded ``.sample(n=5000, random_state=42)`` was after.
+
+    Scale: pure narrow filter — pushed to the scan, no shuffle, no
+    driver involvement; survives any table size."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 4).alias("total"),
+        )
+    )
+
+
+@query(
+    "repeat_buyers_intersect",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+    WHERE year(o_orderdate) = 1997
+    INTERSECT
+    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+    WHERE year(o_orderdate) = 1998
+    """,
+)
+def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (§2.7 — 'available free'): customers active in
+    both 1997 and 1998.
+
+    Scale: Catalyst plans INTERSECT as a left-semi aggregate join on
+    the grouped keys — one shuffle per side on custkey, then hash
+    join; AQE broadcast-converts if one year is small."""
+    o = t(spark, sf_dir, "orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").cast("long").alias("custkey")
+    )
+    y98 = o.filter(F.year("o_orderdate") == 1998).select(
+        F.col("o_custkey").cast("long").alias("custkey")
+    )
+    return y97.intersect(y98)
+
+
+@query(
+    "lapsed_buyers_except",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+    WHERE year(o_orderdate) = 1997
+    EXCEPT
+    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+    WHERE year(o_orderdate) = 1998
+    """,
+)
+def lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (§2.7): customers active in 1997 but not 1998 —
+    the set-op twin of the anti-join (customers_without_urgent_orders)."""
+    o = t(spark, sf_dir, "orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").cast("long").alias("custkey")
+    )
+    y98 = o.filter(F.year("o_orderdate") == 1998).select(
+        F.col("o_custkey").cast("long").alias("custkey")
+    )
+    # subtract = set-semantics EXCEPT (exceptAll would keep bag
+    # multiplicity and retain customers with MORE 1997 than 1998 orders)
+    return y97.subtract(y98)
+
+
+@query(
+    "monthly_seasonality_profile",
+    """
+    WITH per_month AS (
+      SELECT year(ts) AS y, month(ts) AS m, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(m AS BIGINT) AS month_of_year,
+           ROUND(avg(n), 4) AS avg_events,
+           CAST(count(*) AS BIGINT) AS months_observed
+    FROM per_month GROUP BY 1
+    """,
+)
+def monthly_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: mean-of-group over months — per-(year,month) totals, then the
+    average across years per calendar month (the reference's
+    ``summary.groupby(['cab_type','month']).trip_count.mean()``).
+
+    Scale: two hash aggregates; the second runs on ≤ 12×years rows —
+    negligible. The first is the standard partial+final count."""
+    ev = t(spark, sf_dir, "events")
+    per_month = ev.groupBy(
+        F.year("ts").alias("y"), F.month("ts").alias("m")
+    ).agg(F.count("*").alias("n"))
+    return per_month.groupBy(F.col("m").cast("long").alias("month_of_year")).agg(
+        F.round(F.avg("n"), 4).alias("avg_events"),
+        F.count("*").alias("months_observed"),
+    )
+
+
+@query(
+    "etl_filter_audit",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS rows_in,
+           CAST(count(*) FILTER (WHERE l_quantity > 0 AND l_extendedprice > 0
+                                   AND l_shipdate IS NOT NULL) AS BIGINT)
+             AS rows_out
+    FROM lineitem
+    """,
+)
+def etl_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: the before/after row-count audit the reference logs around
+    its validity filter (``spark_jobs/etl_yellow_s3.py:48-53``) — as ONE
+    conditional aggregate instead of two table scans (the double
+    ``count()`` inefficiency SURVEY §3.1 flags).
+
+    Scale: single scan, two counters per task."""
+    li = t(spark, sf_dir, "lineitem")
+    valid = (
+        (F.col("l_quantity") > 0)
+        & (F.col("l_extendedprice") > 0)
+        & F.col("l_shipdate").isNotNull()
+    )
+    return li.agg(
+        F.count("*").alias("rows_in"),
+        F.count(F.when(valid, 1)).alias("rows_out"),
+    )
+
+
+@query(
+    "orders_status_cube",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+    """,
+)
+def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, year) — all four grouping-set granularities in
+    one pass (the idiomatic generalization of A5's three stacked
+    groupbys; the reference computed monthly/seasonal/yearly as three
+    separate jobs, ``scripts/analytics_summary.py:58-60``).
+
+    Scale: Spark expands the cube by replicating each input row per
+    grouping set into one hash aggregate — one shuffle, 4× partial-agg
+    rows, still partial+final so the exchange stays small."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube(F.col("o_orderstatus"), F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("order_year").cast("string"), F.lit("ALL")).alias(
+                "order_year"
+            ),
+            "n_orders",
+            "revenue",
+        )
+    )

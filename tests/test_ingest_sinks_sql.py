@@ -1,0 +1,178 @@
+"""Tests for the ingestion driver (manifest, retry/backoff, idempotency
+— all offline via an injected fetcher), the sink helpers (file-count
+control, Hive partitioning, CSV), and the SQL surface."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_spark.ingest import (
+    Manifest,
+    infer_file_meta,
+    ingest_range,
+    month_range,
+    raw_path,
+    tlc_url,
+)
+from nyc_taxi_etl_spark.sources.sinks import write_csv, write_parquet
+from nyc_taxi_etl_spark.sql import run_sql
+
+
+# ---------------------------------------------------------------------------
+# ingest
+# ---------------------------------------------------------------------------
+
+
+def test_month_range_spans_year_boundary():
+    assert list(month_range("2024-11", "2025-02")) == [
+        (2024, 11),
+        (2024, 12),
+        (2025, 1),
+        (2025, 2),
+    ]
+
+
+def test_url_and_path_and_meta_roundtrip():
+    url = tlc_url("yellow", 2025, 3)
+    assert url.endswith("/yellow_tripdata_2025-03.parquet")
+    p = raw_path("/data/raw", "fhvhv", 2024, 12)
+    assert p == "/data/raw/fhvhv/2024/fhvhv_tripdata_2024-12.parquet"
+    assert infer_file_meta(p) == {"cab": "fhvhv", "year": 2024, "month": 12}
+    assert infer_file_meta("junk.txt") is None
+
+
+def test_ingest_retry_backoff_and_manifest(tmp_path):
+    calls = {"n": 0}
+    sleeps = []
+
+    def flaky(url: str) -> bytes:  # succeeds on 3rd attempt
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return b"PARQ" * 10
+
+    counts = ingest_range(
+        ["yellow"],
+        "2025-01",
+        "2025-01",
+        str(tmp_path / "raw"),
+        str(tmp_path / "manifest.json"),
+        fetcher=flaky,
+        retries=3,
+        backoff_s=0.5,
+        sleeper=sleeps.append,
+    )
+    assert counts == {"ok": 1, "skipped": 0, "error": 0}
+    assert sleeps == [0.5, 1.0]  # exponential backoff
+    m = Manifest.load(str(tmp_path / "manifest.json"))
+    (e,) = m.entries
+    assert e["status"] == "ok" and e["size"] == 40
+
+    # idempotent re-run: file exists → skipped, fetcher not called again
+    calls["n"] = 10
+    counts2 = ingest_range(
+        ["yellow"],
+        "2025-01",
+        "2025-01",
+        str(tmp_path / "raw"),
+        str(tmp_path / "manifest.json"),
+        fetcher=flaky,
+    )
+    assert counts2 == {"ok": 0, "skipped": 1, "error": 0}
+
+
+def test_ingest_permanent_failure_recorded(tmp_path, spark):
+    def dead(url: str) -> bytes:
+        raise OSError("404")
+
+    counts = ingest_range(
+        ["fhv"],
+        "2025-01",
+        "2025-02",
+        str(tmp_path / "raw"),
+        str(tmp_path / "manifest.json"),
+        fetcher=dead,
+        retries=2,
+        sleeper=lambda s: None,
+    )
+    assert counts == {"ok": 0, "skipped": 0, "error": 2}
+    m = Manifest.load(str(tmp_path / "manifest.json"))
+    assert len(m.error_entries()) == 2
+    # control-table audit (the check_manifest.py one-liner as a groupBy)
+    audit = m.to_df(spark).groupBy("status").count().collect()
+    assert {r["status"]: r["count"] for r in audit} == {"error": 2}
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+
+
+def test_write_parquet_file_count_and_partitioning(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), F.rand(seed=1).alias("v")
+    )
+    out = str(tmp_path / "plain")
+    write_parquet(df, out, target_files=2)
+    assert len(glob.glob(os.path.join(out, "*.parquet"))) == 2
+
+    out2 = str(tmp_path / "parts")
+    write_parquet(df, out2, partition_by=["g"], target_files=1)
+    for g in (0, 1, 2):
+        files = glob.glob(os.path.join(out2, f"g={g}", "*.parquet"))
+        assert len(files) >= 1, g
+    # partition pruning applies on read
+    back = spark.read.parquet(out2).filter(F.col("g") == 1)
+    assert back.count() == 333
+
+
+def test_write_csv_single_file_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+    out = str(tmp_path / "csv")
+    write_csv(df, out)
+    files = glob.glob(os.path.join(out, "*.csv"))
+    assert len(files) == 1
+    back = spark.read.option("header", "true").csv(out)
+    assert sorted((r["k"], r["s"]) for r in back.collect()) == [("1", "a"), ("2", "b")]
+
+
+# ---------------------------------------------------------------------------
+# SQL surface
+# ---------------------------------------------------------------------------
+
+
+def test_run_sql_matches_dataframe_catalog(spark, duck):
+    got = run_sql(
+        spark,
+        "/root/testdata/sf0.001",
+        """
+        SELECT CAST(hour(ts) AS BIGINT) AS event_hour,
+               CAST(count(*) AS BIGINT) AS event_count
+        FROM events GROUP BY 1
+        """,
+    ).toPandas()
+    want = duck.execute(
+        "SELECT CAST(hour(ts) AS BIGINT) AS event_hour, "
+        "CAST(count(*) AS BIGINT) AS event_count FROM events GROUP BY 1"
+    ).df()
+    got = got.sort_values("event_hour").reset_index(drop=True)
+    want = want.sort_values("event_hour").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_run_sql_join_over_views(spark):
+    out = run_sql(
+        spark,
+        "/root/testdata/sf0.001",
+        """
+        SELECT r.r_name, CAST(count(*) AS BIGINT) AS n
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1
+        """,
+    )
+    rows = {r["r_name"]: r["n"] for r in out.collect()}
+    assert sum(rows.values()) == 25  # 25 nations
