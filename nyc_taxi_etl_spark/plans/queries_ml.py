@@ -67,3 +67,35 @@ def isolation_outliers_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query("media_image_features")
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image pipeline (beyond-reference north star): binary
+    image column → mapInPandas decode (documented stub in this
+    container) → intensity stats + 8x8 average-hash. Deterministic
+    synthetic media keyed off seed=42; rows-only check (codec output is
+    not SQL-expressible).
+
+    Scale: narrow Arrow-batched pass, no shuffle; blob column pruned
+    for metadata-only consumers."""
+    from ..operators.multimodal import image_features, synthesize_media
+
+    return image_features(synthesize_media(spark, n=90, seed=42)).orderBy("media_id")
+
+
+@query("media_audio_features")
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio pipeline: PCM16 binary column → REAL numpy
+    decode → duration/RMS/zero-crossing features via mapInPandas."""
+    from ..operators.multimodal import audio_features, synthesize_media
+
+    out = audio_features(synthesize_media(spark, n=90, seed=42))
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        F.round("zero_crossing_rate", 4).alias("zero_crossing_rate"),
+    ).orderBy("media_id")
