@@ -1,0 +1,98 @@
+"""Skew mitigation: salted aggregation and salted broadcast-side join.
+
+At scale, a handful of hot keys (one airport zone, one power user) can
+pin a single reducer while the rest of the cluster idles. Two
+mitigations, both pure DataFrame compositions:
+
+  * ``salted_agg``: two-phase aggregation — phase 1 aggregates on
+    (key, salt) spreading a hot key over S reducers, phase 2 merges the
+    S partials per key. Correct for any algebraic aggregate expressed
+    as (partial, merge) pairs; sum/count/min/max supplied.
+  * ``salted_broadcast_join``: replicate the SMALL side S× (one copy
+    per salt), salt the big side — each hot-key row lands on a
+    different reducer yet still meets its dimension row. (When the
+    small side fits in a broadcast this is usually moot — `broadcast()`
+    already avoids the shuffle — but it is the pattern for
+    bounded-size-but-too-big-to-broadcast dims.)
+
+AQE's skew-join handling (`spark.sql.adaptive.skewJoin`, on in
+session.py) covers sort-merge joins automatically at runtime; these
+helpers cover aggregations and the cases AQE cannot split (e.g.
+explicit repartition-by-key pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_agg", "salted_broadcast_join"]
+
+_MERGERS = {
+    "sum": F.sum,
+    "count": F.sum,  # counts merge by summation
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` maps output name → (merge_fn_name, partial_expr), e.g.::
+
+        salted_agg(df, ["zone"], {
+            "n":     ("count", F.count("*")),
+            "total": ("sum",   F.sum("fare")),
+            "hi":    ("max",   F.max("fare")),
+        })
+
+    Phase 1 groups by (keys, random salt in [0, S)); phase 2 merges the
+    ≤ S partial rows per key with the named merge function. avg must be
+    requested as sum+count and divided afterwards (algebraic, not
+    directly mergeable).
+    """
+    unknown = [m for m, _ in aggs.values() if m not in _MERGERS]
+    if unknown:
+        raise ValueError(f"unsupported merge fns {unknown}; use {sorted(_MERGERS)}")
+
+    salt = (F.rand() * salt_buckets).cast("int").alias("__salt")
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[expr.alias(f"__p_{name}") for name, (_, expr) in aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _MERGERS[merge](f"__p_{name}").alias(name)
+            for name, (merge, _) in aggs.items()
+        ]
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side, replicate the small side
+    once per salt value, join on (key, salt)."""
+    salted_big = big.withColumn(
+        "__salt", (F.rand() * salt_buckets).cast("int")
+    )
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    cond = (F.col(f"l.{big_key}") == F.col(f"r.{small_key}")) & (
+        F.col("l.__salt") == F.col("r.__salt")
+    )
+    out = salted_big.alias("l").join(replicated_small.alias("r"), cond, how)
+    return out.drop("__salt")
