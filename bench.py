@@ -42,7 +42,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     try:
-        spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
+        # JVM warm-up: codegen'd agg + vectorized parquet reader +
+        # noop sink, so one-time JIT/classload isn't billed to q1
+        spark.range(1000).selectExpr("sum(id)").collect()
+        warm = (
+            spark.read.parquet(f"{sf_dir}/region.parquet")
+            .groupBy("r_regionkey")
+            .count()
+        )
+        warm.write.format("noop").mode("overwrite").save()
 
         names = [n for n in HEADLINE if n in QUERIES]
         extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA")

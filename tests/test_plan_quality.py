@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the optimizations the engine relies
+on for 100 TB behavior must actually appear in the plans — predicate
+pushdown into the parquet scan, column pruning, broadcast joins for
+dims, partial (map-side) aggregation, and whole-stage codegen."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from nyc_taxi_etl_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    """Formatted explain output (untruncated scan details —
+    executedPlan().toString() elides PushedFilters)."""
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "valid_lines_unit_price")
+    assert "PushedFilters: [" in plan
+    # the validity predicates, not just IsNotNull
+    assert "GreaterThan(l_quantity,0.0)" in plan
+
+
+def test_column_pruning_minimal_readschema(spark):
+    plan = _plan(spark, "hourly_value_stats")
+    # events has 6 columns; the hourly rollup needs exactly ts+value
+    assert "ReadSchema: struct<ts:bigint,value:double>" in plan
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "region_order_revenue")
+    # three dim joins (customer, nation, region), all broadcast — the
+    # tree section lists each once with its build side
+    assert plan.count("BroadcastHashJoin Inner BuildRight") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_before_exchange(spark):
+    plan = _plan(spark, "returnflag_summary")
+    # map-side combine: partial_ aggregate functions below the exchange
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert plan.count("hashpartitioning(") == 1  # exactly one shuffle
+
+
+def test_wholestage_codegen_active(spark):
+    # codegen stage markers (*(n)) appear once AQE finalizes the plan
+    df = QUERIES["hourly_value_stats"](spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "*(" in final
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(spark, "top_users_by_events")
+    assert "TakeOrderedAndProject" in plan  # no full sort for top-k
+
+
+def test_deterministic_sample_is_scan_level_filter(spark):
+    plan = _plan(spark, "deterministic_sample")
+    # no shuffle at all: a narrow filter+project over the scan
+    assert "Exchange" not in plan
