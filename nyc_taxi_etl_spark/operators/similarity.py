@@ -27,6 +27,7 @@ __all__ = [
     "brute_force_knn",
     "cosine_near_pairs",
     "hyperplane_lsh_knn",
+    "ivf_knn",
 ]
 
 
@@ -207,6 +208,85 @@ def hyperplane_lsh_knn(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second 100 TB path
+    next to hyperplane LSH.
+
+    Index: a coarse quantizer (MLlib KMeans on L2-normalized vectors,
+    so euclidean cells ≈ cosine cells) assigns every corpus vector to a
+    centroid — at scale this assignment is written once as a partition/
+    cluster column. Search: each query ranks the (tiny) centroid table,
+    probes its ``n_probe`` nearest cells, and scores ONLY vectors in
+    those cells — the candidate set shrinks by ~n_centroids/n_probe
+    versus brute force. Recall is tunable via ``n_probe``.
+
+    All scoring stays JVM-side (the same fold-based ``cosine``); the
+    only ML stage is the one-off centroid fit.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    unit = lambda c: F.transform(c, lambda x: x.cast("double") / norm(c))  # noqa: E731
+
+    c_norm = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(unit(F.col(vec_col))).alias("__features"),
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__features", predictionCol="cell"
+    ).fit(c_norm)
+    assigned = model.transform(c_norm).select("neighbor_id", "c_vec", "cell")
+
+    # tiny centroid table → broadcast to every query row
+    centroids = queries.sparkSession.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        f"cell int, centroid array<double>",
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_vec",
+            "cell",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim"),
+        )
+        .withColumn("p", F.row_number().over(probe_w))
+        .filter(F.col("p") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

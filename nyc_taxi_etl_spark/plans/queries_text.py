@@ -401,3 +401,24 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hyperplane_lsh_knn(
         emb, queries, k=5, bits=3, tables=10, dim=64
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
+
+
+@query("ann_ivf_cosine")
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors for 10 queries via an IVF index
+    (16-cell coarse KMeans quantizer, 4 probed cells) — the second
+    scale path for ANN next to hyperplane LSH: each query scores only
+    ~n_probe/n_centroids of the corpus. Candidate generation differs
+    from LSH (learned Voronoi cells vs random hyperplanes), so the two
+    approximations fail differently — running both is the standard
+    production hedge.
+
+    No SQL oracle (KMeans is iterative); rows-only check + recall
+    asserted vs brute force in tests."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_knn(
+        emb, queries, k=5, n_centroids=16, n_probe=4, seed=42
+    ).select("query_id", "neighbor_id", "cosine_sim", "rank")

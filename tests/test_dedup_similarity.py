@@ -106,3 +106,36 @@ def test_exact_dedup_no_false_merges(spark):
     n_docs = docs.count()
     groups = D.exact_dedup(docs)
     assert groups.agg(F.sum("dup_count")).collect()[0][0] == n_docs
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    from nyc_taxi_etl_spark.operators.similarity import brute_force_knn, ivf_knn
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn(emb, queries, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_deterministic(spark):
+    from nyc_taxi_etl_spark.operators.similarity import ivf_knn
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivf_knn(emb, queries, k=3, seed=7).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = ivf_knn(emb, queries, k=3, seed=7).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
