@@ -32,6 +32,50 @@ __all__ = [
 ]
 
 
+def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs co-located in any (band, bucket).
+
+    One shuffle (groupBy bucket) + row-local pair expansion — replaces
+    the classic bucket self-join, which would execute the upstream
+    (hash-heavy) plan twice and shuffle it twice. Buckets hold only
+    colliding docs, so the collected id list is tiny; a pathological
+    hot bucket (mass boilerplate) should be removed by exact dedup
+    upstream — same contract as the self-join formulation.
+    """
+    ids = F.array_sort(F.collect_list(F.col(id_col)))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread CPU-bound hashing across the cluster when the input is
+    under-partitioned (a single small parquet file reads as ONE
+    partition — fine for IO, fatal for 12×md5-per-shingle compute: one
+    core does all the work). At real scale inputs arrive with thousands
+    of partitions and this is a no-op; the round-robin shuffle of raw
+    text it may add is orders cheaper than serializing the hash work.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -68,9 +112,14 @@ def minhash_signatures(
 
     Plan shape: tokens→shingles→transform per row (narrow, codegen),
     NO explode — the min over shingles is computed inside the row with
-    ``array_min``. Zero shuffles for signature computation.
+    ``array_min``. Zero data-motion shuffles for the signatures
+    themselves (only the parallelism guard when the input is a single
+    file). The shingle array is projected ONCE into its own column so
+    the 12 permutations share it instead of rebuilding it per column.
     """
-    sh = shingles(F.col(text_col), k)
+    shingled = _ensure_parallelism(df).select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("__sh")
+    )
 
     def _seeded_md5(i: int):
         # Closure factory, NOT a default-arg lambda: pyspark counts
@@ -79,10 +128,10 @@ def minhash_signatures(
         return lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s))
 
     sig_cols = [
-        F.array_min(F.transform(sh, _seeded_md5(i))).alias(f"mh_{i}")
+        F.array_min(F.transform(F.col("__sh"), _seeded_md5(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return df.select(F.col(id_col), *sig_cols)
+    return shingled.select(F.col(id_col), *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -110,34 +159,23 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
-        band_rows.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+    # ALL band keys in one projection + posexplode — the naive
+    # union-of-bands shape re-executes the (hash-heavy) signature
+    # subtree once per band; this computes signatures exactly once.
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
+                )
             )
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col(f"l.band") == F.col(f"r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
+            for b in range(bands)
+        ]
     )
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "bucket")
+    )
+    cand = _bucket_pairs(banded, id_col)
     if verify_threshold is None:
         return cand
     jac = ngram_jaccard_pairs(df, text_col, id_col, k, min_jaccard=0.0, candidates=cand)
@@ -162,19 +200,37 @@ def ngram_jaccard_pairs(
     with a semi-join — that is the 100 TB path; unrestricted mode is
     for small corpora / verification.
     """
-    sh = df.select(
+    sh = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("s")
     )
-    sizes = sh.groupBy("doc").agg(F.count("*").cast("long").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count("*").cast("long").alias("shared"))
+    # |shingles(doc)| row-locally from the (distinct) array — cheaper
+    # than re-exploding and re-grouping the postings
+    sizes = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(shingles(F.col(text_col), k)).cast("long").alias("n_sh"),
     )
     if candidates is not None:
-        shared = shared.join(candidates, ["id_a", "id_b"], "left_semi")
+        # candidate-driven plan: expand ONLY candidate pairs with A's
+        # shingles, then equi-join B's postings on (id_b, shingle) —
+        # cost scales with |candidates| × shingles/doc, independent of
+        # corpus-wide posting-list sizes (the LSH payoff).
+        sh_a = sh.select(F.col("doc").alias("id_a"), "s")
+        sh_b = sh.select(F.col("doc").alias("id_b"), "s")
+        shared = (
+            candidates.select("id_a", "id_b")
+            .join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "s"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("shared"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        shared = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .agg(F.count("*").cast("long").alias("shared"))
+        )
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
@@ -208,10 +264,15 @@ def simhash(
     bucketing then groups near-dups.
     """
     toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
-    # 32-bit token hash from the md5 hex prefix (conv base16→base10).
-    tok_hash = F.transform(
-        toks, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    # 32-bit token hash from the md5 hex prefix (conv base16→base10),
+    # projected once so the 32 per-bit folds share the hashed array.
+    hashed = _ensure_parallelism(df).select(
+        F.col(id_col),
+        F.transform(
+            toks, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        ).alias("__th"),
     )
+    tok_hash = F.col("__th")
     def _vote_merge(i: int):
         # NB: pyspark introspects lambda arity — a default-arg capture
         # (lambda acc, h, i=i) would be treated as a 3-ary lambda.
@@ -228,7 +289,7 @@ def simhash(
     sig = bit_exprs[0]
     for e in bit_exprs[1:]:
         sig = sig + e
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -251,17 +312,27 @@ def simhash_near_pairs(
     sig = simhash(df, text_col, id_col, bits)
     width = bits // blocks
     mask = (1 << width) - 1
-    blocked = None
-    for blk in range(blocks):
-        part = sig.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.lit(blk).alias("blk"),
-            F.shiftright(F.col("simhash"), blk * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("blockval"),
-        )
-        blocked = part if blocked is None else blocked.unionByName(part)
+    # all block values in one projection + posexplode (single execution
+    # of the 32-fold signature plan), then bucket-local pair expansion
+    # carrying (id, signature) so the popcount verification needs no
+    # join back.
+    blockvals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), blk * width).bitwiseAND(F.lit(mask))
+            for blk in range(blocks)
+        ]
+    )
+    blocked = sig.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash").alias("sig"),
+        F.posexplode(blockvals).alias("blk", "blockval"),
+    )
+    # self-join kept deliberately: simhash blocks are only
+    # bits/blocks wide (here 8 bits → ≤256 buckets per block), so hot
+    # buckets are NORMAL, and the shuffle-join streams them, whereas a
+    # collect_list pair expansion would build O(bucket²) arrays in one
+    # row. Both sides shuffle on the identical plan → ReusedExchange
+    # executes the signature computation once.
     a = blocked.alias("a")
     b = blocked.alias("b")
     cand = (
@@ -269,13 +340,13 @@ def simhash_near_pairs(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.blockval") == F.col("b.blockval"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
     )
