@@ -1,18 +1,22 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, per the north star:
+Three paths, per the north star:
   * brute-force cosine top-k — the exactness baseline. Expressed as a
     broadcast join of the (small) query set against the corpus, with
     the dot product as a Catalyst fold (``F.aggregate``/``zip_with``)
     — JVM-side, deterministic left-to-right summation order (which is
     what lets a DuckDB oracle replay it bit-for-bit).
-  * LSH-bucketed ANN (random hyperplane signs) — the 100 TB path:
+  * LSH-bucketed ANN (random hyperplane signs) — scale path #1:
     candidates only from matching buckets, so the join is
     sub-quadratic; recall tunable via tables×bits.
+  * IVF ANN (sample-trained coarse quantizer + cell probing) — scale
+    path #2: learned Voronoi cells fail differently than random
+    hyperplanes, so production pipelines hedge by running both.
 
-No Python UDF anywhere; at 100 TB the brute-force variant is still
-valid when the query side is small (it is a map-side broadcast join,
-scanning the corpus once).
+The only Python stage anywhere is IVF's bounded-sample quantizer fit;
+all per-row math is JVM-side. At 100 TB the brute-force variant is
+still valid when the query side is small (it is a map-side broadcast
+join, scanning the corpus once).
 """
 
 from __future__ import annotations
@@ -214,6 +218,38 @@ def hyperplane_lsh_knn(
     )
 
 
+def _train_coarse_centroids(
+    corpus, vec_col: str, n_centroids: int, seed: int, fit_sample: int
+):
+    """Train the IVF coarse quantizer with numpy Lloyd iterations on a
+    bounded driver-side sample — standard IVF practice (faiss trains
+    quantizers on samples): the sample is capped, so driver memory is
+    bounded no matter the corpus size, and no distributed iteration
+    jobs are scheduled. Returns an (n_centroids, dim) float64 array of
+    L2-normalized centroids."""
+    import numpy as np
+
+    sample = (
+        corpus.select(vec_col)
+        .limit(fit_sample)
+        .toPandas()[vec_col]
+        .tolist()
+    )
+    X = np.asarray(sample, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = X[rng.choice(X.shape[0], size=min(n_centroids, X.shape[0]), replace=False)]
+    for _ in range(12):
+        sims = X @ centroids.T                      # cosine on unit vectors
+        assign = sims.argmax(axis=1)
+        for c in range(centroids.shape[0]):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -224,57 +260,67 @@ def ivf_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    fit_sample: int = 20_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second 100 TB path
     next to hyperplane LSH.
 
-    Index: a coarse quantizer (MLlib KMeans on L2-normalized vectors,
-    so euclidean cells ≈ cosine cells) assigns every corpus vector to a
-    centroid — at scale this assignment is written once as a partition/
-    cluster column. Search: each query ranks the (tiny) centroid table,
-    probes its ``n_probe`` nearest cells, and scores ONLY vectors in
-    those cells — the candidate set shrinks by ~n_centroids/n_probe
-    versus brute force. Recall is tunable via ``n_probe``.
+    Index: a coarse quantizer (spherical k-means, trained on a bounded
+    sample driver-side, numpy) defines Voronoi cells; every corpus
+    vector is assigned to its best cell with a pure-Catalyst argmax
+    over the centroid literals — ONE narrow pass, no ML jobs; at scale
+    the assignment is written once as a partition/cluster column.
+    Search: each query probes its ``n_probe`` best cells and scores
+    ONLY vectors in those cells — the candidate set shrinks by
+    ~n_probe/n_centroids versus brute force; recall is tunable via
+    ``n_probe``.
 
-    All scoring stays JVM-side (the same fold-based ``cosine``); the
-    only ML stage is the one-off centroid fit.
+    All per-row math stays JVM-side (the fold-based ``cosine``); the
+    only Python stage is the one-off bounded-sample fit.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
-    unit = lambda c: F.transform(c, lambda x: x.cast("double") / norm(c))  # noqa: E731
+    centroids = _train_coarse_centroids(corpus, vec_col, n_centroids, seed, fit_sample)
+    ctr_lits = [
+        F.array(*[F.lit(float(x)) for x in ctr]).alias(f"c{i}")
+        for i, ctr in enumerate(centroids)
+    ]
 
-    c_norm = corpus.select(
+    def cell_sims(vec):
+        # cosine against every centroid (centroids are unit vectors)
+        return F.array(*[dot(vec, c) / norm(vec) for c in ctr_lits])
+
+    # corpus assignment: argmax cell, one narrow JVM pass
+    c_sims = cell_sims(F.col(vec_col))
+    assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        array_to_vector(unit(F.col(vec_col))).alias("__features"),
+        (F.array_position(c_sims, F.array_max(c_sims)) - 1).cast("int").alias("cell"),
     )
-    model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="__features", predictionCol="cell"
-    ).fit(c_norm)
-    assigned = model.transform(c_norm).select("neighbor_id", "c_vec", "cell")
 
-    # tiny centroid table → broadcast to every query row
-    centroids = queries.sparkSession.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
-        f"cell int, centroid array<double>",
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+    # query probing: top-n_probe cells per query, row-local sort
+    q_sims = cell_sims(F.col(vec_col))
     probes = (
-        q.join(F.broadcast(centroids))
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            q_sims.alias("sims"),
+        )
         .select(
             "query_id",
             "q_vec",
-            "cell",
-            cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim"),
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(F.transform(
+                        F.col("sims"),
+                        lambda s, i: F.struct(s.alias("sim"), i.cast("int").alias("cell")),
+                    ))),
+                    1,
+                    n_probe,
+                )
+            ).alias("probe"),
         )
-        .withColumn("p", F.row_number().over(probe_w))
-        .filter(F.col("p") <= n_probe)
-        .select("query_id", "q_vec", "cell")
+        .select("query_id", "q_vec", F.col("probe.cell").alias("cell"))
     )
 
     scored = (
