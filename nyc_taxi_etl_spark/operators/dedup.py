@@ -29,6 +29,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_pairs",
+    "connected_components",
 ]
 
 
@@ -354,4 +355,98 @@ def simhash_near_pairs(
     return (
         cand.select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: near-dup *pairs* → connected
+    *components*, the final stage of every dedup pipeline (LSH emits
+    pairwise edges; keeping one doc per cluster needs the transitive
+    closure).
+
+    Returns one row per node appearing in ``pairs``:
+    ``(node, component)`` where ``component`` is the MIN node id in the
+    node's connected component — a deterministic canonical
+    representative (so ``component`` doubles as the keeper id).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), expressed
+    as DataFrame ops. Each round is one groupBy (min per neighborhood)
+    plus one join; the edge set converges to a star forest in
+    O(log² n) rounds — unlike naive label propagation, whose round
+    count follows the graph DIAMETER (a 10 000-doc boilerplate chain
+    would take 10 000 rounds; large-star/small-star takes ~15).
+
+    Scale posture: no driver-side graph state — the driver only loops
+    and compares a per-round checksum (count + sum of edge hashes).
+    ``localCheckpoint`` truncates lineage each round so the plan does
+    not grow with iterations (the classic iterative-Spark failure
+    mode). Shuffle key is the node id — uniform for hash-derived doc
+    ids; a mega-star around one hub is exactly what large-star is
+    designed to split.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(e: DataFrame) -> tuple[int, int]:
+        row = e.select(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; for each u: m = min(Γ(u) ∪ {u});
+        # connect every strictly larger neighbor v directly to m
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select("a", F.least("mn", F.col("a")).alias("m"))
+        return (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient edges large→small; for each hub u: m = min(smaller
+        # neighbors); re-attach u and its smaller neighbors to m
+        oriented = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        moved = (
+            oriented.join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        hubs = mins.select(F.col("a"), F.col("m").alias("b"))
+        return moved.union(hubs).distinct()
+
+    prev = _checksum(edges)
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged edge set is a star forest: every edge points node→root
+    roots = edges.select(F.col("b").alias("node")).distinct()
+    return (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
+        .union(roots.select("node", F.col("node").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
     )

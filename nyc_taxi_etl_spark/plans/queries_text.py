@@ -320,6 +320,52 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "hamming")
 
 
+def _components_sql() -> str:
+    # transitive closure via recursive CTE over the SAME pair set the
+    # minhash query emits; component = min reachable id (incl. self)
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    nodes AS (SELECT DISTINCT a AS id FROM edges)
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(least(id, min(b)) AS BIGINT) AS component
+    FROM nodes JOIN reach ON reach.a = id
+    GROUP BY id
+    """
+
+
+@query("dedup_components", _components_sql())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: MinHash-LSH near-dup pairs (jaccard ≥ 0.5)
+    → connected components → one (doc_id, component) row per clustered
+    doc, component = min doc id (the canonical keeper).
+
+    Spark side runs alternating large-star/small-star (O(log² n)
+    rounds, no driver-side graph); the oracle brute-forces the
+    transitive closure with a recursive CTE — the scalable plan must
+    agree with the naive spec.
+    """
+    pairs = D.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"),
+        k=3,
+        num_hashes=12,
+        bands=4,
+        verify_threshold=0.5,
+    )
+    cc = D.connected_components(pairs)
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------

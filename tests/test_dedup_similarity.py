@@ -139,3 +139,67 @@ def test_ivf_deterministic(spark):
     b = ivf_knn(emb, queries, k=3, seed=7).toPandas().sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def _uf_components(edges):
+    """Reference union-find for cross-checking connected_components."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_chain_and_islands(spark):
+    from nyc_taxi_etl_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (5, 6), (9, 8)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 60-node path: naive label propagation would need ~60 rounds;
+    # large-star/small-star must finish inside the 25-round cap
+    from nyc_taxi_etl_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(60)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from nyc_taxi_etl_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    edges = [
+        (rng.randrange(200), rng.randrange(200))
+        for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _uf_components(edges)
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
