@@ -1,0 +1,73 @@
+"""End-to-end training-corpus curation: the composition every LLM data
+pipeline runs over raw documents, expressed as one lazy DataFrame plan:
+
+    quality filter → exact dedup → MinHash-LSH near-dedup
+                   → connected-components keeper selection
+
+Stage semantics (all stages reuse the standalone operators, so each is
+individually oracle-checked elsewhere):
+  1. ``quality_score(text) >= quality_threshold`` (row-local, pushes to
+     the scan — low-quality docs never reach the hash stages);
+  2. exact dedup keeps the MIN doc id per content fingerprint (one
+     hash-agg + semi-join);
+  3. MinHash+LSH candidate pairs verified at ``jaccard_threshold`` over
+     the exact-deduped corpus;
+  4. near-dup clusters via large-star/small-star connected components;
+     each cluster keeps its MIN doc id (the component representative) —
+     every other member is anti-joined away.
+
+Scale posture (100 TB): stage order is the whole point — quality filter
+and exact dedup shrink the corpus before the expensive shingle/minhash
+pass; LSH keeps candidate generation sub-quadratic; component finding
+never materializes the graph on the driver. The surviving corpus is
+persisted once because two downstream subtrees (pair generation and the
+final anti-join) both consume it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .dedup import connected_components, minhash_lsh_pairs
+from .text import fingerprint, quality_score
+
+__all__ = ["curate_documents"]
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_threshold: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Curated corpus: one row per kept document, with its quality
+    score. Deterministic: every keeper rule is min-id."""
+    scored = docs.withColumn("quality", quality_score(F.col(text_col)))
+    passed = scored.filter(F.col("quality") >= quality_threshold)
+
+    fp = passed.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    keeper_ids = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    exact_kept = fp.join(keeper_ids, ["fingerprint", id_col], "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    pairs = minhash_lsh_pairs(
+        exact_kept,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        verify_threshold=jaccard_threshold,
+    )
+    comp = connected_components(pairs)
+    non_keepers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return exact_kept.drop("fingerprint").join(non_keepers, id_col, "left_anti")

@@ -205,7 +205,15 @@ def ngram_jaccard_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql(num_hashes: int = 12, bands: int = 4, thresh: float = 0.5) -> str:
+def _minhash_ctes(
+    num_hashes: int = 12,
+    bands: int = 4,
+    thresh: float = 0.5,
+    source: str = "documents",
+) -> str:
+    """CTE chain (no WITH keyword) ending in ``pairs`` = verified
+    near-dup pairs over ``source`` — reusable inside larger oracles
+    (dedup_components, curate_documents)."""
     r = num_hashes // bands
     sig_cols = ",\n         ".join(
         f"list_aggregate(list_transform(sh, s -> md5('{i}' || ':' || s)), 'min') AS mh_{i}"
@@ -218,7 +226,15 @@ def _minhash_sql(num_hashes: int = 12, bands: int = 4, thresh: float = 0.5) -> s
         for b in range(bands)
     )
     return f"""
-    WITH {_SQL_SHINGLES_CTE},
+    tok AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM {source}),
+    shl AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+                    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in generate_series(1, len(w)-2)])
+                  WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                  ELSE [] END AS sh
+      FROM tok),
     sigs AS (SELECT doc_id, {sig_cols} FROM shl),
     banded AS ({band_selects}),
     cand AS (
@@ -230,13 +246,21 @@ def _minhash_sql(num_hashes: int = 12, bands: int = 4, thresh: float = 0.5) -> s
     shared AS (
       SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) shared
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT s.id_a AS id_a, s.id_b AS id_b,
-           s.shared * 1.0 / (x.n + y.n - s.shared) AS jaccard
-    FROM shared s
-    JOIN cand c ON s.id_a = c.id_a AND s.id_b = c.id_b
-    JOIN sizes x ON s.id_a = x.doc_id JOIN sizes y ON s.id_b = y.doc_id
-    WHERE s.shared * 1.0 / (x.n + y.n - s.shared) >= {thresh}
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT s.id_a AS id_a, s.id_b AS id_b,
+             s.shared * 1.0 / (x.n + y.n - s.shared) AS jaccard
+      FROM shared s
+      JOIN cand c ON s.id_a = c.id_a AND s.id_b = c.id_b
+      JOIN sizes x ON s.id_a = x.doc_id JOIN sizes y ON s.id_b = y.doc_id
+      WHERE s.shared * 1.0 / (x.n + y.n - s.shared) >= {thresh})
+    """
+
+
+def _minhash_sql(num_hashes: int = 12, bands: int = 4, thresh: float = 0.5) -> str:
+    return f"""
+    WITH {_minhash_ctes(num_hashes, bands, thresh)}
+    SELECT id_a, id_b, jaccard FROM pairs
     """
 
 
@@ -363,6 +387,71 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
+    )
+
+
+def _curate_sql(quality_threshold: float = 0.5, jaccard_threshold: float = 0.5) -> str:
+    quality = f"""
+         0.4 * (CASE WHEN len(w) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
+       + 0.3 * (CASE WHEN len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                          * 1.0 / len(w) > 0.0
+                      AND len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                          * 1.0 / len(w) < 0.6
+                     THEN 1.0 ELSE 0.0 END)"""
+    return f"""
+    WITH RECURSIVE
+    tok0 AS (SELECT doc_id, lang, source, text, {_SQL_TOKENS} AS w FROM documents),
+    scored AS (SELECT doc_id, lang, source, text, {quality} AS quality FROM tok0),
+    passed AS (SELECT * FROM scored WHERE quality >= {quality_threshold}),
+    fp AS (SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS fingerprint
+           FROM passed),
+    keep1 AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY 1),
+    corpus AS (SELECT fp.doc_id, fp.lang, fp.source, fp.text, fp.quality
+               FROM fp JOIN keep1 USING (fingerprint, doc_id)),
+    {_minhash_ctes(thresh=jaccard_threshold, source="corpus")},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp_nodes AS (SELECT DISTINCT a AS id FROM edges),
+    comp AS (
+      SELECT id, least(id, min(b)) AS component
+      FROM comp_nodes JOIN reach ON reach.a = id GROUP BY id),
+    dropped AS (SELECT id FROM comp WHERE component != id)
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.lang, c.source, c.quality
+    FROM corpus c LEFT JOIN dropped d ON c.doc_id = d.id
+    WHERE d.id IS NULL
+    """
+
+
+@query("curate_documents", _curate_sql())
+def curate_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline: quality filter → exact dedup →
+    MinHash-LSH near-dedup → connected-components keeper selection, as
+    ONE lazy plan (operators/curate.py). The oracle replays all four
+    stages including the recursive-CTE transitive closure — the full
+    composition is hash-checked, not just its parts.
+
+    Scale: stage order shrinks data before the expensive hash stages;
+    every join is key-local (fingerprint, band bucket, doc id); the
+    one iterative stage (components) is O(log² n) rounds with no
+    driver-side graph.
+    """
+    from ..operators.curate import curate_documents as _curate
+
+    kept = _curate(
+        t(spark, sf_dir, "documents"),
+        quality_threshold=0.5,
+        jaccard_threshold=0.5,
+    )
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source", "quality"
     )
 
 
