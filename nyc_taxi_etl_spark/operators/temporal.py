@@ -1,0 +1,121 @@
+"""Temporal operators Spark lacks as built-ins: backward as-of join
+and gap-based sessionization.
+
+North-star extension (BASELINE.json): the reference repo is batch
+rollups only; event pipelines at 100 TB need "latest state as of each
+event" (as-of join) and "activity sessions" (gap sessionize). Both are
+expressed as ONE shuffle on the partition key:
+
+* ``asof_join`` uses the union-marker formulation — tag left/right,
+  union, and window ``last(ignorenulls=True)`` ordered by (ts, side,
+  tiebreak). That is a single hash-partition by key + per-partition
+  sort, versus the naive range-join (``r.ts <= l.ts``) which explodes
+  to O(|L|·|R|) per key. Equal timestamps match (right sorts before
+  left), and the tiebreak column makes the winner among duplicate
+  right timestamps deterministic — required for oracle hash-parity.
+* ``sessionize`` is lag + running sum over the same (key, ts) window:
+  the standard sub-linear-memory sessionizer — no state beyond the
+  sort, so a skewed user degrades to one big sorted partition, never
+  to driver memory.
+
+All timestamp arithmetic is integer microseconds (``unix_micros``), so
+gap/tolerance comparisons are exact and engine-portable (DuckDB
+``epoch_us``) — no float-epoch edge cases.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "epoch_us", "sessionize"]
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Integer microseconds since epoch (DuckDB ``epoch_us`` parity).
+    Accepts TIMESTAMP or TIMESTAMP_NTZ; the catalog pins the session
+    to UTC (sources/catalog.py), so the NTZ→TZ cast is a no-op shift."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    ts_col: str,
+    right_cols: Sequence[str],
+    prefix: str = "asof_",
+    tiebreak_col: str | None = None,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach ``right_cols``
+    from the latest right row with the same key and ``right.ts <=
+    left.ts`` (inclusive). Unmatched left rows keep nulls (left-outer
+    semantics). ``tiebreak_col`` (a right column, e.g. an event id)
+    picks the max among right rows sharing the winning timestamp;
+    ``tolerance_us`` nulls matches older than the given microseconds.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right_cols if c not in keys]
+    out_names = {c: f"{prefix}{c}" for c in payload}
+
+    rpart = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(out_names[c]) for c in payload],
+    )
+    lpart = left.withColumn("_side", F.lit(1))
+    unioned = lpart.unionByName(rpart, allowMissingColumns=True)
+
+    order: list[Column] = [F.col(ts_col).asc(), F.col("_side").asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(out_names.get(tiebreak_col, tiebreak_col)).asc_nulls_last())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    filled = unioned
+    for c in payload:
+        filled = filled.withColumn(
+            out_names[c], F.last(out_names[c], ignorenulls=True).over(w)
+        )
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+
+    if tolerance_us is not None:
+        if ts_col not in payload:
+            raise ValueError("tolerance_us requires ts_col in right_cols")
+        stale = epoch_us(ts_col) - epoch_us(out_names[ts_col]) > F.lit(tolerance_us)
+        for c in payload:
+            out = out.withColumn(
+                out_names[c], F.when(stale, F.lit(None)).otherwise(F.col(out_names[c]))
+            )
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    tiebreak_col: str | None = None,
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Assign a per-key session index (1-based): a new session starts
+    when the gap to the previous event of the same key exceeds
+    ``gap_us`` microseconds (strict >). Adds ``session_col``."""
+    order: list[Column] = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(epoch_us(ts_col)).over(w)
+    is_new = (
+        prev.isNull() | ((epoch_us(ts_col) - prev) > F.lit(gap_us))
+    ).cast("long")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(session_col, F.sum(is_new).over(running))

@@ -3,3 +3,4 @@ from . import queries_text  # noqa: F401  (registers text/dedup/similarity queri
 from . import queries_ml  # noqa: F401  (registers KMeans/IsolationForest queries)
 from . import queries_streaming  # noqa: F401  (registers Structured Streaming queries)
 from . import queries_misc  # noqa: F401  (registers sampling/set-op/cube/audit queries)
+from . import queries_temporal  # noqa: F401  (registers as-of join / sessionization queries)

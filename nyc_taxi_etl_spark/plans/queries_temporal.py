@@ -1,0 +1,129 @@
+"""Temporal catalog queries: backward as-of join and gap-based
+sessionization over the ``events`` table (operators/temporal.py).
+
+North-star extension — the reference (AdityaShah123/nyc-taxi-etl) has
+no as-of/session operators; its closest shape is the month-file batch
+loop (`scripts/batch_etl_simple.py:45-56`). These are the two temporal
+primitives an event pipeline needs at 100 TB, each one shuffle wide.
+
+Oracle portability: all timestamp math is integer microseconds
+(``unix_micros`` ↔ DuckDB ``epoch_us``), floats are r4-rounded, and
+ties among equal timestamps are broken by max event_id on both sides,
+so the cross-engine hash is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import r4
+from ..operators.temporal import asof_join, epoch_us, sessionize
+from .queries import query, t
+
+_GAP_US = 4 * 3600 * 1_000_000  # 4-hour session gap
+
+
+@query(
+    "purchase_asof_prior_error",
+    """
+    WITH purch AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+    err AS (SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'error'),
+    best AS (
+      SELECT p.event_id, max(e.ts) AS m_ts
+      FROM purch p JOIN err e ON e.user_id = p.user_id AND e.ts <= p.ts
+      GROUP BY 1),
+    pick AS (
+      SELECT p.event_id, b.m_ts, max(e.event_id) AS prior_error_id
+      FROM purch p JOIN best b ON b.event_id = p.event_id
+      JOIN err e ON e.user_id = p.user_id AND e.ts = b.m_ts
+      GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id, ROUND(p.value, 4) AS value,
+           CAST(k.prior_error_id AS BIGINT) AS prior_error_id,
+           ROUND(e.value, 4) AS prior_error_value,
+           epoch_us(p.ts) - epoch_us(k.m_ts) AS lag_us
+    FROM purch p
+    LEFT JOIN pick k ON k.event_id = p.event_id
+    LEFT JOIN err e ON e.event_id = k.prior_error_id
+    """,
+)
+def purchase_asof_prior_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the latest error by the
+    same user at-or-before it (left-outer; purchases with no prior
+    error keep nulls).
+
+    Scale: the union-marker formulation is ONE shuffle on user_id +
+    per-partition sort — the oracle's range-join formulation would be
+    O(|purchases|·|errors|) per user. Equal-timestamp and duplicate-
+    timestamp winners are pinned (right-before-left, max event_id).
+    """
+    ev = t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purch,
+        err,
+        on="user_id",
+        ts_col="ts",
+        right_cols=["event_id", "ts", "value"],
+        tiebreak_col="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        r4(F.col("value")).alias("value"),
+        F.col("asof_event_id").cast("long").alias("prior_error_id"),
+        r4(F.col("asof_value")).alias("prior_error_value"),
+        (epoch_us("ts") - epoch_us("asof_ts")).alias("lag_us"),
+    )
+
+
+@query(
+    "user_sessions",
+    f"""
+    WITH o AS (
+      SELECT event_id, user_id, ts, value, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    s AS (
+      SELECT *,
+             sum(CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) > {_GAP_US}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM o)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(epoch_us(ts)) AS start_us,
+           max(epoch_us(ts)) AS end_us,
+           ROUND(sum(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0 END), 4) AS purchase_value
+    FROM s GROUP BY 1, 2
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (4-hour inactivity gap) + per-session
+    rollup: event count, span in epoch-µs, purchase revenue.
+
+    Scale: lag + running sum over one (user_id, ts) sort — the batch
+    twin of the streaming session windows (streaming/events.py); no
+    per-session state beyond the sort, so skew degrades gracefully.
+    """
+    ev = t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_us=_GAP_US, tiebreak_col="event_id")
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min(epoch_us("ts")).alias("start_us"),
+        F.max(epoch_us("ts")).alias("end_us"),
+        r4(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0)))
+        ).alias("purchase_value"),
+    )
