@@ -15,7 +15,7 @@ Oracle-portability tricks (validated empirically in tests):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -557,3 +557,112 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_knn(
         emb, queries, k=5, n_centroids=16, n_probe=4, seed=42
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics (vocabulary / TF-IDF / shingle frequency)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_vocabulary",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents)
+    SELECT term, CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok WHERE term <> ''
+    GROUP BY 1 ORDER BY tf DESC, term LIMIT 100
+    """,
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary terms with corpus frequency (tf) and document
+    frequency (df) — the vocab-building pass of a training pipeline.
+
+    Scale: explode → two-level hash agg; count_distinct(doc_id) is the
+    only expand. Deterministic membership: (tf DESC, term ASC)."""
+    from ..functions import topk
+
+    docs = t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    agg = ex.groupBy("term").agg(
+        F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
+    )
+    return topk(agg, ["term"], "tf", 100)
+
+
+@query(
+    "doc_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE term <> '' GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             ROUND(t.tf * ln(n.n / d.df), 4) AS tfidf,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf * (n.n / d.df) DESC, t.term)
+               AS rk
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf FROM scored WHERE rk <= 3
+    """,
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF.
+
+    Cross-engine determinism: the RANKING key is the rational score
+    ``tf * (N/df)`` — products/quotients of exact integers are
+    bit-identical IEEE doubles in both engines, unlike ``ln`` which
+    may differ by 1 ulp — with term ASC tiebreak; the DISPLAYED tfidf
+    (``tf·ln(N/df)``) is r4-rounded. N arrives via broadcast of a
+    1-row aggregate, so the per-doc ranking is one shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("ratio", F.col("n") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.col("ratio")).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("ratio")), 4).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "shingle_doc_frequency",
+    f"""
+    WITH {_SQL_SHINGLES_CTE},
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shl)
+    SELECT shingle, CAST(count(*) AS BIGINT) AS df
+    FROM ex GROUP BY 1 ORDER BY df DESC, shingle LIMIT 100
+    """,
+)
+def shingle_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 word-3-shingles by document frequency — the boilerplate
+    detector that feeds dedup threshold tuning (shingles are distinct
+    per doc, so counts are doc frequencies). One explode + hash agg."""
+    from ..functions import topk
+
+    docs = t(spark, sf_dir, "documents")
+    ex = docs.select(F.explode(X.shingles(F.col("text"), 3)).alias("shingle"))
+    agg = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    return topk(agg, ["shingle"], "df", 100)
