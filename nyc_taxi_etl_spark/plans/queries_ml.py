@@ -99,3 +99,25 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 4).alias("rms"),
         F.round("zero_crossing_rate", 4).alias("zero_crossing_rate"),
     ).orderBy("media_id")
+
+
+@query("media_video_frames")
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video pipeline: frame container binary column →
+    every-Nth-frame sampling via mapInPandas, one row per kept frame
+    (media_id, frame_idx, frame bytes → length + crc32 digest here so
+    the driver never ships raw frames). Rows-only check (codec output
+    is not SQL-expressible).
+
+    Scale: frame fan-out happens inside the Arrow batch — the blob is
+    read once per task and never shuffled; downstream consumers get
+    per-frame rows they can repartition independently."""
+    from ..operators.multimodal import sample_video_frames, synthesize_media
+
+    frames = sample_video_frames(synthesize_media(spark, n=90, seed=42), every_n=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("frame_bytes"),
+        F.crc32("frame").alias("frame_crc32"),
+    ).orderBy("media_id", "frame_idx")

@@ -127,3 +127,37 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0)))
         ).alias("purchase_value"),
     )
+
+
+@query(
+    "events_time_rollup",
+    """
+    SELECT CAST(year(ts) AS BIGINT) AS event_year,
+           CAST(month(ts) AS BIGINT) AS event_month,
+           CAST(day(ts) AS BIGINT) AS event_day,
+           CAST(hour(ts) AS BIGINT) AS event_hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 4) AS total_value
+    FROM events GROUP BY ROLLUP(1, 2, 3, 4)
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate: hourly → daily → monthly
+    → yearly → grand-total event rollup in ONE shuffle (GROUP BY
+    ROLLUP), instead of one scan+agg per granularity.
+
+    Scale: partial aggregation happens map-side for every grouping
+    set; at 100 TB this replaces 5 full scans with 1. Time parts are
+    integers, so rollup NULL markers are unambiguous."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("event_year", F.year("ts").cast("long"))
+        .withColumn("event_month", F.month("ts").cast("long"))
+        .withColumn("event_day", F.dayofmonth("ts").cast("long"))
+        .withColumn("event_hour", F.hour("ts").cast("long"))
+        .rollup("event_year", "event_month", "event_day", "event_hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+    )

@@ -71,3 +71,31 @@ def test_deterministic_sample_is_scan_level_filter(spark):
     plan = _plan(spark, "deterministic_sample")
     # no shuffle at all: a narrow filter+project over the scan
     assert "Exchange" not in plan
+
+
+def test_doc_top_terms_broadcasts_corpus_size(spark):
+    # N (1-row aggregate) must reach the scorer via broadcast, never a
+    # shuffled cross join
+    plan = _plan(spark, "doc_top_terms")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_vocabulary_pushes_partial_agg(spark):
+    plan = _plan(spark, "corpus_vocabulary")
+    assert "partial_count" in plan
+
+
+def test_events_time_rollup_single_expand_single_shuffle(spark):
+    # ROLLUP = one Expand + one exchange, not one scan per granularity
+    plan = _plan(spark, "events_time_rollup")
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one scan node
+    assert "Expand" in plan
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_sessionize_single_sort_shuffle(spark):
+    plan = _plan(spark, "user_sessions")
+    # lag + running sum + groupBy(user, session) all reuse the
+    # (user_id) partitioning: exactly one exchange on user_id
+    assert plan.count("hashpartitioning(user_id") == 1
