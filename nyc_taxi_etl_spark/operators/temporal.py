@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "epoch_us", "sessionize"]
+__all__ = ["asof_join", "epoch_us", "interval_join", "sessionize"]
 
 
 def epoch_us(col: Column | str) -> Column:
@@ -119,3 +119,51 @@ def sessionize(
     ).cast("long")
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(is_new).over(running))
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | Sequence[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_us: int = 3600 * 1_000_000,
+) -> DataFrame:
+    """Range join: each point row paired with every interval row of the
+    same key whose ``[start, end]`` contains its timestamp (inclusive
+    both ends).
+
+    Scale: a naive ``p.ts BETWEEN i.start AND i.end`` non-equi join
+    degenerates to a per-key nested loop (O(|P|·|I|) comparisons —
+    Spark plans it as BroadcastNestedLoop/cartesian). Instead both
+    sides are bucketed on fixed ``bucket_us`` windows — intervals
+    explode to the buckets they cover (span/bucket_us + 1 rows, ~2-3
+    for well-chosen widths), points map to exactly one bucket — so the
+    join is a plain equi-join on (key, bucket) followed by the exact
+    range filter. Each qualifying pair matches exactly once because a
+    point owns a single bucket. Pick ``bucket_us`` near the typical
+    interval span: much smaller explodes intervals, much larger
+    degrades to per-key nested loops within buckets.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    pb = points.withColumn(
+        "_bkt", F.floor(epoch_us(ts_col) / F.lit(bucket_us)).cast("long")
+    )
+    ib = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(epoch_us(start_col) / F.lit(bucket_us)).cast("long"),
+                F.floor(epoch_us(end_col) / F.lit(bucket_us)).cast("long"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, [*keys, "_bkt"])
+        .filter(
+            (epoch_us(ts_col) >= epoch_us(start_col))
+            & (epoch_us(ts_col) <= epoch_us(end_col))
+        )
+        .drop("_bkt")
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import r4
-from ..operators.temporal import asof_join, epoch_us, sessionize
+from ..operators.temporal import asof_join, epoch_us, interval_join, sessionize
 from .queries import query, t
 
 _GAP_US = 4 * 3600 * 1_000_000  # 4-hour session gap
@@ -160,4 +160,46 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             r4(F.sum("value")).alias("total_value"),
         )
+    )
+
+
+@query(
+    "purchases_in_error_windows",
+    """
+    WITH err AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'error'),
+    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT e.event_id, e.user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           ROUND(sum(p.value), 4) AS total_value
+    FROM err e JOIN p ON p.user_id = e.user_id
+      AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) - 1800000000
+                             AND epoch_us(e.ts) + 1800000000
+    GROUP BY 1, 2
+    """,
+)
+def purchases_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchases falling inside ±30-minute incident
+    windows around each error by the same user, rolled up per window.
+
+    Scale: operators/temporal.py::interval_join buckets both sides on
+    1-hour windows so this is a plain equi-join on (user_id, bucket)
+    plus an exact range filter — the oracle's BETWEEN join is the
+    per-key nested loop the bucketing avoids."""
+    ev = t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(epoch_us("ts") - F.lit(1_800_000_000)).alias("w_start"),
+        F.timestamp_micros(epoch_us("ts") + F.lit(1_800_000_000)).alias("w_end"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join(
+        purch, err, on="user_id", ts_col="ts", start_col="w_start", end_col="w_end"
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_purchases"),
+        r4(F.sum("value")).alias("total_value"),
     )

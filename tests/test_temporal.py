@@ -93,3 +93,31 @@ def test_sessionize_gap_boundary(spark):
     )
     got = {r["event_id"]: r["session_seq"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_interval_join_inclusive_bounds_and_bucket_spans(spark):
+    from nyc_taxi_etl_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),   # == start: included
+            (2, "u1", _ts("2024-01-01 11:00:00")),   # == end: included
+            (3, "u1", _ts("2024-01-01 11:00:01")),   # past end: excluded
+            (4, "u2", _ts("2024-01-01 10:30:00")),   # wrong key: excluded
+            (5, "u1", _ts("2024-01-01 10:59:59")),   # crosses hour bucket
+        ],
+        "pid long, user_id string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, "u1", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "iid long, user_id string, w_start timestamp, w_end timestamp",
+    )
+    out = interval_join(
+        points, intervals, on="user_id", ts_col="ts",
+        start_col="w_start", end_col="w_end",
+        bucket_us=3600 * 1_000_000,
+    )
+    assert sorted(r["pid"] for r in out.collect()) == [1, 2, 5]
+    # each qualifying pair appears exactly once despite the interval
+    # covering two buckets
+    assert out.count() == 3
