@@ -143,3 +143,41 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("events_seen").alias("events_seen"),
         F.round(F.max_by("value_total", "events_seen"), 4).alias("value_total"),
     )
+
+
+@query(
+    "streaming_sliding_avg",
+    """
+    WITH w AS (
+      SELECT value,
+             unnest([time_bucket(INTERVAL '1 hour', ts),
+                     time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
+               AS window_start
+      FROM events)
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(window_start + INTERVAL '2 hours', '%Y-%m-%d %H:%M:%S')
+             AS window_end,
+           CAST(count(*) AS BIGINT) AS event_count,
+           ROUND(sum(value), 4) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour moving average sliding every hour, computed BY THE
+    STREAMING ENGINE — each event lands in exactly window/slide = 2
+    epoch-aligned windows, which the oracle replays by exploding the
+    two candidate starts per event; the hash compares the r4 SUM (a
+    rounded AVG sits on exact .xxxx5 midpoints where summation-order
+    ulp flips engines). Scale: state is O(open windows), each
+    micro-batch does map-side partial aggregation."""
+    from ..streaming import sliding_value_avg
+
+    out = _drain(
+        sliding_value_avg(_events_stream(spark, sf_dir), watermark=None), "complete"
+    )
+    return out.select(
+        F.date_format("window_start", _FMT).alias("window_start"),
+        F.date_format("window_end", _FMT).alias("window_end"),
+        "event_count",
+        "sum_value",
+    )

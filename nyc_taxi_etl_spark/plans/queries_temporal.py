@@ -203,3 +203,35 @@ def purchases_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         r4(F.sum("value")).alias("total_value"),
     )
+
+
+@query(
+    "event_value_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75,
+           ROUND(quantile_cont(value, 0.90), 4) AS p90
+    FROM events GROUP BY 1
+    """,
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile profile per event type (A16 extension):
+    one pass computes the 25/50/75/90th percentiles with linear
+    interpolation — Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the R-7 interpolation rule; results r4-rounded to absorb
+    formula-order ulp.
+
+    Scale: exact percentile needs the per-group sorted values; at
+    100 TB swap to ``approx_percentile`` (t-digest sketch, bounded
+    memory, mergeable map-side) — same plan shape, documented
+    trade-off."""
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        *[
+            r4(F.percentile("value", F.lit(p)).cast("double")).alias(n)
+            for p, n in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.90, "p90")]
+        ]
+    )
+    return agg

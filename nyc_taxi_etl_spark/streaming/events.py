@@ -120,12 +120,17 @@ def sliding_value_avg(
         .groupBy(F.window("ts", window, slide).alias("win"))
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # sum r4 is oracle-safe; a rounded AVG is not (clean-decimal
+            # sums / count land exactly on .xxxx5 midpoints, where
+            # engine summation-order ulp flips the rounding)
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.avg("value").alias("avg_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             "event_count",
+            "sum_value",
             "avg_value",
         )
     )
