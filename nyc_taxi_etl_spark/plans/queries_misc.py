@@ -191,3 +191,42 @@ def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@query(
+    "orders_upsert_status_totals",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1
+               AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0),
+    merged AS (
+      SELECT * FROM updates
+      UNION ALL
+      SELECT o.* FROM orders o
+      LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+      WHERE u.o_orderkey IS NULL)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o_totalprice), 4) AS total_price
+    FROM merged GROUP BY 1
+    """,
+)
+def orders_upsert_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style upsert (operators/merge.py): a deterministic update
+    batch (10% price correction on every 7th order key) merged
+    keep-latest over the base table, then rolled up per status. The
+    oracle replays the merge as updates + anti-joined base — same
+    result, different plan: merge_upsert does it in ONE shuffle via
+    window row_number instead of shuffling base twice."""
+    from ..operators.merge import merge_upsert
+
+    od = t(spark, sf_dir, "orders")
+    updates = od.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    merged = merge_upsert(od, updates, keys=["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
