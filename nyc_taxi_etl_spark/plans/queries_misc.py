@@ -230,3 +230,36 @@ def orders_upsert_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("total_price"),
     )
+
+
+@query(
+    "stratified_order_sample",
+    """
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS total
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT
+            % 1000
+          < CASE o_orderstatus WHEN 'P' THEN 500
+                               WHEN 'F' THEN 50
+                               WHEN 'O' THEN 50
+                               ELSE 0 END
+    """,
+)
+def stratified_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample (operators/sampling.py): 5% of
+    F/O orders, 50% of the rare P stratum — class rebalancing via a
+    portable md5 key hash instead of layout-dependent seeded RNG.
+    Narrow filter, no shuffle; identical subset on every engine."""
+    from ..operators.sampling import stratified_hash_sample
+
+    sampled = stratified_hash_sample(
+        t(spark, sf_dir, "orders"),
+        key_col="o_orderkey",
+        strata_col="o_orderstatus",
+        rates_permille={"P": 500, "F": 50, "O": 50},
+    )
+    return sampled.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 4).alias("total"),
+    )
