@@ -316,16 +316,20 @@ def region_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-enrichment join chain (J2: the zone-lookup broadcast
     join, ``scripts/generate_notebooks_auto.py:8``).
 
-    Scale: customer/nation/region are dimensions — explicitly
-    ``broadcast()`` so the fact table never shuffles; the only exchange
-    is the final 5-row aggregate.
+    Scale: nation (25 rows) and region (5 rows) are fixed-cardinality
+    dimensions — explicit ``broadcast()`` is always safe.  customer is
+    NOT: it scales with SF (150K rows/SF), so a forced broadcast would
+    OOM executors at large SF.  No hint on customer — AQE picks
+    broadcast vs sort-merge from its measured size at runtime, which
+    gives the same broadcast plan at small SF and a safe shuffle join
+    at cluster scale.
     """
     od = t(spark, sf_dir, "orders")
     cu = t(spark, sf_dir, "customer")
     na = t(spark, sf_dir, "nation")
     re = t(spark, sf_dir, "region")
     return (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))
@@ -481,12 +485,14 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``comprehensive_trip_analysis_part2.ipynb:571,633``).
 
     Scale: one shuffle for the agg, one for the window partition; k·G
-    rows out. Deterministic tiebreak on supp_key.
+    rows out. Deterministic tiebreak on supp_key.  supplier scales with
+    SF (10K rows/SF), so no forced broadcast — AQE size-picks the join
+    strategy (broadcast at small SF, shuffle join at cluster scale).
     """
     li = t(spark, sf_dir, "lineitem")
     su = t(spark, sf_dir, "supplier")
     rev = (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        li.join(su, li.l_suppkey == su.s_suppkey)
         .groupBy(
             F.col("s_nationkey").cast("long").alias("nation_key"),
             F.col("l_suppkey").cast("long").alias("supp_key"),
@@ -574,11 +580,14 @@ def valid_lines_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def priority_nation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-membership OR-filter (P5: airport zones on PU **or** DO,
-    nightlife hour sets — ``part2 cells 19/21``)."""
+    nightlife hour sets — ``part2 cells 19/21``).
+
+    Scale: customer is SF-scaled — no broadcast hint; AQE size-picks
+    the join strategy."""
     od = t(spark, sf_dir, "orders")
     cu = t(spark, sf_dir, "customer")
     return (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .filter(
             F.col("c_nationkey").isin(1, 8, 14, 24)
             | F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")

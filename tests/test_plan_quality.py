@@ -39,11 +39,37 @@ def test_column_pruning_minimal_readschema(spark):
 
 
 def test_dim_joins_broadcast(spark):
-    plan = _plan(spark, "region_order_revenue")
-    # three dim joins (customer, nation, region), all broadcast — the
-    # tree section lists each once with its build side
-    assert plan.count("BroadcastHashJoin Inner BuildRight") == 3
-    assert "SortMergeJoin" not in plan
+    # nation (25 rows) + region (5 rows) carry explicit broadcast hints;
+    # customer is SF-scaled so it must NOT be force-broadcast — AQE
+    # size-picks its join strategy at runtime.
+    df = QUERIES["region_order_revenue"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2
+    # at tiny SF, AQE still broadcast-converts the customer join from
+    # its measured size — no sort-merge anywhere in the final plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in final
+    assert "BroadcastHashJoin" in final
+
+
+@pytest.mark.parametrize(
+    ("name", "allowed_hints"),
+    [
+        # (query, number of broadcast hints allowed — fixed-cardinality
+        # dims / 1-row scalar aggregates only; SF-scaled tables such as
+        # customer (150K rows/SF) and supplier (10K rows/SF) must never
+        # carry a forced broadcast)
+        ("region_order_revenue", 2),  # nation, region
+        ("top_suppliers_per_nation", 0),  # supplier: AQE decides
+        ("priority_nation_filter", 0),  # customer: AQE decides
+        ("daily_pct_of_baseline", 1),  # per-type baseline aggregate
+    ],
+)
+def test_no_forced_broadcast_on_sf_scaled_tables(spark, name, allowed_hints):
+    df = QUERIES[name](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == allowed_hints
 
 
 def test_partial_aggregation_before_exchange(spark):
