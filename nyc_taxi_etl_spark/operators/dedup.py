@@ -30,20 +30,55 @@ __all__ = [
     "simhash",
     "simhash_near_pairs",
     "connected_components",
+    "lsh_bucket_stats",
 ]
 
 
-def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+#: Widest (band, bucket) id-list the all-pairs expansion will expand.
+#: A bucket of B ids yields B·(B−1)/2 pairs in ONE row's arrays, so an
+#: unbounded pathological bucket (templated boilerplate that survives
+#: exact dedup) would build a multi-GB row.  64 ids → ≤ 2016 pairs per
+#: bucket row, a few KB.  Overflow ids beyond the cap are NOT dropped:
+#: they get a single star edge to the bucket minimum (O(B) extra
+#: structs), so mass boilerplate still verifies against a
+#: representative and connected_components restores the full cluster.
+MAX_BUCKET_WIDTH = 64
+
+
+def _bucket_pairs(
+    banded: DataFrame, id_col: str, max_bucket: int | None = MAX_BUCKET_WIDTH
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs co-located in any (band, bucket).
 
     One shuffle (groupBy bucket) + row-local pair expansion — replaces
     the classic bucket self-join, which would execute the upstream
     (hash-heavy) plan twice and shuffle it twice. Buckets hold only
-    colliding docs, so the collected id list is tiny; a pathological
-    hot bucket (mass boilerplate) should be removed by exact dedup
-    upstream — same contract as the self-join formulation.
+    colliding docs, so the collected id list is tiny in the normal
+    case; ``max_bucket`` bounds the quadratic expansion for
+    pathological hot buckets: all-pairs over the first ``max_bucket``
+    sorted ids (deterministic window), plus one star edge from the
+    bucket minimum to each overflow id.  Worst-case structs per row is
+    O(max_bucket² + B), not O(B²), and every bucket member still
+    appears in ≥1 candidate pair — a templated-boilerplate cluster
+    (identical docs collide in EVERY band, so a pure slice would orphan
+    the tail in all of them) still verifies member→representative and
+    reconnects transitively in ``connected_components``.
+    ``lsh_bucket_stats`` is the monitoring companion that counts
+    overflowing buckets when tuning on a new corpus.
     """
     ids = F.array_sort(F.collect_list(F.col(id_col)))
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        grouped = grouped.select(
+            F.slice(F.col("ids"), 1, max_bucket).alias("ids"),
+            F.slice(
+                F.col("ids"), max_bucket + 1, F.greatest(F.size("ids"), F.lit(1))
+            ).alias("tail"),
+        )
     pair_expr = F.flatten(
         F.transform(
             F.col("ids"),
@@ -53,13 +88,32 @@ def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
             ),
         )
     )
+    if max_bucket is not None:
+        rep = F.element_at(F.col("ids"), 1)
+        star = F.transform(
+            F.col("tail"),
+            lambda y: F.struct(rep.alias("id_a"), y.alias("id_b")),
+        )
+        pair_expr = F.concat(pair_expr, star)
     return (
-        banded.groupBy("band", "bucket")
-        .agg(ids.alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(pair_expr).alias("p"))
+        grouped.select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_stats(banded: DataFrame, max_bucket: int = MAX_BUCKET_WIDTH) -> DataFrame:
+    """Monitoring companion to ``_bucket_pairs``: per-bucket sizes and
+    how many buckets overflow the expansion cap.  One aggregate over
+    the same banded frame; run it when tuning bands/threshold on a new
+    corpus."""
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n_ids"))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n_ids").alias("max_bucket_width"),
+        F.sum(F.when(F.col("n_ids") > max_bucket, 1).otherwise(0)).alias(
+            "n_overflow_buckets"
+        ),
     )
 
 
@@ -68,11 +122,26 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     under-partitioned (a single small parquet file reads as ONE
     partition — fine for IO, fatal for 12×md5-per-shingle compute: one
     core does all the work). At real scale inputs arrive with thousands
-    of partitions and this is a no-op; the round-robin shuffle of raw
+    of files and this is a no-op; the round-robin shuffle of raw
     text it may add is orders cheaper than serializing the hash work.
+
+    The under-partitioning probe is ``df.inputFiles()`` — pure plan
+    metadata from the already-built file index (NO DataFrame→RDD
+    conversion, which ``rdd.getNumPartitions()`` would force on every
+    dedup entry point at plan-build time).  File count lower-bounds
+    scan parallelism only for large files (``maxPartitionBytes`` then
+    splits further, so skipping the repartition is safe); the one
+    false positive — a single huge file that the scan would split
+    anyway — just adds a repartition that is still the right call for
+    CPU-bound hash work.  Non-file sources (in-memory test frames)
+    return no files: leave them untouched.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # pragma: no cover - exotic sources without a file index
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

@@ -203,3 +203,55 @@ def test_connected_components_matches_union_find(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == expected
+
+
+def test_bucket_pairs_hot_bucket_capped_but_connected(spark):
+    # Pathological hot bucket: 200 ids in one (band, bucket) — e.g.
+    # templated boilerplate that survived exact dedup.  The capped
+    # expansion must (a) stay O(cap² + B) pairs, not C(200,2)=19900,
+    # (b) keep EVERY member in ≥1 candidate pair (star edges to the
+    # bucket min), so connected_components restores one cluster.
+    from nyc_taxi_etl_spark.operators.dedup import (
+        MAX_BUCKET_WIDTH,
+        _bucket_pairs,
+        connected_components,
+        lsh_bucket_stats,
+    )
+
+    hot = [(f"d{i:03d}", 0, "hot") for i in range(200)]
+    cold = [(f"x{i}", 0, "cold") for i in range(3)]
+    banded = spark.createDataFrame(hot + cold, ["doc_id", "band", "bucket"])
+
+    pairs = _bucket_pairs(banded, "doc_id").collect()
+    cap = MAX_BUCKET_WIDTH
+    expected_hot = cap * (cap - 1) // 2 + (200 - cap)  # window pairs + star tail
+    assert len(pairs) == expected_hot + 3  # + C(3,2) cold pairs
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+    members = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert {f"d{i:03d}" for i in range(200)} <= members
+
+    comp = connected_components(
+        spark.createDataFrame(pairs, ["id_a", "id_b"])
+    ).collect()
+    hot_components = {r["component"] for r in comp if r["node"].startswith("d")}
+    assert hot_components == {"d000"}
+
+    stats = lsh_bucket_stats(banded).first()
+    assert stats["n_buckets"] == 2
+    assert stats["max_bucket_width"] == 200
+    assert stats["n_overflow_buckets"] == 1
+
+
+def test_bucket_pairs_uncapped_matches_capped_on_small_buckets(spark):
+    # Below the cap the capped and uncapped plans are identical.
+    from nyc_taxi_etl_spark.operators.dedup import _bucket_pairs
+
+    rows = [(f"d{i}", b, f"bk{i % 4}") for b in range(2) for i in range(20)]
+    banded = spark.createDataFrame(rows, ["doc_id", "band", "bucket"])
+    capped = {tuple(r) for r in _bucket_pairs(banded, "doc_id").collect()}
+    full = {
+        tuple(r)
+        for r in _bucket_pairs(banded, "doc_id", max_bucket=None).collect()
+    }
+    assert capped == full and len(full) > 0
