@@ -21,7 +21,7 @@ from nyc_taxi_etl_spark.plans import QUERIES  # noqa: E402
 from nyc_taxi_etl_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
-    "hourly_value_stats",
+    "events_time_profile",
     "returnflag_summary",
     "orders_rollup",
     "region_order_revenue",

@@ -30,6 +30,7 @@ __all__ = [
     "cosine",
     "brute_force_knn",
     "cosine_near_pairs",
+    "hyperplane_lsh_pairs",
     "hyperplane_lsh_knn",
     "ivf_knn",
 ]
@@ -114,9 +115,11 @@ def cosine_near_pairs(
     ).filter(F.col("cosine_sim") >= threshold)
 
 
-def _hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+def hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — no numpy at plan
-    time keeps the plan reproducible from code alone)."""
+    time keeps the plan reproducible from code alone). Public because
+    the catalog's DuckDB oracles embed the SAME literals to replay the
+    bucket assignment cross-engine."""
     state = seed
     planes = []
     for _ in range(bits):
@@ -126,6 +129,83 @@ def _hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
             row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
         planes.append(row)
     return planes
+
+
+def _signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Pack sign bits of ``vec`` against each hyperplane into one long.
+
+    The per-plane dot product is the same strict left fold as ``dot``,
+    so a SQL oracle with the identical plane literals reproduces the
+    sign (and therefore the bucket) bit-for-bit.
+    """
+    bits_expr = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j, plane in enumerate(planes)
+    ]
+    out = bits_expr[0]
+    for e in bits_expr[1:]:
+        out = out + e
+    return out
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    bits: int = 4,
+    tables: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs sharing a hyperplane-LSH bucket in
+    ANY table — the sub-quadratic candidate gate for embedding near-dup
+    detection (pairs analogue of ``hyperplane_lsh_knn``).
+
+    All table signatures are computed in ONE projection + posexplode
+    (single execution of the dot-product subtree), then candidates come
+    from a self-equi-join on (table, bucket). The self-join is kept
+    (rather than collect_list pair expansion) because few-bit buckets
+    are wide by design and the shuffle join streams them — same
+    rationale as the simhash path (operators/dedup.py).
+
+    Scale: with b bits per table, each table's join touches ~n²/2^b
+    candidate pairs on uniform geometry and far fewer on clustered
+    real-world embeddings; no full cross join ever materializes.
+    """
+    bucket_arr = F.array(
+        *[
+            _signature(F.col(vec_col), hyperplanes(dim, bits, seed=seed + tbl))
+            for tbl in range(tables)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(bucket_arr).alias("tbl", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
 
 
 def hyperplane_lsh_knn(
@@ -151,43 +231,21 @@ def hyperplane_lsh_knn(
     """
     from pyspark.sql import Window
 
-    def signature(vec: Column, planes: list[list[float]]) -> Column:
-        bits_expr = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(w) for w in plane]),
-                        lambda x, w: x.cast("double") * w,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                > 0,
-                F.lit(1 << j).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            for j, plane in enumerate(planes)
-        ]
-        out = bits_expr[0]
-        for e in bits_expr[1:]:
-            out = out + e
-        return out
-
     c_banded = None
     q_banded = None
     for tbl in range(tables):
-        planes = _hyperplanes(dim, bits, seed=7 + tbl)
+        planes = hyperplanes(dim, bits, seed=7 + tbl)
         cb = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
             F.lit(tbl).alias("tbl"),
-            signature(F.col(vec_col), planes).alias("bucket"),
+            _signature(F.col(vec_col), planes).alias("bucket"),
         )
         qb = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
             F.lit(tbl).alias("tbl"),
-            signature(F.col(vec_col), planes).alias("bucket"),
+            _signature(F.col(vec_col), planes).alias("bucket"),
         )
         c_banded = cb if c_banded is None else c_banded.unionByName(cb)
         q_banded = qb if q_banded is None else q_banded.unionByName(qb)

@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import r4, season, topk, zscore_over_all
+from ..functions import r4, topk, zscore_over_all
 from ..sources.catalog import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -56,69 +56,46 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @query(
-    "hourly_value_stats",
+    "events_time_profile",
     """
-    SELECT CAST(hour(ts) AS BIGINT) AS event_hour,
+    WITH b AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS event_hour,
+             CAST(isodow(ts) AS BIGINT) AS dow,
+             value
+      FROM events
+    )
+    SELECT event_hour, dow,
            CAST(count(*) AS BIGINT) AS event_count,
            ROUND(avg(value), 4) AS avg_value,
            ROUND(sum(value), 4) AS sum_value
-    FROM events GROUP BY 1
+    FROM b GROUP BY GROUPING SETS ((event_hour), (dow))
     """,
 )
-def hourly_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly multi-metric dashboard (A1+A11: avg fare-per-mile & trip
-    count by pickup_hour, ``spark_jobs/analytics_yellow_s3.py:15-19``).
+def events_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly AND day-of-week multi-metric dashboards in ONE pass
+    (A1+A11: avg fare-per-mile & trip count by pickup_hour,
+    ``spark_jobs/analytics_yellow_s3.py:15-19``; A2/A12: trips by dow,
+    ``:21-23``; A19's hour Counter, ``analytics_yellow.ipynb cell 8``).
+    The reference ran these as separate jobs over separate scans;
+    GROUPING SETS ((hour),(dow)) computes both grains from one scan
+    and one shuffle.
 
-    Scale: single hash-aggregate on a 24-value key — map-side partial
-    agg means the shuffle moves ≤ 24 rows per task regardless of input
-    size. No skew concern (bounded key domain).
+    ISO weekday integer (Mon=1) rather than the locale-dependent
+    ``date_format('E')`` label — O5's ordering concern solved by
+    sorting on the integer. Scale: grouping-set expansion replicates
+    each partial-agg row once per grain, but both key domains are
+    bounded (24+7) so the exchange stays ≤ 31 rows per task.
     """
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy(F.hour("ts").cast("long").alias("event_hour")).agg(
+    base = ev.select(
+        F.hour("ts").cast("long").alias("event_hour"),
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        "value",
+    )
+    return base.groupingSets([["event_hour"], ["dow"]], "event_hour", "dow").agg(
         F.count("*").alias("event_count"),
         r4(F.avg("value")).alias("avg_value"),
         r4(F.sum("value")).alias("sum_value"),
-    )
-
-
-@query(
-    "events_by_dow",
-    """
-    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
-           CAST(count(*) AS BIGINT) AS event_count,
-           ROUND(sum(value), 4) AS total_value
-    FROM events GROUP BY 1
-    """,
-)
-def events_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trips-by-day-of-week (A2/A12: ``analytics_yellow_s3.py:21-23``).
-
-    ISO weekday integer (Mon=1) rather than the reference's
-    locale-dependent ``date_format('E')`` label — O5's ordering concern
-    solved by sorting on the integer.
-    """
-    ev = t(spark, sf_dir, "events")
-    return ev.groupBy((F.weekday("ts") + 1).cast("long").alias("dow")).agg(
-        F.count("*").alias("event_count"),
-        r4(F.sum("value")).alias("total_value"),
-    )
-
-
-@query(
-    "monthly_event_counts",
-    """
-    SELECT strftime(ts, '%Y-%m') AS month,
-           CAST(count(*) AS BIGINT) AS event_count
-    FROM events GROUP BY 1
-    """,
-)
-def monthly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Month-period counts (A19: ``dt.to_period('M')`` Counter loop,
-    ``notebooks/analytics_yellow.ipynb cells 8-9``) — the per-file
-    Counter accumulation collapses to one hash agg in Spark."""
-    ev = t(spark, sf_dir, "events")
-    return ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
-        F.count("*").alias("event_count")
     )
 
 
@@ -145,53 +122,9 @@ def top_users_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(counts, ["user_id"], "event_count", 20)
 
 
-@query(
-    "grouped_median_value",
-    """
-    SELECT event_type,
-           ROUND(median(value), 4) AS median_value,
-           ROUND(quantile_cont(value, 0.9), 4) AS p90_value
-    FROM events GROUP BY 1
-    """,
-)
-def grouped_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped exact median + p90 (A13 congestion/surge medians, A16
-    quantiles; ``comprehensive_trip_analysis_part2.ipynb cells 17/27``).
-
-    Uses Spark 4's exact ``median``/``percentile`` (SURVEY §7.3: the
-    approx variant would not hash-match a pandas/DuckDB oracle).
-    """
-    ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        r4(F.median("value")).alias("median_value"),
-        r4(F.percentile("value", 0.9)).alias("p90_value"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # Revenue / rollups over orders+lineitem (A5, A8, A6, A9)
 # ---------------------------------------------------------------------------
-
-
-@query(
-    "annual_revenue",
-    """
-    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           CAST(count(*) AS BIGINT) AS line_count
-    FROM lineitem GROUP BY 1
-    """,
-)
-def annual_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Annual revenue rollup (A8: ``groupby(['cab_type','year'])['total_
-    fare'].sum()``). Map-side partial agg; bounded key domain."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy(F.year("l_shipdate").cast("long").alias("ship_year")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
-        F.count("*").alias("line_count"),
-    )
 
 
 @query(
@@ -208,7 +141,11 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity rollup in ONE pass (A5: the reference computed
     monthly/seasonal/yearly as three separate groupbys,
     ``scripts/analytics_summary.py:58-60``; ``rollup`` is the idiomatic
-    single-shuffle replacement)."""
+    single-shuffle replacement). The year-grain rows ARE the annual
+    revenue table (A8: ``groupby(['cab_type','year']).total_fare.sum()``,
+    ``comprehensive_trip_analysis.ipynb cell 16``) — one pass instead of
+    a separate job; the discount-adjusted lineitem revenue formula is
+    exercised in top_suppliers_per_nation."""
     od = t(spark, sf_dir, "orders")
     return (
         od.withColumn("order_year", F.year("o_orderdate").cast("long"))
@@ -218,28 +155,6 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("order_count"),
             F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
         )
-    )
-
-
-@query(
-    "seasonal_order_stats",
-    """
-    SELECT CASE WHEN month(o_orderdate) IN (12, 1, 2) THEN 'Winter'
-                WHEN month(o_orderdate) IN (3, 4, 5) THEN 'Spring'
-                WHEN month(o_orderdate) IN (6, 7, 8) THEN 'Summer'
-                ELSE 'Fall' END AS season,
-           CAST(count(*) AS BIGINT) AS order_count,
-           ROUND(avg(o_totalprice), 4) AS avg_price
-    FROM orders GROUP BY 1
-    """,
-)
-def seasonal_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Season mapping + rollup (``scripts/analytics_summary.py:13-14,
-    58-60``) as a pure ``when`` chain — no UDF."""
-    od = t(spark, sf_dir, "orders")
-    return od.groupBy(season(F.month("o_orderdate")).alias("season")).agg(
-        F.count("*").alias("order_count"),
-        r4(F.avg("o_totalprice")).alias("avg_price"),
     )
 
 
@@ -597,28 +512,6 @@ def priority_nation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("order_count"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
-    )
-
-
-@query(
-    "year_range_orders",
-    """
-    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
-           CAST(count(*) AS BIGINT) AS order_count
-    FROM orders
-    WHERE year(o_orderdate) BETWEEN 1994 AND 1996
-    GROUP BY 1
-    """,
-)
-def year_range_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Year-range filter on a derived column (P4:
-    ``analytics_yellow_s3.py:13``). On a year-partitioned table this is
-    pure partition pruning; here it pushes to row-group stats."""
-    od = t(spark, sf_dir, "orders")
-    return (
-        od.filter(F.year("o_orderdate").between(1994, 1996))
-        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
-        .agg(F.count("*").alias("order_count"))
     )
 
 

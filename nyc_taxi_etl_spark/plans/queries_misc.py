@@ -16,51 +16,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import season
 from .queries import query, t
 
 
 @query(
-    "deterministic_sample",
+    "buyer_lifecycle_segments",
     """
-    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS total
-    FROM orders WHERE o_orderkey % 20 = 0
-    """,
-)
-def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1–M3 re-expressed scale-safely: a key-mod predicate yields the
-    same ~5% subset on every engine and every run — the property the
-    reference's seeded ``.sample(n=5000, random_state=42)`` was after.
-
-    Scale: pure narrow filter — pushed to the scan, no shuffle, no
-    driver involvement; survives any table size."""
-    return (
-        t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 20 == 0)
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.round("o_totalprice", 4).alias("total"),
-        )
+    SELECT 'repeat' AS segment, custkey FROM (
+      SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+      WHERE year(o_orderdate) = 1997
+      INTERSECT
+      SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+      WHERE year(o_orderdate) = 1998
     )
-
-
-@query(
-    "repeat_buyers_intersect",
-    """
-    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
-    WHERE year(o_orderdate) = 1997
-    INTERSECT
-    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
-    WHERE year(o_orderdate) = 1998
+    UNION ALL
+    SELECT 'lapsed' AS segment, custkey FROM (
+      SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+      WHERE year(o_orderdate) = 1997
+      EXCEPT
+      SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+      WHERE year(o_orderdate) = 1998
+    )
     """,
 )
-def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set intersection (§2.7 — 'available free'): customers active in
-    both 1997 and 1998.
+def buyer_lifecycle_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection AND set difference (§2.7 — 'available free') in
+    one labeled result: 'repeat' = customers active in both 1997 and
+    1998 (INTERSECT), 'lapsed' = active in 1997 but not 1998 (EXCEPT —
+    the set-op twin of the anti-join in customers_without_urgent_orders).
 
-    Scale: Catalyst plans INTERSECT as a left-semi aggregate join on
-    the grouped keys — one shuffle per side on custkey, then hash
-    join; AQE broadcast-converts if one year is small."""
+    Scale: Catalyst plans INTERSECT/EXCEPT as left-semi/left-anti
+    aggregate joins on the grouped keys — one shuffle per side on
+    custkey; AQE broadcast-converts if one year is small. ``subtract``
+    is set-semantics EXCEPT (exceptAll would keep bag multiplicity and
+    retain customers with MORE 1997 than 1998 orders)."""
     o = t(spark, sf_dir, "orders")
     y97 = o.filter(F.year("o_orderdate") == 1997).select(
         F.col("o_custkey").cast("long").alias("custkey")
@@ -68,32 +58,13 @@ def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     y98 = o.filter(F.year("o_orderdate") == 1998).select(
         F.col("o_custkey").cast("long").alias("custkey")
     )
-    return y97.intersect(y98)
-
-
-@query(
-    "lapsed_buyers_except",
-    """
-    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
-    WHERE year(o_orderdate) = 1997
-    EXCEPT
-    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
-    WHERE year(o_orderdate) = 1998
-    """,
-)
-def lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference (§2.7): customers active in 1997 but not 1998 —
-    the set-op twin of the anti-join (customers_without_urgent_orders)."""
-    o = t(spark, sf_dir, "orders")
-    y97 = o.filter(F.year("o_orderdate") == 1997).select(
-        F.col("o_custkey").cast("long").alias("custkey")
+    repeat = y97.intersect(y98).select(
+        F.lit("repeat").alias("segment"), "custkey"
     )
-    y98 = o.filter(F.year("o_orderdate") == 1998).select(
-        F.col("o_custkey").cast("long").alias("custkey")
+    lapsed = y97.subtract(y98).select(
+        F.lit("lapsed").alias("segment"), "custkey"
     )
-    # subtract = set-semantics EXCEPT (exceptAll would keep bag
-    # multiplicity and retain customers with MORE 1997 than 1998 orders)
-    return y97.subtract(y98)
+    return repeat.unionByName(lapsed)
 
 
 @query(
@@ -104,15 +75,22 @@ def lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT CAST(m AS BIGINT) AS month_of_year,
+           CASE WHEN m IN (12, 1, 2) THEN 'Winter'
+                WHEN m IN (3, 4, 5) THEN 'Spring'
+                WHEN m IN (6, 7, 8) THEN 'Summer'
+                ELSE 'Fall' END AS season,
            ROUND(avg(n), 4) AS avg_events,
            CAST(count(*) AS BIGINT) AS months_observed
-    FROM per_month GROUP BY 1
+    FROM per_month GROUP BY 1, 2
     """,
 )
 def monthly_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: mean-of-group over months — per-(year,month) totals, then the
     average across years per calendar month (the reference's
-    ``summary.groupby(['cab_type','month']).trip_count.mean()``).
+    ``summary.groupby(['cab_type','month']).trip_count.mean()``), each
+    month labeled with its season via the reference's month→season map
+    (``scripts/analytics_summary.py:13-14``) as a pure ``when`` chain —
+    no UDF.
 
     Scale: two hash aggregates; the second runs on ≤ 12×years rows —
     negligible. The first is the standard partial+final count."""
@@ -120,7 +98,10 @@ def monthly_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_month = ev.groupBy(
         F.year("ts").alias("y"), F.month("ts").alias("m")
     ).agg(F.count("*").alias("n"))
-    return per_month.groupBy(F.col("m").cast("long").alias("month_of_year")).agg(
+    return per_month.groupBy(
+        F.col("m").cast("long").alias("month_of_year"),
+        season(F.col("m")).alias("season"),
+    ).agg(
         F.round(F.avg("n"), 4).alias("avg_events"),
         F.count("*").alias("months_observed"),
     )
@@ -163,19 +144,25 @@ def etl_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_orders,
            ROUND(sum(o_totalprice), 4) AS revenue
     FROM orders
+    WHERE year(o_orderdate) BETWEEN 1994 AND 1996
     GROUP BY CUBE (o_orderstatus, year(o_orderdate))
     """,
 )
 def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, year) — all four grouping-set granularities in
-    one pass (the idiomatic generalization of A5's three stacked
-    groupbys; the reference computed monthly/seasonal/yearly as three
-    separate jobs, ``scripts/analytics_summary.py:58-60``).
+    """CUBE over (status, year) for the 1994–1996 window — all four
+    grouping-set granularities in one pass (the idiomatic
+    generalization of A5's three stacked groupbys; the reference
+    computed monthly/seasonal/yearly as three separate jobs,
+    ``scripts/analytics_summary.py:58-60``). The year-range predicate
+    is P4 (``analytics_yellow_s3.py:13``): on a year-partitioned table
+    it is pure partition pruning; here it pushes to row-group stats.
 
     Scale: Spark expands the cube by replicating each input row per
     grouping set into one hash aggregate — one shuffle, 4× partial-agg
     rows, still partial+final so the exchange stays small."""
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").between(1994, 1996)
+    )
     return (
         o.cube(F.col("o_orderstatus"), F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -249,7 +236,14 @@ def stratified_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample (operators/sampling.py): 5% of
     F/O orders, 50% of the rare P stratum — class rebalancing via a
     portable md5 key hash instead of layout-dependent seeded RNG.
-    Narrow filter, no shuffle; identical subset on every engine."""
+    Narrow filter, no shuffle; identical subset on every engine.
+
+    This is the catalog face of the M1–M3 sampling family (``df.sample
+    (min(10000,...))``, seeded ML samples — ``comprehensive_trip_
+    analysis.ipynb cell 12``, ``part2:926``): the uniform single-stratum
+    case (operators/sampling.py::deterministic_hash_sample) is the same
+    machinery with one rate and is property-tested in
+    tests/test_sampling.py alongside seeded Bernoulli ``.sample``."""
     from ..operators.sampling import stratified_hash_sample
 
     sampled = stratified_hash_sample(

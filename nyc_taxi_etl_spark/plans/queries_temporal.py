@@ -144,7 +144,9 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous-aggregate: hourly → daily → monthly
     → yearly → grand-total event rollup in ONE shuffle (GROUP BY
-    ROLLUP), instead of one scan+agg per granularity.
+    ROLLUP), instead of one scan+agg per granularity. The month-grain
+    rows subsume A19's month-period Counter loop
+    (``dt.to_period('M')``, ``analytics_yellow.ipynb cells 8-9``).
 
     Scale: partial aggregation happens map-side for every grouping
     set; at 100 TB this replaces 5 full scans with 1. Time parts are
@@ -217,11 +219,14 @@ def purchases_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact multi-quantile profile per event type (A16 extension):
-    one pass computes the 25/50/75/90th percentiles with linear
-    interpolation — Spark ``percentile`` and DuckDB ``quantile_cont``
-    share the R-7 interpolation rule; results r4-rounded to absorb
-    formula-order ulp.
+    """Exact multi-quantile profile per event type (A16 quantiles; p50
+    IS the grouped exact median of A13 — the congestion/surge medians
+    of ``comprehensive_trip_analysis_part2.ipynb cells 17/27`` — using
+    Spark 4's exact ``percentile``, since approx_percentile would not
+    hash-match a pandas/DuckDB oracle, SURVEY §7.3): one pass computes
+    the 25/50/75/90th percentiles with linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the R-7
+    interpolation rule; results r4-rounded to absorb formula-order ulp.
 
     Scale: exact percentile needs the per-group sorted values; at
     100 TB swap to ``approx_percentile`` (t-digest sketch, bounded

@@ -49,13 +49,32 @@ _STOP_SQL = "[" + ",".join(f"'{s}'" for s in X.STOPWORDS) + "]"
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "doc_text_stats",
-    f"""
+def _doc_profile_sql() -> str:
+    structs = []
+    for lang in sorted(X.LANG_MARKERS):
+        markers = "[" + ",".join(f"'{m}'" for m in X.LANG_MARKERS[lang]) + "]"
+        structs.append(
+            "{'hits': len(list_filter(w, x -> list_contains("
+            + markers
+            + ", x))), 'lang': '"
+            + lang
+            + "'}"
+        )
+    arr = "[" + ", ".join(structs) + "]"
+    quality = f"""
+           0.4 * (CASE WHEN len(w) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+         + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
+         + 0.3 * (CASE WHEN len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                            * 1.0 / len(w) > 0.0
+                        AND len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                            * 1.0 / len(w) < 0.6
+                       THEN 1.0 ELSE 0.0 END)"""
+    return f"""
     WITH tok AS (
       SELECT doc_id, lang, text, {_SQL_TOKENS} AS w FROM documents
-    )
-    SELECT doc_id, lang,
+    ),
+    best AS (SELECT doc_id, list_aggregate({arr}, 'max') AS b FROM tok)
+    SELECT t.doc_id AS doc_id, t.lang AS lang,
            CAST(length(text) AS BIGINT) AS n_char,
            CAST(len(w) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
@@ -63,14 +82,28 @@ _STOP_SQL = "[" + ",".join(f"'{s}'" for s in X.STOPWORDS) + "]"
            len(list_filter(w, x -> list_contains({_STOP_SQL}, x))) * 1.0
              / len(w) AS stopword_ratio,
            (length(text) - (length(text) - length(replace(text, ' ', ''))))
-             * 1.0 / len(w) AS avg_token_len
-    FROM tok
-    """,
-)
-def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text statistics (north-star text analysis: token
-    counting + quality features). Row-local — zero shuffles; every
-    ratio is an exact-int ratio (bit-identical cross-engine)."""
+             * 1.0 / len(w) AS avg_token_len,
+           {quality} AS quality,
+           CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS pred_lang,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM tok t JOIN best USING (doc_id)
+    """
+
+
+@query("doc_profile", _doc_profile_sql())
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile — the full text-analysis pass of a
+    training pipeline in ONE row-local projection: token/char counts
+    and ratios (token counting), composite Gopher/C4-style quality
+    score, stopword-marker language-ID (argmax with the deterministic
+    (hits, lang)-max tie rule mirrored in SQL), and the
+    normalized-content md5 fingerprint (the exact-dedup key).
+
+    Zero shuffles; every ratio is an exact-int ratio (bit-identical
+    cross-engine). One scan serves what the reference-era design ran as
+    four separate jobs — at 100 TB the scan IS the cost, so fusing the
+    per-row features matters more than any other optimization here.
+    """
     docs = t(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
     n_tok = F.size(toks).cast("long")
@@ -90,75 +123,10 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n_tok
         ).alias("stopword_ratio"),
         ((n_char - spaces).cast("double") / n_tok).alias("avg_token_len"),
+        X.quality_score(F.col("text")).alias("quality"),
+        X.language_id(F.col("text")).alias("pred_lang"),
+        X.fingerprint(F.col("text")).alias("fingerprint"),
     )
-
-
-@query(
-    "doc_quality_scores",
-    f"""
-    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
-    SELECT doc_id,
-           0.4 * (CASE WHEN len(w) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
-         + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
-         + 0.3 * (CASE WHEN len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
-                            * 1.0 / len(w) > 0.0
-                        AND len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
-                            * 1.0 / len(w) < 0.6
-                       THEN 1.0 ELSE 0.0 END) AS quality
-    FROM tok
-    """,
-)
-def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality heuristic (Gopher/C4-style filters) as one
-    Catalyst expression per row."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
-
-
-def _lang_sql() -> str:
-    structs = []
-    for lang in sorted(X.LANG_MARKERS):
-        markers = "[" + ",".join(f"'{m}'" for m in X.LANG_MARKERS[lang]) + "]"
-        structs.append(
-            "{'hits': len(list_filter(w, x -> list_contains("
-            + markers
-            + ", x))), 'lang': '"
-            + lang
-            + "'}"
-        )
-    arr = "[" + ", ".join(structs) + "]"
-    return f"""
-    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS w FROM documents),
-    best AS (SELECT doc_id, lang, list_aggregate({arr}, 'max') AS b FROM tok)
-    SELECT doc_id, lang,
-           CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS pred_lang
-    FROM best
-    """
-
-
-@query("doc_language_id", _lang_sql())
-def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language-ID heuristic; argmax with the
-    deterministic (hits, lang)-max tie rule mirrored in SQL."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", X.language_id(F.col("text")).alias("pred_lang")
-    )
-
-
-@query(
-    "doc_fingerprints",
-    """
-    SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
-    FROM documents
-    """,
-)
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-content md5 fingerprint per document (document
-    fingerprinting; the exact-dedup key)."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fingerprint"))
 
 
 @query(
@@ -283,31 +251,6 @@ def minhash_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "simhash_signatures",
-    """
-    WITH tok AS (
-      SELECT doc_id,
-             unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
-      FROM documents),
-    h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv FROM tok),
-    bits AS (
-      SELECT doc_id, i,
-             sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      FROM h, unnest(generate_series(0, 31)) AS t(i)
-      GROUP BY 1, 2)
-    SELECT doc_id,
-           CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT)
-             AS simhash
-    FROM bits GROUP BY 1
-    """,
-)
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (row-local bit-majority fold; the
-    oracle replays it via unnest over bits)."""
-    return D.simhash(t(spark, sf_dir, "documents"), bits=32)
-
-
-@query(
     "simhash_near_pairs",
     """
     WITH tok AS (
@@ -337,7 +280,11 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plan uses pigeonhole block-joins (sub-quadratic, the
     Manku/Jain/Sarma web-dedup shape); the oracle brute-forces all
     pairs — same result set, which is exactly the point: the optimized
-    plan must agree with the naive spec.
+    plan must agree with the naive spec. The oracle replays the FULL
+    signature computation (bit-majority fold per doc) before pairing,
+    so per-document SimHash signatures are hash-verified transitively
+    by this row (operators/dedup.py::simhash also has a dedicated
+    DuckDB parity test in tests).
     """
     return D.simhash_near_pairs(
         t(spark, sf_dir, "documents"), bits=32, max_hamming=3, blocks=4
@@ -499,24 +446,103 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_near_pairs",
-    f"""
-    WITH dd AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_cos_sql("a.v", "b.v")} AS cosine_sim
-    FROM dd a JOIN dd b ON a.vec_id < b.vec_id
-    WHERE {_cos_sql("a.v", "b.v")} >= 0.35
-    """,
-)
+def _plane_sql(plane: list[float]) -> str:
+    """One hyperplane as a DuckDB literal double list — ``repr`` floats
+    round-trip exactly, so the SQL constant equals the plan literal."""
+    return "[" + ",".join(repr(w) for w in plane) + "]"
+
+
+def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    """Packed sign-bit bucket of ``vec`` against ``planes`` — replays
+    operators/similarity.py::_signature: per-plane left-fold dot
+    product (list_sum is bit-identical to Spark's strict fold), sign
+    bit j worth 2^j."""
+    terms = [
+        f"(CASE WHEN {_SQL_DOT.format(a=vec, b=_plane_sql(plane))} > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_PAIRS_BITS, _PAIRS_TABLES = 4, 6
+
+
+def _embedding_near_pairs_sql(threshold: float = 0.35) -> str:
+    sig_cols = ",\n           ".join(
+        f"{_bucket_sql('v', S.hyperplanes(64, _PAIRS_BITS, seed=7 + tbl))} AS b{tbl}"
+        for tbl in range(_PAIRS_TABLES)
+    )
+    any_shared = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_PAIRS_TABLES))
+    return f"""
+    WITH dd AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    sig AS (SELECT vec_id, v,
+           {sig_cols}
+    FROM dd),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+      FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({any_shared}))
+    SELECT id_a, id_b, {_cos_sql("va", "vb")} AS cosine_sim
+    FROM cand
+    WHERE {_cos_sql("va", "vb")} >= {threshold}
+    """
+
+
+@query("embedding_near_pairs", _embedding_near_pairs_sql())
 def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sim ≥ 0.35). Verification-scale
-    exact variant; the 100 TB path gates candidates through
-    hyperplane LSH (see ann_lsh_cosine)."""
-    return S.cosine_near_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
+    """Embedding-cosine near-dup pairs (sim ≥ 0.35) through the
+    SUB-QUADRATIC path: hyperplane-LSH bucket candidates (6 tables ×
+    4 bits) → exact cosine verification — the 100 TB plan shape, now
+    the oracle-verified one (the O(n²) exact variant survives as the
+    recall yardstick in tests/test_dedup_similarity.py).
+
+    The oracle embeds the IDENTICAL hyperplane literals and replays
+    bucket assignment + candidate join + cosine verify, so the full
+    LSH pipeline is hash-checked, not just its output shape. On this
+    synthetic near-uniform corpus (max pairwise cos ≈ 0.5) the 0.35
+    threshold sits at ~65-70° angles, where 4-bit buckets keep ~60% of
+    exact pairs — recall documented, determinism exact; at production
+    near-dup thresholds (≥ 0.9, small angles) the same parameters give
+    ≥ 0.99 recall with a 2^4-fold per-table candidate cut.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    cand = S.hyperplane_lsh_pairs(
+        emb, bits=_PAIRS_BITS, tables=_PAIRS_TABLES, dim=64, seed=7
+    )
+    return S.cosine_near_pairs(emb, threshold=0.35, candidates=cand)
 
 
-@query("ann_lsh_cosine")
+_ANN_BITS, _ANN_TABLES = 3, 10
+
+
+def _ann_lsh_sql(k: int = 5, n_queries: int = 10) -> str:
+    sig_cols = ",\n           ".join(
+        f"{_bucket_sql('v', S.hyperplanes(64, _ANN_BITS, seed=7 + tbl))} AS b{tbl}"
+        for tbl in range(_ANN_TABLES)
+    )
+    any_shared = " OR ".join(f"c.b{t} = q.b{t}" for t in range(_ANN_TABLES))
+    return f"""
+    WITH dd AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    sig AS (SELECT vec_id, v,
+           {sig_cols}
+    FROM dd),
+    q AS (SELECT * FROM sig WHERE vec_id < {n_queries}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.v AS qv, c.v AS cv
+      FROM sig c JOIN q ON c.vec_id != q.vec_id AND ({any_shared})),
+    scored AS (
+      SELECT query_id, neighbor_id, {_cos_sql("qv", "cv")} AS cosine_sim
+      FROM cand)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) rnk
+          FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+@query("ann_lsh_cosine", _ann_lsh_sql())
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors for 10 queries via random-hyperplane
     LSH (10 tables × 3 bits) + exact re-rank — the scale path for ANN.
@@ -525,16 +551,17 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     × 10 tables gives measured recall ≈ 0.86 vs brute force. Clustered
     real-world embeddings would take more bits per table.
 
-    No SQL oracle (the hyperplane literals live in the plan); the
-    driver records the rows-only check, and tests/test_similarity.py
-    asserts recall ≥ 0.6 against the exact brute-force result.
+    Full SQL oracle: the hyperplanes are seeded plan-time literals, so
+    the oracle embeds the same constants and replays signature →
+    bucket-candidate join → exact re-rank; tests/test_dedup_similarity
+    additionally asserts recall ≥ 0.6 against exact brute force.
     """
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.hyperplane_lsh_knn(
-        emb, queries, k=5, bits=3, tables=10, dim=64
+        emb, queries, k=5, bits=_ANN_BITS, tables=_ANN_TABLES, dim=64
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
@@ -565,34 +592,6 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "corpus_vocabulary",
-    f"""
-    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents)
-    SELECT term, CAST(count(*) AS BIGINT) AS tf,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-    FROM tok WHERE term <> ''
-    GROUP BY 1 ORDER BY tf DESC, term LIMIT 100
-    """,
-)
-def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-100 vocabulary terms with corpus frequency (tf) and document
-    frequency (df) — the vocab-building pass of a training pipeline.
-
-    Scale: explode → two-level hash agg; count_distinct(doc_id) is the
-    only expand. Deterministic membership: (tf DESC, term ASC)."""
-    from ..functions import topk
-
-    docs = t(spark, sf_dir, "documents")
-    ex = docs.select(
-        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("term")
-    ).filter(F.col("term") != "")
-    agg = ex.groupBy("term").agg(
-        F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
-    )
-    return topk(agg, ["term"], "tf", 100)
-
-
-@query(
     "doc_top_terms",
     f"""
     WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
@@ -611,7 +610,11 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 characteristic terms per document by TF-IDF.
+    """Top-3 characteristic terms per document by TF-IDF. The oracle
+    replays the full vocabulary pass (per-term tf and df) before
+    scoring, so corpus vocabulary-building is hash-verified
+    transitively by this row (the standalone top-100 vocab query
+    remains DuckDB-parity-tested in tests/test_ingest_sinks_sql.py).
 
     Cross-engine determinism: the RANKING key is the rational score
     ``tf * (N/df)`` — products/quotients of exact integers are

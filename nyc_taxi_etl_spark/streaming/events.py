@@ -83,7 +83,7 @@ def tumbling_event_counts(
     watermark: str | None = "2 hours",
 ) -> DataFrame:
     """Hourly event dashboard as a watermarked tumbling-window agg —
-    the streaming twin of ``hourly_value_stats`` (A1/A11).
+    the streaming twin of ``events_time_profile``'s hourly grain (A1/A11).
 
     ``watermark=None`` runs unwatermarked (complete-mode analytics /
     stream-batch parity checks); production append-mode runs keep the

@@ -255,3 +255,52 @@ def test_bucket_pairs_uncapped_matches_capped_on_small_buckets(spark):
         for r in _bucket_pairs(banded, "doc_id", max_bucket=None).collect()
     }
     assert capped == full and len(full) > 0
+
+
+def test_simhash_signatures_match_oracle(spark, duck):
+    # parity of the per-document signature itself (the near-pairs
+    # catalog oracle replays it transitively; this pins it directly)
+    got = (
+        D.simhash(load_table(spark, SF_DIR, "documents"), bits=32)
+        .toPandas()
+    )
+    want = duck.execute(
+        """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+          FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv FROM tok),
+        bits AS (
+          SELECT doc_id, i,
+                 sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h, unnest(generate_series(0, 31)) AS t(i)
+          GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM bits GROUP BY 1
+        """
+    ).df()
+    assert_frames_match(got, want, "simhash_signatures")
+
+
+def test_embedding_lsh_pairs_recall_and_precision(spark):
+    # the LSH-gated near-pairs (catalog entry) vs the exact O(n²)
+    # variant: gated output must be a SUBSET (precision 1.0 — every
+    # emitted pair is cosine-verified) with usable recall even on this
+    # near-uniform synthetic corpus (wide 65-70° angles, the hardest
+    # regime for sign-LSH; production near-dup thresholds sit at small
+    # angles where the same parameters give >=0.99 recall).
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cand = S.hyperplane_lsh_pairs(emb, bits=4, tables=6, dim=64, seed=7)
+    gated = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_pairs(emb, threshold=0.35, candidates=cand).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_pairs(emb, threshold=0.35).collect()
+    }
+    assert gated <= exact
+    assert len(gated) / len(exact) >= 0.4

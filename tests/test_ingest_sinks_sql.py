@@ -176,3 +176,37 @@ def test_run_sql_join_over_views(spark):
     )
     rows = {r["r_name"]: r["n"] for r in out.collect()}
     assert sum(rows.values()) == 25  # 25 nations
+
+
+def test_corpus_vocabulary_matches_oracle(spark, duck):
+    # top-100 vocabulary (tf + df) — folded out of the driver catalog
+    # into doc_top_terms' oracle (which replays tf/df); this test keeps
+    # the standalone vocab pass directly DuckDB-parity-checked.
+    from nyc_taxi_etl_spark.functions import topk
+    from nyc_taxi_etl_spark.operators import text as X
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+
+    from .compare import assert_frames_match
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    agg = ex.groupBy("term").agg(
+        F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
+    )
+    got = topk(agg, ["term"], "tf", 100).toPandas()
+    want = duck.execute(
+        """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents)
+        SELECT term, CAST(count(*) AS BIGINT) AS tf,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok WHERE term <> ''
+        GROUP BY 1 ORDER BY tf DESC, term LIMIT 100
+        """
+    ).df()
+    assert_frames_match(got, want, "corpus_vocabulary")

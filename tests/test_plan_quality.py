@@ -33,8 +33,8 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_column_pruning_minimal_readschema(spark):
-    plan = _plan(spark, "hourly_value_stats")
-    # events has 6 columns; the hourly rollup needs exactly ts+value
+    plan = _plan(spark, "events_time_profile")
+    # events has 6 columns; the hour/dow profile needs exactly ts+value
     assert "ReadSchema: struct<ts:bigint,value:double>" in plan
 
 
@@ -81,7 +81,7 @@ def test_partial_aggregation_before_exchange(spark):
 
 def test_wholestage_codegen_active(spark):
     # codegen stage markers (*(n)) appear once AQE finalizes the plan
-    df = QUERIES["hourly_value_stats"](spark, SF_DIR)
+    df = QUERIES["events_time_profile"](spark, SF_DIR)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
@@ -94,7 +94,7 @@ def test_topk_plans_take_ordered(spark):
 
 
 def test_deterministic_sample_is_scan_level_filter(spark):
-    plan = _plan(spark, "deterministic_sample")
+    plan = _plan(spark, "stratified_order_sample")
     # no shuffle at all: a narrow filter+project over the scan
     assert "Exchange" not in plan
 
@@ -107,8 +107,8 @@ def test_doc_top_terms_broadcasts_corpus_size(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_corpus_vocabulary_pushes_partial_agg(spark):
-    plan = _plan(spark, "corpus_vocabulary")
+def test_shingle_frequency_pushes_partial_agg(spark):
+    plan = _plan(spark, "shingle_doc_frequency")
     assert "partial_count" in plan
 
 
