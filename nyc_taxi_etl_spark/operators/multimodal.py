@@ -12,11 +12,12 @@ codec layer is swappable:
   * audio: REAL decode — PCM16 little-endian via ``numpy.frombuffer``
     (no external codec needed), then duration / RMS / zero-crossing
     features.
-  * image: decodes with Pillow IF importable; this container has no
-    image libs, so the documented fallback is a clearly-marked
-    DETERMINISTIC FAKE (seeded from the blob bytes) that preserves
-    shapes, dtypes and batch flow. Swap ``_decode_image`` for a codec
-    in production.
+  * image: REAL decode for PNG (zlib inflate + full scanline
+    defilter), BMP (24-bit BGR bottom-up) and PPM (P6) via the
+    pure-numpy codecs in ``imagecodec.py``; raw RGB buffers of the
+    declared size pass through; Pillow is tried for anything beyond
+    those (JPEG — not in this container); unknown bytes RAISE rather
+    than fabricate pixels.
   * video: frame sampling over a length-prefixed frame container
     (deterministic synthetic layout) — every-Nth-frame selection, one
     output row per kept frame.
@@ -30,7 +31,6 @@ column thanks to parquet column pruning.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -77,16 +77,25 @@ MEDIA_SCHEMA = StructType(
 def synthesize_media(spark: SparkSession, n: int = 90, seed: int = 42) -> DataFrame:
     """Deterministic media table: n rows cycling image/audio/video.
 
-    Audio blobs are genuine PCM16 sine-ish waves; image blobs are raw
-    RGB bytes; video blobs are ``n_frames`` concatenated fixed-size
-    frames — so every decode path below is exercised for real."""
+    Audio blobs are genuine PCM16 sine-ish waves; image blobs cycle
+    REAL encoded containers (PNG → BMP → PPM → raw RGB, via
+    ``imagecodec.py``) so the actual codecs — zlib inflate + PNG
+    defilter, BMP bottom-up BGR rows, PPM header grammar — run inside
+    the catalog query, not just in unit tests; video blobs are
+    ``n_frames`` concatenated fixed-size frames."""
+    from .imagecodec import encode_bmp, encode_png, encode_ppm
+
     rows = []
     rng = np.random.default_rng(seed)
+    img_count = 0
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
             w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
-            blob = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+            pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            codec = (encode_png, encode_bmp, encode_ppm, None)[img_count % 4]
+            blob = pixels.tobytes() if codec is None else codec(pixels)
+            img_count += 1
             rows.append((i, kind, bytearray(blob), w, h, None, None))
         elif kind == "audio":
             sr = int(rng.choice([8000, 16000]))
@@ -110,25 +119,31 @@ def synthesize_media(spark: SparkSession, n: int = 90, seed: int = 42) -> DataFr
 def _decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
     """Decode an image blob to HxWx3 uint8.
 
-    Real path: raw RGB buffer of the declared size (as produced by a
-    decode-at-ingest stage), else Pillow if importable for container
-    formats. FALLBACK (this container: no Pillow, unknown format): a
-    clearly-marked deterministic fake seeded from the blob's md5 so the
-    pipeline stays testable — swap for a real codec in production."""
+    Decode order: (1) PNG / BMP / PPM containers via the REAL
+    pure-numpy codecs in ``imagecodec.py`` (magic-byte sniff, CRC
+    checks, full PNG defilter); (2) raw RGB buffer of the declared
+    size (as produced by a decode-at-ingest stage); (3) Pillow if
+    importable, for formats beyond the built-in three (JPEG etc. —
+    not present in this container). Unknown bytes raise instead of
+    fabricating pixels."""
+    from .imagecodec import sniff_and_decode, sniff_format
+
+    if sniff_format(blob) is not None:
+        return sniff_and_decode(blob)
     expect = width * height * 3
     if len(blob) == expect:
         return np.frombuffer(blob, dtype=np.uint8).reshape(height, width, 3)
-    try:  # pragma: no cover - not installed in this container
+    try:  # pragma: no cover - Pillow not installed in this container
         import io
 
         from PIL import Image
 
         return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
-    except ImportError:
-        # DETERMINISTIC FAKE DECODE (documented stub)
-        seed = int.from_bytes(hashlib.md5(blob).digest()[:8], "big")
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+    except ImportError as exc:
+        raise ValueError(
+            f"undecodable image blob ({len(blob)} bytes; no PNG/BMP/PPM "
+            f"magic, not raw {width}x{height}x3)"
+        ) from exc
 
 
 _IMG_FEAT_SCHEMA = StructType(
