@@ -7,10 +7,15 @@ corrections and CDC feeds.
 
 Scale posture: ONE shuffle on the merge keys (window row_number),
 versus the join-then-union formulation which shuffles base twice.
-Without a lakehouse table format this is the full-recompute merge —
-at 100 TB you bound it by partition pruning (merge only the
-partitions the updates touch) and write back with dynamic partition
-overwrite; both compose with this operator unchanged.
+This is the full-recompute merge — at 100 TB you bound it by
+partition pruning (merge only the partitions the updates touch) and
+write back with dynamic partition overwrite; both compose with this
+operator unchanged.
+
+At-rest durability lives in ``sources/versioned.py``: a commit-log
+versioned parquet layout that makes these merges atomic, restartable
+(crash between merges leaves only an invisible orphan) and
+time-travelable.
 """
 
 from __future__ import annotations

@@ -1,0 +1,182 @@
+"""Versioned parquet table: a minimal lakehouse-style commit log that
+makes CDC upserts atomic, restartable and time-travelable on plain
+parquet — no Delta/Iceberg dependency.
+
+The reference's only at-rest state management is a JSON manifest with
+skip-if-exists (`scripts/download_tlc_range_s3.py:127-139`); a pipeline
+engine needs crash-safe table mutation. This module applies the same
+commit-log idea Delta Lake uses, reduced to what plain parquet + an
+atomic file create can guarantee:
+
+Layout::
+
+    <root>/data/<ulid>/part-*.parquet   immutable data directories
+    <root>/_log/<version 20d>.json      ordered commit records
+
+Protocol:
+  * A writer first materializes a NEW data directory (never mutating
+    an existing one), then publishes a commit record naming the active
+    directory set. Publication is an ATOMIC CREATE (write temp +
+    ``os.link`` — link fails if the version already exists), so:
+      - readers only ever see fully-written data (a crash between data
+        write and publish leaves an invisible orphan directory);
+      - two writers racing to the same version conflict loudly
+        (optimistic concurrency) instead of corrupting the log.
+  * A reader replays the log: the LATEST record lists the complete
+    active set (snapshot isolation without tombstone arithmetic), so
+    reads are one listdir + one json load, O(1) in history length.
+  * ``vacuum()`` deletes data directories no commit references —
+    exactly the orphans crashes leave behind.
+
+Scale posture: the log is tiny metadata (one small JSON per commit —
+fine on any DFS); data stays ordinary parquet readable by any engine.
+The upsert here rewrites the table (full-recompute merge through ONE
+shuffle, operators/merge.py); at 100 TB you partition the table and
+rewrite only the partitions the update batch touches (dynamic
+partition overwrite) — the commit-log protocol is unchanged, only the
+"replaced" set shrinks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.merge import merge_upsert
+
+__all__ = ["VersionedTable"]
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+class VersionedTable:
+    """Handle to a versioned parquet table rooted at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+
+    # -- log plumbing ------------------------------------------------------
+
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.root, _LOG_DIR, f"{version:020d}.json")
+
+    def versions(self) -> list[int]:
+        names = os.listdir(os.path.join(self.root, _LOG_DIR))
+        return sorted(int(n[:-5]) for n in names if n.endswith(".json"))
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _read_commit(self, version: int) -> dict:
+        with open(self._log_path(version)) as f:
+            return json.load(f)
+
+    def _publish(self, version: int, record: dict) -> None:
+        """Atomically create the commit record for ``version``.
+
+        ``os.link`` of a fully-written temp file is an atomic
+        create-if-absent: a concurrent writer publishing the same
+        version gets EEXIST (surfaced as a conflict) and neither log
+        entry is ever observed half-written.
+        """
+        tmp = self._log_path(version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(record, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._log_path(version))
+        except FileExistsError as exc:
+            raise RuntimeError(
+                f"commit conflict: version {version} of {self.root} was "
+                "published concurrently; re-read and retry"
+            ) from exc
+        finally:
+            os.unlink(tmp)
+
+    # -- data plumbing -----------------------------------------------------
+
+    def _write_data_dir(self, df: DataFrame) -> str:
+        """Materialize ``df`` into a fresh immutable data directory and
+        return its table-relative path. Crash after this, before
+        publish ⇒ an orphan no reader sees (vacuum reclaims it)."""
+        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        df.write.mode("error").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def _active_dirs(self, version: int) -> list[str]:
+        return list(self._read_commit(version)["active"])
+
+    # -- public API --------------------------------------------------------
+
+    def write(self, df: DataFrame, operation: str = "overwrite") -> int:
+        """Publish ``df`` as the complete new table state (init /
+        overwrite). Returns the committed version."""
+        rel = self._write_data_dir(df)
+        latest = self.latest_version()
+        version = 0 if latest is None else latest + 1
+        self._publish(version, {"version": version, "operation": operation,
+                                "active": [rel]})
+        return version
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (latest, or time-travel to ``version``)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"versioned table {self.root} is empty")
+        paths = [os.path.join(self.root, d) for d in self._active_dirs(v)]
+        return self.spark.read.parquet(*paths)
+
+    def upsert(
+        self,
+        updates: DataFrame,
+        keys: Sequence[str],
+        version_col: str | None = None,
+    ) -> int:
+        """Keep-latest merge of ``updates`` into the current snapshot,
+        committed atomically as the next version (restartable: a crash
+        anywhere before publish leaves the previous version intact and
+        the merge can simply be re-run)."""
+        base_version = self.latest_version()
+        if base_version is None:
+            return self.write(updates, operation="upsert")
+        merged = merge_upsert(self.read(base_version), updates, keys, version_col)
+        rel = self._write_data_dir(merged)
+        self._publish(
+            base_version + 1,
+            {
+                "version": base_version + 1,
+                "operation": "upsert",
+                "keys": list(keys),
+                "base_version": base_version,
+                "active": [rel],
+            },
+        )
+        return base_version + 1
+
+    def vacuum(self) -> list[str]:
+        """Delete data directories referenced by NO commit (crash
+        orphans, never-published writes). Returns the removed
+        table-relative paths."""
+        import shutil
+
+        referenced: set[str] = set()
+        for v in self.versions():
+            referenced.update(self._active_dirs(v))
+        removed = []
+        data_root = os.path.join(self.root, _DATA_DIR)
+        for name in sorted(os.listdir(data_root)):
+            rel = os.path.join(_DATA_DIR, name)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data_root, name))
+                removed.append(rel)
+        return removed

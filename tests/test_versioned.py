@@ -1,0 +1,102 @@
+"""Versioned parquet table: atomic commits, sequential upserts,
+time travel, crash-between-merges replay, conflict detection, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_spark.sources.versioned import VersionedTable
+
+
+def _rows(df):
+    return {
+        (r["k"], r["val"], r["ver"]) for r in df.select("k", "val", "ver").collect()
+    }
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], ["k", "val", "ver"]
+    )
+    assert t.write(base, operation="init") == 0
+    return t
+
+
+def test_sequential_upserts_and_time_travel(spark, table):
+    u1 = spark.createDataFrame([(2, "b2", 2), (4, "d", 2)], ["k", "val", "ver"])
+    u2 = spark.createDataFrame([(1, "a3", 3), (2, "b3", 3)], ["k", "val", "ver"])
+    assert table.upsert(u1, keys=["k"], version_col="ver") == 1
+    assert table.upsert(u2, keys=["k"], version_col="ver") == 2
+
+    assert _rows(table.read()) == {
+        (1, "a3", 3), (2, "b3", 3), (3, "c", 1), (4, "d", 2)
+    }
+    # time travel: every prior snapshot intact
+    assert _rows(table.read(version=0)) == {(1, "a", 1), (2, "b", 1), (3, "c", 1)}
+    assert _rows(table.read(version=1)) == {
+        (1, "a", 1), (2, "b2", 2), (3, "c", 1), (4, "d", 2)
+    }
+    assert table.versions() == [0, 1, 2]
+
+
+def test_stale_version_loses_to_fresh_merge(spark, table):
+    # version-column semantics through the table API: a late-arriving
+    # LOWER version must not clobber a newer row
+    table.upsert(
+        spark.createDataFrame([(1, "new", 5)], ["k", "val", "ver"]),
+        keys=["k"],
+        version_col="ver",
+    )
+    table.upsert(
+        spark.createDataFrame([(1, "stale", 2)], ["k", "val", "ver"]),
+        keys=["k"],
+        version_col="ver",
+    )
+    assert (1, "new", 5) in _rows(table.read())
+
+
+def test_crash_between_merges_is_invisible_and_replayable(spark, table):
+    u = spark.createDataFrame([(3, "c2", 2)], ["k", "val", "ver"])
+    before = _rows(table.read())
+
+    # simulate a crash AFTER the merge wrote its data directory but
+    # BEFORE the commit record was published
+    merged = table.read()
+    orphan_rel = table._write_data_dir(merged.withColumn("val", F.lit("torn")))
+    assert os.path.isdir(os.path.join(table.root, orphan_rel))
+
+    # readers are unaffected: the orphan is unpublished
+    assert _rows(table.read()) == before
+    assert table.latest_version() == 0
+
+    # restart: simply re-run the upsert — lands as version 1
+    assert table.upsert(u, keys=["k"], version_col="ver") == 1
+    got = _rows(table.read())
+    assert (3, "c2", 2) in got and not any(v == "torn" for (_, v, _) in got)
+
+    # vacuum reclaims exactly the orphan, never live data
+    removed = table.vacuum()
+    assert removed == [orphan_rel]
+    assert _rows(table.read()) == got
+    assert _rows(table.read(version=0)) == before
+
+
+def test_concurrent_publish_conflict_detected(spark, table):
+    # two writers race version 1: the second atomic link must fail
+    # loudly, leaving the winner's commit untouched
+    table._publish(1, {"version": 1, "operation": "upsert", "active":
+                       table._active_dirs(0)})
+    with pytest.raises(RuntimeError, match="conflict"):
+        table._publish(1, {"version": 1, "operation": "upsert", "active": []})
+    assert table._active_dirs(1) == table._active_dirs(0)
+
+
+def test_empty_table_read_raises(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError):
+        t.read()
