@@ -299,16 +299,25 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
       FROM events WHERE event_type = 'error' GROUP BY 1
     )
     SELECT p.day AS day, p.purchases AS purchases,
-           p.purchase_value AS purchase_value, e.errors AS errors
+           p.purchase_value AS purchase_value, e.errors AS errors,
+           ROUND(corr(p.purchases, e.errors) OVER (), 4)
+             AS corr_purchases_errors
     FROM p JOIN e ON p.day = e.day
     """,
 )
 def daily_purchase_vs_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-aggregate equi-join on date (J1: the weather⋈daily-trips
-    merge, ``comprehensive_trip_analysis_part2.ipynb:1141``).
+    """Daily-aggregate equi-join on date + Pearson correlation between
+    the two daily series (J1: the weather⋈daily-trips merge AND the
+    weather-correlation headline number,
+    ``comprehensive_trip_analysis_part2.ipynb:1141`` — the driver
+    tables carry no weather, so purchases-vs-errors is the same
+    two-series-by-day analysis; the fixture-weather variant is
+    DuckDB-checked in tests/test_taxi_engine.py::weather_correlation).
 
     Scale: both sides are post-aggregation daily frames (tiny) — AQE
-    picks a broadcast join at runtime; no hint needed.
+    picks a broadcast join at runtime; no hint needed. The corr window
+    is unpartitioned but runs over the bounded post-agg daily frame —
+    the same bounded-window argument as extreme_days_zscore.
     """
     ev = t(spark, sf_dir, "events")
     p = (
@@ -324,8 +333,13 @@ def daily_purchase_vs_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("errors"))
     )
+    w = Window.partitionBy()
     return p.join(e, "day", "inner").select(
-        "day", "purchases", "purchase_value", "errors"
+        "day",
+        "purchases",
+        "purchase_value",
+        "errors",
+        r4(F.corr("purchases", "errors").over(w)).alias("corr_purchases_errors"),
     )
 
 
