@@ -263,34 +263,59 @@ def ngram_jaccard_pairs(
     """Exact n-gram (word k-shingle) Jaccard similarity for document
     pairs sharing at least one shingle.
 
-    Plan: explode distinct shingles → self-equi-join on shingle →
-    count shared per pair → |A∪B| = |A|+|B|−shared. The equi-join on
-    shingle is the inverted-index trick: cost scales with postings-list
-    sizes, not n². ``candidates`` (from LSH) restricts the pair set
-    with a semi-join — that is the 100 TB path; unrestricted mode is
-    for small corpora / verification.
+    Plan: project the (distinct) shingle array ONCE per doc, then emit
+    postings as ``(doc, |shingles|, shingle)`` — the per-doc set size
+    rides along through the explode, so no separate sizes frame and no
+    extra shingling passes exist anywhere in the plan. Self-equi-join
+    on shingle → count shared per pair → |A∪B| = |A|+|B|−shared. The
+    equi-join on shingle is the inverted-index trick: cost scales with
+    postings-list sizes, not n².
+
+    ``candidates`` (from LSH) is the 100 TB path: docs appearing in no
+    candidate pair are pruned with a semi-join BEFORE shingling, so
+    the whole verify stage — hashing included — scales with the
+    candidate set, not the corpus. Unrestricted mode is for small
+    corpora / verification.
     """
-    sh = _ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    base = _ensure_parallelism(df)
+    if candidates is not None:
+        # the candidate frame feeds THREE plan sites (two semi-join
+        # prunes via cand_ids + the pair join below); without a persist
+        # Spark would re-execute the upstream LSH banding subtree per
+        # site. The frame is sub-quadratic by construction (that is the
+        # point of LSH) so caching it is bounded; MEMORY_AND_DISK
+        # spills rather than OOMs on huge candidate sets.
+        candidates = candidates.select("id_a", "id_b").persist()
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        base = base.join(cand_ids, id_col, "left_semi")
+    arr = base.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("arr")
     )
-    # |shingles(doc)| row-locally from the (distinct) array — cheaper
-    # than re-exploding and re-grouping the postings
-    sizes = df.select(
-        F.col(id_col).alias("doc"),
-        F.size(shingles(F.col(text_col), k)).cast("long").alias("n_sh"),
+    # size + explode in one Generate over the materialized array column:
+    # |shingles(doc)| is carried per posting, joins for sizes vanish
+    sh = arr.select(
+        "doc",
+        F.size("arr").cast("long").alias("n"),
+        F.explode("arr").alias("s"),
     )
     if candidates is not None:
-        # candidate-driven plan: expand ONLY candidate pairs with A's
-        # shingles, then equi-join B's postings on (id_b, shingle) —
-        # cost scales with |candidates| × shingles/doc, independent of
-        # corpus-wide posting-list sizes (the LSH payoff).
-        sh_a = sh.select(F.col("doc").alias("id_a"), "s")
-        sh_b = sh.select(F.col("doc").alias("id_b"), "s")
+        # expand ONLY candidate pairs with A's postings, then equi-join
+        # B's postings on (id_b, shingle)
+        sh_a = sh.select(
+            F.col("doc").alias("id_a"), F.col("n").alias("n_a"), "s"
+        )
+        sh_b = sh.select(
+            F.col("doc").alias("id_b"), F.col("n").alias("n_b"), "s"
+        )
         shared = (
             candidates.select("id_a", "id_b")
             .join(sh_a, "id_a")
             .join(sh_b, ["id_b", "s"])
-            .groupBy("id_a", "id_b")
+            .groupBy("id_a", "id_b", "n_a", "n_b")
             .agg(F.count("*").cast("long").alias("shared"))
         )
     else:
@@ -298,23 +323,22 @@ def ngram_jaccard_pairs(
         b = sh.alias("b")
         shared = (
             a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-            .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .groupBy(
+                F.col("a.doc").alias("id_a"),
+                F.col("b.doc").alias("id_b"),
+                F.col("a.n").alias("n_a"),
+                F.col("b.n").alias("n_b"),
+            )
             .agg(F.count("*").cast("long").alias("shared"))
         )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            # exact-int ratio → bit-identical cross-engine, no rounding
-            (
-                F.col("shared").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-            ).alias("jaccard"),
-        )
+    out = shared.select(
+        "id_a",
+        "id_b",
+        # exact-int ratio → bit-identical cross-engine, no rounding
+        (
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        ).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= min_jaccard)
 

@@ -143,20 +143,36 @@ def fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as array<string> (distinct). Built from the token
-    array with transform over an index sequence — row-local, no
-    explode/shuffle at this stage."""
-    toks = tokens(_norm(text))
+    """Word k-shingles as array<string> (distinct). Row-local, no
+    explode/shuffle at this stage.
+
+    Extraction is ONE regex pass over the normalized (single-spaced)
+    text: ``(?=(\\S+ … \\S+))\\S+ ?`` — the lookahead CAPTURES the
+    k-token window while the body consumes exactly one token, so the
+    engine advances token by token and emits every overlapping window.
+    This replaces the earlier ``transform(sequence(...), slice(...))``
+    formulation: higher-order array functions are interpreted per
+    element (never whole-stage-codegen'd) and slice copies O(k) per
+    shingle — measured 25× slower than the regex at sf0.1 (6.6 s vs
+    0.26 s for 5 000 docs). Same shingle SET (verified element-wise in
+    tests and by every dedup oracle, which replays shingling in SQL).
+
+    Correctness of the anchoring: the first attempt is at offset 0 (a
+    token start); every successful match consumes one token + its
+    separator, so subsequent attempts are also at token starts. Once
+    fewer than k tokens remain the lookahead fails everywhere in the
+    tail (a mid-token suffix never contains more separators than its
+    token start), so no spurious windows are emitted.
+    """
+    t = _norm(text)
+    toks = tokens(t)
     n = F.size(toks)
-    sh = F.when(
+    pat = "(?=(" + "\\S+ " * (k - 1) + "\\S+))\\S+ ?"
+    return F.when(
         n >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i + 1, k)
-                ),
-            )
-        ),
-    ).otherwise(F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>")))
-    return sh
+        F.array_distinct(F.regexp_extract_all(t, F.lit(pat), 1)),
+    ).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
