@@ -83,6 +83,9 @@ def _doc_profile_sql() -> str:
              / len(w) AS stopword_ratio,
            (length(text) - (length(text) - length(replace(text, ' ', ''))))
              * 1.0 / len(w) AS avg_token_len,
+           CAST(len(regexp_extract_all(lower(text),
+                '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\s]')) AS BIGINT)
+             AS n_tokens_bpeish,
            {quality} AS quality,
            CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS pred_lang,
            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
@@ -94,10 +97,13 @@ def _doc_profile_sql() -> str:
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile — the full text-analysis pass of a
     training pipeline in ONE row-local projection: token/char counts
-    and ratios (token counting), composite Gopher/C4-style quality
-    score, stopword-marker language-ID (argmax with the deterministic
-    (hits, lang)-max tie rule mirrored in SQL), and the
-    normalized-content md5 fingerprint (the exact-dedup key).
+    and ratios (whitespace tokenization AND a BPE-flavored regex
+    token estimate — word pieces ≤4 chars + digits + symbols, the
+    cheap deterministic stand-in for a real subword tokenizer),
+    composite Gopher/C4-style quality score, stopword-marker
+    language-ID (argmax with the deterministic (hits, lang)-max tie
+    rule mirrored in SQL), and the normalized-content md5 fingerprint
+    (the exact-dedup key).
 
     Zero shuffles; every ratio is an exact-int ratio (bit-identical
     cross-engine). One scan serves what the reference-era design ran as
@@ -123,6 +129,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n_tok
         ).alias("stopword_ratio"),
         ((n_char - spaces).cast("double") / n_tok).alias("avg_token_len"),
+        X.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpeish"),
         X.quality_score(F.col("text")).alias("quality"),
         X.language_id(F.col("text")).alias("pred_lang"),
         X.fingerprint(F.col("text")).alias("fingerprint"),

@@ -125,3 +125,29 @@ def test_sessionize_single_sort_shuffle(spark):
     # lag + running sum + groupBy(user, session) all reuse the
     # (user_id) partitioning: exactly one exchange on user_id
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_events_time_profile_single_scan_single_shuffle(spark):
+    # GROUPING SETS ((hour),(dow)) = one scan + one Expand + one
+    # exchange — not one aggregation job per grain
+    plan = _plan(spark, "events_time_profile")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_embedding_near_pairs_no_cross_join(spark):
+    # the LSH-gated near-pairs plan must be candidate-driven: vectors
+    # attach to candidate pairs via equi-joins; the O(n²) inequality
+    # cross join must not appear anywhere
+    plan = _plan(spark, "embedding_near_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_verify_prunes_before_shingling(spark):
+    # the Jaccard verify stage must semi-join-prune docs to the
+    # candidate set BEFORE the (expensive) shingle extraction: the
+    # plan carries LeftSemi joins under the posting explodes
+    plan = _plan(spark, "minhash_lsh_near_pairs")
+    assert "LeftSemi" in plan
