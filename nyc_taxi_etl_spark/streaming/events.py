@@ -43,6 +43,7 @@ __all__ = [
     "sliding_value_avg",
     "user_session_windows",
     "user_running_totals",
+    "dedup_events_stream",
     "run_available_now",
 ]
 
@@ -210,6 +211,30 @@ def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop at-least-once redeliveries of the
+    same key(s) — the streaming twin of the batch exact-dedup pass
+    (operators/dedup.py::exact_dedup; for content-level dedup pass
+    ``keys=("fingerprint",)`` after projecting
+    ``text.fingerprint``).
+
+    Uses ``dropDuplicatesWithinWatermark``: state for a key is kept
+    only until the event-time watermark passes it, so state size is
+    bounded by the duplicate-arrival horizon — plain
+    ``dropDuplicates`` on a stream retains EVERY key forever, which is
+    the classic unbounded-state failure at 100 TB. The contract (dupes
+    arrive within the watermark of each other, exactly the
+    at-least-once redelivery pattern) matches Kafka-style sources.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
     )
 
 

@@ -214,3 +214,30 @@ def test_user_running_totals_stateful(spark, events_dir, tmp_path_factory):
     joined = last.join(batch, lsuffix="_s", rsuffix="_b")
     assert (joined["events_seen_s"] == joined["events_seen_b"]).all()
     assert (abs(joined["value_total_s"] - joined["value_total_b"]) < 1e-3).all()
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path_factory):
+    # at-least-once delivery: the same events land twice (two files);
+    # the watermarked dedup must emit each event_id exactly once and
+    # agree with batch dropDuplicates over the same input
+    from nyc_taxi_etl_spark.streaming.events import dedup_events_stream
+
+    base = tmp_path_factory.mktemp("dedupstream")
+    src = str(base / "events_in")
+    ev = load_table(spark, SF_DIR, "events").limit(500).cache()
+    ev.write.parquet(src)  # first delivery
+    ev.write.mode("append").parquet(src)  # duplicate redelivery
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    got = run_available_now(
+        dedup_events_stream(stream, keys=("event_id",)),
+        "dedup_stream_q",
+        _ckpt(tmp_path_factory),
+        output_mode="append",
+    )
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500
+    # value-level parity with the batch dedup of the doubled input
+    batch = spark.read.parquet(src).dropDuplicates(["event_id"])
+    assert got.count() == batch.count()
+    ev.unpersist()
