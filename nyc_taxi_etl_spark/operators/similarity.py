@@ -72,15 +72,26 @@ def brute_force_knn(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
+    )
+    # norms computed once per row on each side (not per pair): the
+    # per-pair cost is a single dot-product fold; identical IEEE
+    # values (dot/(sqrt·sqrt) merely factored), so oracles still match
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))).alias(
+                "cosine_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -260,12 +271,14 @@ def hyperplane_lsh_knn(
         cb = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_n"),
             F.lit(tbl).alias("tbl"),
             _signature(F.col(vec_col), planes).alias("bucket"),
         )
         qb = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_n"),
             F.lit(tbl).alias("tbl"),
             _signature(F.col(vec_col), planes).alias("bucket"),
         )
@@ -281,13 +294,15 @@ def hyperplane_lsh_knn(
             & (F.col("c.bucket") == F.col("q.bucket")),
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "q_vec", "q_n", "neighbor_id", "c_vec", "c_n")
         .distinct()
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))).alias(
+            "cosine_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
