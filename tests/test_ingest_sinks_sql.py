@@ -210,3 +210,31 @@ def test_corpus_vocabulary_matches_oracle(spark, duck):
         """
     ).df()
     assert_frames_match(got, want, "corpus_vocabulary")
+
+
+def test_shingle_udtf_matches_catalyst_path(spark):
+    # the UDTF extension surface (SURVEY §2.11) must agree with the
+    # production Catalyst path (shingles + explode) on the shingle SET
+    from nyc_taxi_etl_spark.functions.udtf import register_udtfs
+    from nyc_taxi_etl_spark.operators.text import shingles
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+
+    from .conftest import SF_DIR
+
+    register_udtfs(spark)
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = {
+        (r["doc_id"], r["shingle"])
+        for r in spark.sql(
+            "SELECT d.doc_id, s.shingle FROM udtf_docs d, "
+            "LATERAL shingle_rows(d.text, 3) s"
+        ).collect()
+    }
+    via_catalyst = {
+        (r["doc_id"], r["s"])
+        for r in docs.select(
+            "doc_id", F.explode(shingles(F.col("text"), 3)).alias("s")
+        ).collect()
+    }
+    assert via_udtf == via_catalyst and len(via_udtf) > 0
