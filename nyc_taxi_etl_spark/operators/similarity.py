@@ -382,8 +382,12 @@ def ivf_knn(
     ]
 
     def cell_sims(vec):
-        # cosine against every centroid (centroids are unit vectors)
-        return F.array(*[dot(vec, c) / norm(vec) for c in ctr_lits])
+        # ranking score against every centroid. Centroids are unit
+        # vectors, so cosine = dot/norm(vec) — and norm(vec) is the
+        # same positive constant for all 16 cells, so it cannot change
+        # the argmax / top-n_probe choice: rank by the raw dots and
+        # skip 16 norm folds per row.
+        return F.array(*[dot(vec, c) for c in ctr_lits])
 
     # corpus assignment: argmax cell, one narrow JVM pass
     c_sims = cell_sims(F.col(vec_col))
