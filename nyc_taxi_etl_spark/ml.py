@@ -82,6 +82,12 @@ def kmeans_assign(
 
     assembler = VectorAssembler(inputCols=feats, outputCol="__features")
     vecs = assembler.transform(work)
+    if vecs.isEmpty():
+        # SURVEY §7.3: empty input yields a typed empty frame, never a
+        # fit() failure (MLlib KMeans cannot train on zero rows)
+        return (
+            df.withColumn("cluster", F.lit(0).cast("int")).limit(0)
+        )
     model = KMeans(k=k, seed=seed, featuresCol="__features", predictionCol="cluster").fit(vecs)
     return model.transform(vecs).drop("__features", *feats)
 

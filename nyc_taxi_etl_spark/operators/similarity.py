@@ -330,6 +330,8 @@ def _train_coarse_centroids(
         .toPandas()[vec_col]
         .tolist()
     )
+    if not sample:
+        return None  # empty corpus: caller falls back to exact scan
     X = np.asarray(sample, dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -376,6 +378,13 @@ def ivf_knn(
     from pyspark.sql import Window
 
     centroids = _train_coarse_centroids(corpus, vec_col, n_centroids, seed, fit_sample)
+    if centroids is None:
+        # no vectors to train a quantizer on — exact scan degenerates
+        # gracefully (same output schema, empty result on empty corpus)
+        return brute_force_knn(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
     ctr_lits = [
         F.array(*[F.lit(float(x)) for x in ctr]).alias(f"c{i}")
         for i, ctr in enumerate(centroids)

@@ -1,0 +1,71 @@
+"""Catalog-wide properties, run over EVERY registered query:
+
+* empty-input robustness (SURVEY §7.3 'aggregation over no rows /
+  empty files' — typed empty results, never a crash), against a
+  zero-row mirror of the test tables in the driver's single-file
+  layout;
+* physical-plan hygiene — no cartesian products and no row-at-a-time
+  Python UDFs anywhere in the catalog, with an explicit whitelist for
+  the two deliberate broadcast nested-loop joins (1-row scalar
+  broadcast in doc_top_terms; broadcast query side of the non-equi
+  self-exclusion in knn_bruteforce_cosine).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from nyc_taxi_etl_spark.plans import QUERIES
+
+from .conftest import SF_DIR, TABLES
+
+_STREAMING = {n for n in QUERIES if n.startswith("streaming_")}
+# global aggregates legitimately emit one (all-zero) row over no rows
+_GLOBAL_AGG = {"etl_filter_audit"}
+# media queries synthesize their blobs (no media table in testdata) —
+# input-independent by design, so 'empty input' doesn't apply to them
+_SYNTHETIC = {n for n in QUERIES if n.startswith("media_")}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    """Zero-row mirror of every test table, preserving exact physical
+    schemas (incl. events' TIMESTAMP(NANOS)) and the driver's
+    one-file-per-table layout."""
+    d = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        schema = pq.read_schema(os.path.join(SF_DIR, f"{t}.parquet"))
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - _SYNTHETIC))
+def test_query_survives_empty_input(spark, empty_sf_dir, name):
+    out = QUERIES[name](spark, empty_sf_dir)
+    rows = out.limit(5).collect()
+    if name in _GLOBAL_AGG:
+        assert len(rows) == 1 and all(v in (0, None) for v in rows[0])
+    elif name not in _STREAMING:
+        assert rows == []  # empty in → empty out
+    assert len(out.schema.fields) > 0  # typed result, not a bare error
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - _STREAMING))
+def test_catalog_plan_hygiene(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, name
+    # row-at-a-time Python UDFs never appear; Arrow-batched plans
+    # (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the
+    # only Python operators allowed
+    assert "BatchEvalPython" not in plan, name
+    if name not in {"doc_top_terms", "knn_bruteforce_cosine"}:
+        assert "BroadcastNestedLoopJoin" not in plan, name
