@@ -45,6 +45,7 @@ __all__ = [
     "user_running_totals",
     "dedup_events_stream",
     "run_available_now",
+    "stream_upsert_to_table",
 ]
 
 def read_events_stream(
@@ -236,6 +237,41 @@ def dedup_events_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_upsert_to_table(
+    sdf: DataFrame,
+    table,
+    keys: tuple[str, ...],
+    checkpoint_dir: str,
+    version_col: str | None = None,
+    timeout_s: int = 300,
+) -> None:
+    """Streaming CDC sink: merge each micro-batch into a
+    ``sources/versioned.py::VersionedTable`` keep-latest — the
+    foreachBatch lakehouse-upsert pattern (the streaming twin of the
+    reference's manifest skip-if-exists incrementality, upgraded to
+    row-level merges).
+
+    Delivery contract: the stream checkpoint gives at-least-once batch
+    delivery; the keep-latest merge on ``keys`` makes redelivered rows
+    idempotent, and the table's atomic commit protocol means a crash
+    mid-merge leaves only an invisible orphan — the retried batch
+    simply merges again. Empty micro-batches publish no commit.
+    """
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        table.upsert(batch, keys=list(keys), version_col=version_col)
+
+    q = (
+        sdf.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
 
 
 def run_available_now(

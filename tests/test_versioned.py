@@ -100,3 +100,47 @@ def test_empty_table_read_raises(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "empty"))
     with pytest.raises(FileNotFoundError):
         t.read()
+
+
+def test_streaming_cdc_into_versioned_table(spark, tmp_path):
+    # foreachBatch lakehouse-upsert: stream files land over time, each
+    # micro-batch merges keep-latest into the versioned table; a second
+    # drain of overlapping (corrected) data converges, and every state
+    # is time-travelable
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+    from nyc_taxi_etl_spark.streaming.events import (
+        read_events_stream,
+        stream_upsert_to_table,
+    )
+
+    src = str(tmp_path / "in")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(200).cache()
+    ev.write.parquet(src)
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    stream_upsert_to_table(
+        stream, t, keys=("event_id",), checkpoint_dir=str(tmp_path / "ck1")
+    )
+    assert t.read().count() == 200
+    first_version = t.latest_version()
+
+    # corrections arrive: same event_ids, values doubled — new files,
+    # fresh checkpoint (a new CDC feed over the same table)
+    corrected = ev.withColumn("value", F.col("value") * 2)
+    corr_src = str(tmp_path / "in2")
+    corrected.write.parquet(corr_src)
+    stream2 = read_events_stream(spark, corr_src, max_files_per_trigger=None)
+    stream_upsert_to_table(
+        stream2, t, keys=("event_id",), checkpoint_dir=str(tmp_path / "ck2")
+    )
+
+    merged = t.read()
+    assert merged.count() == 200  # keep-latest, no duplicates
+    base_sum = ev.agg(F.sum("value")).first()[0]
+    got_sum = merged.agg(F.sum("value")).first()[0]
+    assert abs(got_sum - 2 * base_sum) < 1e-6
+    # prior state still time-travelable
+    old_sum = t.read(version=first_version).agg(F.sum("value")).first()[0]
+    assert abs(old_sum - base_sum) < 1e-6
+    ev.unpersist()
