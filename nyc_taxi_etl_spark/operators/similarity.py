@@ -201,6 +201,7 @@ def hyperplane_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs sharing a hyperplane-LSH bucket in
     ANY table — the sub-quadratic candidate gate for embedding near-dup
@@ -213,10 +214,19 @@ def hyperplane_lsh_pairs(
     are wide by design and the shuffle join streams them — same
     rationale as the simhash path (operators/dedup.py).
 
+    ``probe_hamming=1`` enables multiprobe (Lv et al., VLDB'07): ONE
+    side of the join additionally emits every bucket at Hamming
+    distance 1 (flip each sign bit), so pairs whose signatures differ
+    by a single near-boundary bit still collide — a recall dial that
+    multiplies one join side by (bits+1) instead of adding whole
+    tables (which would re-pay the signature computation).
+
     Scale: with b bits per table, each table's join touches ~n²/2^b
     candidate pairs on uniform geometry and far fewer on clustered
     real-world embeddings; no full cross join ever materializes.
     """
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming must be 0 or 1")
     bucket_arr = F.array(
         *[
             _signature(F.col(vec_col), hyperplanes(dim, bits, seed=seed + tbl))
@@ -227,16 +237,41 @@ def hyperplane_lsh_pairs(
         F.col(id_col).alias("id"),
         F.posexplode(bucket_arr).alias("tbl", "bucket"),
     )
-    a = banded.alias("a")
+    probed = banded
+    if probe_hamming == 1:
+        # identity + each single-bit flip, exploded row-locally; only
+        # this side probes (probing both would double the radius)
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+                for j in range(bits)
+            ],
+        )
+        probed = banded.select(
+            "id", "tbl", F.explode(probes).alias("bucket")
+        )
+    a = probed.alias("a")
     b = banded.alias("b")
+    # without probing the sides are identical, so a.id < b.id sees every
+    # pair; with one-sided probing a Hamming-1 collision may only appear
+    # as (probe, exact) in one orientation — join on != and normalize
+    id_cond = (
+        F.col("a.id") < F.col("b.id")
+        if probe_hamming == 0
+        else F.col("a.id") != F.col("b.id")
+    )
     return (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+            & id_cond,
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
         .distinct()
     )
 

@@ -304,3 +304,29 @@ def test_embedding_lsh_pairs_recall_and_precision(spark):
     }
     assert gated <= exact
     assert len(gated) / len(exact) >= 0.4
+
+
+def test_multiprobe_lsh_improves_recall(spark):
+    # probe_hamming=1 must be a superset of the unprobed candidates and
+    # lift recall of the gated near-pairs vs the exact result
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_pairs(emb, threshold=0.35).collect()
+    }
+
+    def gated(ph):
+        cand = S.hyperplane_lsh_pairs(
+            emb, bits=4, tables=6, dim=64, seed=7, probe_hamming=ph
+        )
+        return {
+            (r["id_a"], r["id_b"])
+            for r in S.cosine_near_pairs(
+                emb, threshold=0.35, candidates=cand
+            ).collect()
+        }
+
+    plain, probed = gated(0), gated(1)
+    assert plain <= probed <= exact
+    assert len(probed) > len(plain)
+    assert len(probed) / len(exact) >= 0.8
