@@ -305,3 +305,112 @@ def test_lm_empty_document_gets_null_scores(spark):
     row = lm.score_documents(df, model).first()
     assert row.n_tokens == 0
     assert row.avg_logprob is None and row.perplexity is None
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal
+# ---------------------------------------------------------------------------
+
+_HEADER = "subscribe to our newsletter today"
+_FOOTER = "all rights reserved"
+# Bodies share NO word across docs — shared body words would correctly
+# become boilerplate themselves and mask more than the template.
+_BOILER_DOCS = [
+    (i, f"{_HEADER} alpha{i} beta{i} gamma{i} delta{i} {_FOOTER}")
+    for i in range(8)
+] + [(8, "a fully unique document with no template at all"), (9, "")]
+
+
+def _boiler_oracle_sql(source: str, k: int, frac: float) -> str:
+    toks = (
+        "CASE WHEN trim(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) = ''"
+        " THEN CAST([] AS VARCHAR[]) ELSE string_split("
+        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') END"
+    )
+    return f"""
+    WITH norm AS (SELECT doc_id, {toks} AS toks FROM {source}),
+    sh AS (
+      SELECT doc_id, i,
+             array_to_string(list_slice(toks, CAST(i+1 AS INT),
+                                        CAST(i+{k} AS INT)), ' ') AS s
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - {k} + 1, 0))) AS i
+            FROM norm)),
+    n AS (SELECT count(*) AS n FROM {source}),
+    b AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS d FROM sh GROUP BY 1), n
+          WHERE d >= ceil({frac} * n)),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + {k})) AS p
+            FROM sh WHERE s IN (SELECT s FROM b)),
+    tok AS (SELECT doc_id, i AS p, toks[CAST(i+1 AS INT)] AS tkn, len(toks) AS n_tok
+            FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM norm)),
+    kept AS (SELECT t.doc_id, t.p, t.tkn FROM tok t
+             ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p),
+    agg AS (SELECT doc_id, string_agg(tkn, ' ' ORDER BY p) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    nt AS (SELECT doc_id, len(toks) AS n_tokens FROM norm)
+    SELECT nt.doc_id,
+           COALESCE(agg.clean_text, '') AS clean_text,
+           CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+           CAST(nt.n_tokens - COALESCE(agg.n_kept, 0) AS BIGINT) AS removed_tokens
+    FROM nt LEFT JOIN agg USING (doc_id)
+    """
+
+
+def test_remove_boilerplate_strips_template_keeps_body(spark):
+    from nyc_taxi_etl_spark.operators import boilerplate
+
+    df = spark.createDataFrame(_BOILER_DOCS, ["doc_id", "text"])
+    out = (
+        boilerplate.remove_boilerplate(df, min_doc_frac=0.5)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i in range(8):
+        clean = out.loc[i, "clean_text"]
+        assert _HEADER not in clean and _FOOTER not in clean
+        assert f"alpha{i} beta{i} gamma{i} delta{i}" in clean
+        assert out.loc[i, "removed_tokens"] > 0
+    # untemplated + empty docs untouched
+    assert out.loc[8, "clean_text"] == _BOILER_DOCS[8][1]
+    assert out.loc[8, "removed_tokens"] == 0
+    assert out.loc[9, "clean_text"] == "" and out.loc[9, "n_tokens"] == 0
+
+
+def test_remove_boilerplate_matches_duckdb(spark, duck):
+    from nyc_taxi_etl_spark.operators import boilerplate
+
+    pdf = pd.DataFrame(_BOILER_DOCS, columns=["doc_id", "text"])
+    duck.register("boiler_docs", pdf)
+    oracle = duck.execute(_boiler_oracle_sql("boiler_docs", 3, 0.5)).df()
+    out = boilerplate.remove_boilerplate(
+        spark.createDataFrame(_BOILER_DOCS, ["doc_id", "text"]),
+        min_doc_frac=0.5,
+    ).toPandas()
+    assert_frames_match(out, oracle, "remove_boilerplate")
+    duck.unregister("boiler_docs")
+
+
+def test_remove_boilerplate_corpus_matches_duckdb(spark, duck):
+    from nyc_taxi_etl_spark.operators import boilerplate
+
+    out = boilerplate.remove_boilerplate(
+        _docs(spark), min_doc_frac=0.02
+    ).toPandas()
+    oracle = duck.execute(_boiler_oracle_sql("documents", 3, 0.02)).df()
+    assert_frames_match(out, oracle, "remove_boilerplate_corpus")
+
+
+def test_boilerplate_shingle_set_is_bounded(spark):
+    from nyc_taxi_etl_spark.operators import boilerplate
+
+    df = spark.createDataFrame(_BOILER_DOCS, ["doc_id", "text"])
+    found = boilerplate.boilerplate_shingles(df, min_doc_frac=0.5).toPandas()
+    assert len(found) > 0
+    assert (found["doc_freq"] >= 5).all()
+    # every detected shingle is made of template words only — the
+    # per-doc body words never reach the boilerplate set
+    template_words = set((_HEADER + " " + _FOOTER).split())
+    for s in found["shingle"]:
+        assert set(s.split()) <= template_words
