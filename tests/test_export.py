@@ -1,0 +1,111 @@
+"""Training-corpus export: deterministic split assignment (DuckDB
+parity on the md5 bucket), fraction accuracy, seed sensitivity, and
+globally-ordered shuffled shards."""
+
+from __future__ import annotations
+
+import glob
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_spark.operators import export
+from nyc_taxi_etl_spark.sources.catalog import load_table
+
+from .compare import assert_frames_match
+from .conftest import SF_DIR
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_split_matches_duckdb(spark, duck):
+    out = export.train_val_test_split(
+        _docs(spark).select("doc_id"),
+        fracs={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=3,
+    ).toPandas()
+    oracle = duck.execute(
+        """
+        SELECT doc_id,
+               CASE WHEN b < 800000 THEN 'train'
+                    WHEN b < 900000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5('split:3:' || CAST(doc_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 1000000 AS b
+              FROM documents)
+        """
+    ).df()
+    assert_frames_match(out, oracle, "train_val_test_split")
+
+
+def test_split_fractions_and_determinism(spark):
+    ev = load_table(spark, SF_DIR, "events").select("event_id")
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = export.train_val_test_split(ev, "event_id", fr, seed=1)
+    counts = {
+        r["split"]: r["n"]
+        for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    for name, frac in fr.items():
+        assert abs(counts[name] / total - frac) < 0.02
+    # determinism: identical plans give identical assignment
+    b = export.train_val_test_split(ev, "event_id", fr, seed=1)
+    assert a.exceptAll(b).count() == 0
+    # seed sensitivity: a different seed moves some rows
+    c = export.train_val_test_split(ev, "event_id", fr, seed=2)
+    assert a.exceptAll(c).count() > 0
+
+
+def test_split_rejects_bad_fractions(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        export.train_val_test_split(
+            _docs(spark), fracs={"train": 0.5, "val": 0.1}
+        )
+
+
+def test_export_shuffled_shards_are_globally_ordered(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    export.export_shuffled(
+        _docs(spark).select("doc_id", "text"), path, seed=5, num_shards=4
+    )
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) == 4
+    # read each shard standalone; recompute the order key pandas-side
+    import hashlib
+
+    def key(doc_id):
+        return hashlib.md5(f"shuffle:5:{doc_id}".encode()).hexdigest()
+
+    ranges = []
+    n_rows = 0
+    for f in files:
+        pdf = pd.read_parquet(f)
+        n_rows += len(pdf)
+        ks = pdf["doc_id"].map(key)
+        assert ks.is_monotonic_increasing  # sorted within shard
+        ranges.append((ks.min(), ks.max()))
+    # shards hold disjoint, increasing key ranges (global total order)
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b
+    assert n_rows == _docs(spark).count()
+    # round-trip preserves the id set exactly
+    back = spark.read.parquet(path)
+    assert back.select("doc_id").exceptAll(_docs(spark).select("doc_id")).count() == 0
+
+
+def test_export_respects_max_records_per_file(spark, tmp_path):
+    path = str(tmp_path / "small")
+    export.export_shuffled(
+        _docs(spark).select("doc_id"), path, num_shards=2,
+        max_records_per_file=100,
+    )
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert all(len(pd.read_parquet(f)) <= 100 for f in files)
+    assert len(files) >= 5  # 500 docs / 100-cap
