@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .text import token_count, tokens
 
@@ -145,9 +146,14 @@ def pack_sequences(
     Returns ``(id_col, n_tokens, pack_id, pack_offset)``.
     """
     doc_id = F.col(id_col)
+    # Three consumers read this projection (min/max probe, phase-1
+    # cumsum, phase-2 totals) and Spark does not reuse the exchange
+    # across them — without a persist that is three scans of the full
+    # text. The projection is two longs per document (no text), so
+    # caching it trades O(16 bytes × docs) memory/disk for two scans.
     base = df.select(
         doc_id, token_count(F.col(text_col)).alias("n_tokens")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hi_lo = base.agg(
         F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi")
     )

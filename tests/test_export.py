@@ -109,3 +109,41 @@ def test_export_respects_max_records_per_file(spark, tmp_path):
     files = glob.glob(f"{path}/part-*.parquet")
     assert all(len(pd.read_parquet(f)) <= 100 for f in files)
     assert len(files) >= 5  # 500 docs / 100-cap
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_prepare_training_corpus_end_to_end(spark, tmp_path):
+    from nyc_taxi_etl_spark.operators import pipeline
+
+    path = str(tmp_path / "train_corpus")
+    chunks = pipeline.prepare_training_corpus(
+        _docs(spark),
+        output_path=path,
+        quality_threshold=0.5,
+        jaccard_threshold=0.5,
+        chunk_tokens=32,
+        fracs={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=11,
+        num_shards=2,
+    )
+    pdf = chunks.toPandas()
+    assert set(pdf.columns) == {
+        "doc_id", "chunk_ix", "chunk_text", "chunk_tokens", "split",
+    }
+    assert len(pdf) > 0
+    assert (pdf["chunk_tokens"] <= 32).all()
+    # one split per document: sibling chunks never straddle
+    assert (pdf.groupby("doc_id")["split"].nunique() == 1).all()
+    # curation actually dropped near-duplicates (the corpus has planted
+    # dup groups; curate keeps min-id representatives)
+    assert pdf["doc_id"].nunique() < _docs(spark).count()
+    # written shards round-trip per split with matching chunk counts
+    for name, grp in pdf.groupby("split"):
+        back = spark.read.parquet(f"{path}/split={name}")
+        assert back.count() == len(grp)
+        assert set(back.columns) == {"doc_id", "chunk_ix", "chunk_text",
+                                     "chunk_tokens"}
