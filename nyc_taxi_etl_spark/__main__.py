@@ -100,6 +100,36 @@ def cmd_report(args) -> int:
         spark.stop()
 
 
+def cmd_prepare(args) -> int:
+    from .operators.pipeline import prepare_training_corpus
+    from .sources.catalog import load_table
+
+    spark = _session("prepare")
+    try:
+        docs = load_table(spark, args.sf_dir, "documents")
+        chunks = prepare_training_corpus(
+            docs,
+            output_path=args.out,
+            quality_threshold=args.quality,
+            jaccard_threshold=args.jaccard,
+            chunk_tokens=args.chunk_tokens,
+            chunk_overlap=args.overlap,
+            seed=args.seed,
+            num_shards=args.shards,
+        )
+        stats = {
+            r["split"]: r["n"]
+            for r in chunks.groupBy("split")
+            .agg(__import__("pyspark.sql.functions", fromlist=["count"])
+                 .count("*").alias("n"))
+            .collect()
+        }
+        print(json.dumps({"output": args.out, "chunks_per_split": stats}))
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="nyc_taxi_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
