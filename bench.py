@@ -46,6 +46,9 @@ EXTENSION = [
     "curate_documents",
     "purchase_asof_prior_error",
     "orders_upsert_status_totals",
+    "doc_chunks_packed",
+    "doc_lm_scores",
+    "doc_boilerplate_removal",
 ]
 
 

@@ -57,8 +57,9 @@ def cmd_etl(args) -> int:
 
 
 def cmd_query(args) -> int:
-    from .plans import QUERIES
+    from .plans import QUERIES, QUERIES_EXTRA
 
+    QUERIES = {**QUERIES, **QUERIES_EXTRA}
     if args.name not in QUERIES:
         print(f"unknown query {args.name!r}; see `queries`", file=sys.stderr)
         return 1

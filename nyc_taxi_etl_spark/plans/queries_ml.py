@@ -101,7 +101,7 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@query("media_video_frames")
+@query("media_video_frames", extra=True)
 def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video pipeline: frame container binary column →
     every-Nth-frame sampling via mapInPandas, one row per kept frame

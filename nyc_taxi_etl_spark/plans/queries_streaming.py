@@ -132,6 +132,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(sum(coalesce(value, 0)), 4) AS value_total
     FROM events GROUP BY 1
     """,
+    extra=True,
 )
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful operator (applyInPandasWithState running

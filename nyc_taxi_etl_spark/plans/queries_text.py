@@ -665,6 +665,7 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT shingle, CAST(count(*) AS BIGINT) AS df
     FROM ex GROUP BY 1 ORDER BY df DESC, shingle LIMIT 100
     """,
+    extra=True,
 )
 def shingle_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 word-3-shingles by document frequency — the boilerplate

@@ -1,0 +1,290 @@
+"""Driver-visible catalog entries for the training-corpus operators.
+
+The reference repo stops at analytics tables; the north-star charter
+adds the last mile of an LLM data pipeline — chunking/packing, PII
+redaction, corpus-LM quality scoring, boilerplate removal, and
+deterministic train/val/test splits (``operators/chunking.py``,
+``redact.py``, ``lm.py``, ``boilerplate.py``, ``export.py``). Each
+entry here runs the real operator over the ``documents`` table and
+carries a value-exact DuckDB oracle, so the driver's hash gate covers
+the training family the same way it covers the SURVEY §2 inventory.
+
+Every float is r4-rounded and every count BIGINT on both sides (the
+catalog-wide hash conventions, see ``queries.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.boilerplate import remove_boilerplate
+from ..operators.chunking import chunk_by_tokens, pack_sequences
+from ..operators.export import shuffle_order_key, train_val_test_split
+from ..operators.lm import score_documents, train_unigram
+from ..operators.redact import PII_RULES, redact_documents
+from .queries import query, t
+from .queries_text import _SQL_TOKENS
+
+# Chunk/pack parameters shared by the Spark plan and the SQL oracle.
+_CHUNK, _OVERLAP, _CAP = 16, 4, 256
+_STRIDE = _CHUNK - _OVERLAP
+_CID = 1 << 20  # composite chunk id base: doc_id * _CID + chunk_ix
+
+
+@query(
+    "doc_chunks_packed",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    ch AS (
+      SELECT doc_id, i AS chunk_ix,
+             array_to_string(
+               list_slice(w, i*{_STRIDE}+1, i*{_STRIDE}+{_CHUNK}), ' '
+             ) AS chunk_text,
+             least({_CHUNK}, len(w) - i*{_STRIDE}) AS n_tokens
+      FROM tok,
+           unnest([x for x in generate_series(
+             0, CAST(floor((len(w)-1)/{_STRIDE}.0) AS INT))]) AS u(i)
+      WHERE len(w) > 0),
+    c2 AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id, chunk_ix
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS before
+      FROM ch)
+    SELECT doc_id, CAST(chunk_ix AS BIGINT) AS chunk_ix, chunk_text,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(before // {_CAP} AS BIGINT) AS pack_id,
+           CAST(before % {_CAP} AS BIGINT) AS pack_offset
+    FROM c2
+    """,
+)
+def doc_chunks_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into 16-token windows (overlap 4) and lay
+    the chunks out into 256-token training packs
+    — the concat-then-split packing of LLM pretraining, run over the
+    real chunker + two-phase-prefix-sum packer (``operators/chunking``).
+
+    Scale: chunking is a row-local explode (zero shuffles); packing's
+    global running total uses the parallel two-phase prefix sum — the
+    only unpartitioned window touches the 16-row bucket-totals table,
+    never the data (see ``pack_sequences``). The re-join of pack
+    assignments to chunk text is on the composite chunk id — an
+    AQE-sized equi-join on the output grain.
+    """
+    chunks = chunk_by_tokens(
+        t(spark, sf_dir, "documents"), chunk_tokens=_CHUNK, overlap=_OVERLAP
+    )
+    keyed = chunks.select(
+        (F.col("doc_id") * _CID + F.col("chunk_ix")).alias("cid"),
+        "chunk_text",
+    )
+    packed = pack_sequences(
+        keyed, text_col="chunk_text", id_col="cid", capacity=_CAP, buckets=16
+    )
+    return (
+        packed.join(keyed, "cid")
+        .select(
+            F.floor(F.col("cid") / _CID).cast("long").alias("doc_id"),
+            (F.col("cid") % _CID).cast("long").alias("chunk_ix"),
+            "chunk_text",
+            "n_tokens",
+            "pack_id",
+            "pack_offset",
+        )
+    )
+
+
+def _pii_inject_sql() -> str:
+    """The deterministic synthetic-PII suffix, DuckDB side (the corpus
+    itself is PII-free word soup, so both engines append the same
+    doc_id-derived identifiers before redacting)."""
+    return (
+        "text || ' reach me at user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or https://example.com/u/' || CAST(doc_id AS VARCHAR)"
+        " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 card 4111-1111-1111-1111 ssn 987-65-4320 call (212) 555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+
+
+def _pii_inject_spark() -> F.Column:
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" reach me at user"),
+        did,
+        F.lit("@example.com or https://example.com/u/"),
+        did,
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 card 4111-1111-1111-1111 ssn 987-65-4320 call (212) 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+def _pii_sql() -> str:
+    # Nested regexp_replace in rule order ('g' = replace all, matching
+    # Spark's default); patterns are lookaround-free so Java regex and
+    # RE2 agree (see operators/redact.py). Built from PII_RULES so the
+    # oracle can never drift from the operator.
+    redacted = "t2"
+    for _, pattern, placeholder in PII_RULES:
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{placeholder}', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(t2, '{pattern}')) AS BIGINT)"
+        f" AS {name}_count"
+        for name, pattern, _ in PII_RULES
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_pii_inject_sql()} AS t2 FROM documents)
+    SELECT doc_id,
+           {redacted} AS redacted_text,
+           {counts}
+    FROM t
+    """
+
+
+@query("doc_pii_redaction", _pii_sql())
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + per-class audit counts over the documents table
+    (``operators/redact.py``): emails, URLs, IPv4, card/SSN/phone-shaped
+    digit runs rewritten to placeholders, counts measured on the
+    original text. Synthetic identifiers are injected deterministically
+    from doc_id (identically on both engines) since the corpus has none.
+
+    Scale: a chain of codegen'd regexp_replace/regexp_count expressions
+    — row-local, zero shuffles, no Python; 100 TB cost is one pass of
+    the scan through whole-stage codegen.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _pii_inject_spark().alias("text")
+    )
+    return redact_documents(docs)
+
+
+@query(
+    "doc_lm_scores",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+    model AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total,
+                   CAST(count(*) AS DOUBLE) AS vocab FROM model),
+    sc AS (
+      SELECT tok.doc_id, count(*) AS n_tokens,
+             avg(ln((model.c + 0.5) / (total + 0.5 * (vocab + 1)))) AS a
+      FROM tok JOIN model USING (token), tot
+      GROUP BY tok.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(a, 4) AS avg_logprob, ROUND(exp(-a), 4) AS perplexity
+    FROM sc
+    """,
+)
+def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM quality scores (``operators/lm.py``):
+    train token→count over the corpus, score each document's mean token
+    log-probability with add-0.5 smoothing, report perplexity — the
+    standard "how typical is this document of its corpus" curation axis.
+
+    Scale: training is ONE hash-agg on token; scoring joins exploded
+    tokens to the model with the join strategy left to AQE (broadcast
+    when the vocabulary fits, sort-merge for billion-type corpora);
+    corpus totals ride the 1-row broadcast scalar-join pattern.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return score_documents(docs, train_unigram(docs))
+
+
+@query(
+    "doc_boilerplate_removal",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    shl AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(list_slice(w, i, i+2), ' ')
+                        for i in generate_series(1, len(w)-2)]
+                  ELSE [] END AS sh
+      FROM tok),
+    df AS (
+      SELECT shingle, count(*) AS doc_freq
+      FROM (SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM shl)
+      GROUP BY 1),
+    bl AS (
+      SELECT coalesce(list(shingle), []) AS b FROM df
+      WHERE doc_freq >= ceil(0.01 * (SELECT count(*) FROM documents))),
+    kept AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             CASE WHEN len(w) >= 3 THEN
+               [w[i] for i in generate_series(1, len(w))
+                if len([j for j in generate_series(greatest(1, i-2),
+                                                   least(i, len(w)-2))
+                        if list_contains(b, sh[j])]) = 0]
+             ELSE w END AS kw
+      FROM shl, bl)
+    SELECT doc_id, array_to_string(kw, ' ') AS clean_text,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - len(kw) AS BIGINT) AS removed_tokens
+    FROM kept
+    """,
+)
+def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate masking
+    (``operators/boilerplate.py``): word 3-grams present in ≥1% of
+    documents are detected corpus-wide, and every token covered by one
+    is dropped from the emitted text.
+
+    Scale: the boilerplate set is bounded independent of corpus size
+    (pigeonhole on the df mass — ≤ shingles-per-doc / min_doc_frac
+    entries), so it is a legitimate broadcast; detection is one
+    hash-agg on the shingle key, masking is row-local
+    higher-order-function work. Zero extra shuffles, no Python.
+    """
+    return remove_boilerplate(
+        t(spark, sf_dir, "documents"), k=3, min_doc_frac=0.01
+    )
+
+
+@query(
+    "training_split_counts",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5('split:0:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % 1000000 AS b,
+             md5('shuffle:0:' || CAST(doc_id AS VARCHAR)) AS ok
+      FROM documents)
+    SELECT CASE WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(ok) AS first_order_key
+    FROM s GROUP BY 1
+    """,
+)
+def training_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment + the shuffled
+    export's order key (``operators/export.py``): per-split document
+    and character totals, plus the minimum shuffle-order key (pins the
+    md5 order-key derivation cross-engine).
+
+    Scale: split assignment is a narrow md5→CASE projection (no
+    shuffle, composes with scan pruning); the rollup is one hash-agg on
+    a 3-value key. Key-hash determinism is the point — the same doc
+    lands in the same split on every engine, run, and retry, which
+    seeded RNGs cannot promise on Spark.
+    """
+    docs = train_val_test_split(
+        t(spark, sf_dir, "documents"),
+        fracs={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=0,
+    )
+    return docs.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min(shuffle_order_key(F.col("doc_id"), seed=0)).alias(
+            "first_order_key"
+        ),
+    )

@@ -20,9 +20,12 @@ import os
 import pyarrow.parquet as pq
 import pytest
 
-from nyc_taxi_etl_spark.plans import QUERIES
+from nyc_taxi_etl_spark.plans import QUERIES as _MAIN
+from nyc_taxi_etl_spark.plans import QUERIES_EXTRA
 
 from .conftest import SF_DIR, TABLES
+
+QUERIES = {**_MAIN, **QUERIES_EXTRA}
 
 _STREAMING = {n for n in QUERIES if n.startswith("streaming_")}
 # global aggregates legitimately emit one (all-zero) row over no rows
@@ -67,5 +70,16 @@ def test_catalog_plan_hygiene(spark, name):
     # (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the
     # only Python operators allowed
     assert "BatchEvalPython" not in plan, name
-    if name not in {"doc_top_terms", "knn_bruteforce_cosine"}:
+    # Whitelisted BroadcastNestedLoopJoins are all bounded build sides:
+    # 1-row scalar aggregates (doc_top_terms N, lm corpus totals,
+    # pack_sequences' min/max id probe), the pigeonhole-bounded
+    # boilerplate shingle list, and the broadcast query side of
+    # knn_bruteforce_cosine's non-equi self-exclusion.
+    if name not in {
+        "doc_top_terms",
+        "knn_bruteforce_cosine",
+        "doc_lm_scores",
+        "doc_chunks_packed",
+        "doc_boilerplate_removal",
+    }:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -6,22 +6,34 @@ from __future__ import annotations
 
 import pytest
 
-from nyc_taxi_etl_spark.plans import ORACLE, QUERIES
+from nyc_taxi_etl_spark.plans import (
+    ORACLE,
+    ORACLE_EXTRA,
+    QUERIES,
+    QUERIES_EXTRA,
+)
 
 from .compare import assert_frames_match
 from .conftest import SF_DIR
 
+# The overflow registry (driver catalog caps at ~50 entries) is tested
+# identically to the driver-visible catalog.
+ALL_QUERIES = {**QUERIES, **QUERIES_EXTRA}
+ALL_ORACLE = {**ORACLE, **ORACLE_EXTRA}
 
-@pytest.mark.parametrize("name", sorted(ORACLE))
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLE))
 def test_query_matches_oracle(name, spark, duck):
-    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
-    duck_pdf = duck.execute(ORACLE[name]).df()
+    spark_pdf = ALL_QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(ALL_ORACLE[name]).df()
     assert len(spark_pdf) > 0, f"{name}: empty result"
     assert_frames_match(spark_pdf, duck_pdf, name)
 
 
 def test_all_queries_have_entries(spark):
-    assert set(ORACLE) <= set(QUERIES)
-    for name in QUERIES:
-        df = QUERIES[name](spark, SF_DIR)
+    assert set(ALL_ORACLE) <= set(ALL_QUERIES)
+    assert not set(QUERIES) & set(QUERIES_EXTRA)
+    assert len(QUERIES) <= 50, "driver snapshot caps at ~50 entries"
+    for name in ALL_QUERIES:
+        df = ALL_QUERIES[name](spark, SF_DIR)
         assert df.columns, name

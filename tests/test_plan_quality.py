@@ -10,7 +10,9 @@ import io
 
 import pytest
 
-from nyc_taxi_etl_spark.plans import QUERIES
+from nyc_taxi_etl_spark.plans import QUERIES, QUERIES_EXTRA
+
+ALL_QUERIES = {**QUERIES, **QUERIES_EXTRA}
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -18,7 +20,7 @@ SF_DIR = "/root/testdata/sf0.001"
 def _plan(spark, name: str) -> str:
     """Formatted explain output (untruncated scan details —
     executedPlan().toString() elides PushedFilters)."""
-    df = QUERIES[name](spark, SF_DIR)
+    df = ALL_QUERIES[name](spark, SF_DIR)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -67,7 +69,7 @@ def test_dim_joins_broadcast(spark):
     ],
 )
 def test_no_forced_broadcast_on_sf_scaled_tables(spark, name, allowed_hints):
-    df = QUERIES[name](spark, SF_DIR)
+    df = ALL_QUERIES[name](spark, SF_DIR)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint (strategy=broadcast)") == allowed_hints
 
