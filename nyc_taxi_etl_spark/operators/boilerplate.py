@@ -31,21 +31,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _ensure_parallelism
 from .text import _norm, tokens
 
 __all__ = ["boilerplate_shingles", "remove_boilerplate"]
 
 
-def _positional_shingles(toks, k: int):
+def _positional_shingles(norm_text, k: int):
     """Overlapping k-gram at every start position (duplicates kept —
-    position-aligned, unlike ``text.shingles``'s distinct set)."""
-    n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
-    )
+    position-aligned, unlike ``text.shingles``'s distinct set).
+
+    ONE regex pass over the already-normalized (single-spaced) text:
+    the lookahead captures the k-token window while the body consumes
+    one token, so every overlapping window is emitted in start order —
+    the same trick as ``text.shingles`` (see its docstring for the
+    anchoring argument). The earlier ``transform(sequence, slice)``
+    formulation was interpreted per element and copied O(k) per window
+    — measured 25× slower at sf0.1. Emits [] below k tokens.
+    """
+    pat = "(?=(" + "\\S+ " * (k - 1) + "\\S+))\\S+ ?"
+    return F.when(
+        F.size(tokens(norm_text)) >= k,
+        F.regexp_extract_all(norm_text, F.lit(pat), 1),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def boilerplate_shingles(
@@ -59,12 +67,11 @@ def boilerplate_shingles(
     ``(shingle, doc_freq)``. One explode + one hash-agg; the result is
     bounded by ``avg_shingles_per_doc / min_doc_frac`` rows (see module
     docstring), so downstream consumers may broadcast it."""
-    toks = tokens(_norm(F.col(text_col)))
-    per_doc = df.select(
+    per_doc = _ensure_parallelism(df).select(
         F.col(id_col),
-        F.explode(F.array_distinct(_positional_shingles(toks, k))).alias(
-            "shingle"
-        ),
+        F.explode(
+            F.array_distinct(_positional_shingles(_norm(F.col(text_col)), k))
+        ).alias("shingle"),
     )
     n_docs = df.select(F.count("*").alias("_n"))
     return (
@@ -96,19 +103,33 @@ def remove_boilerplate(
         boilerplate_shingles(df, text_col, id_col, k, min_doc_frac)
         .agg(F.collect_list("shingle").alias("_boiler"))
     )
-    toks = tokens(_norm(F.col(text_col)))
-    base = df.select(F.col(id_col), toks.alias("_toks")).crossJoin(
-        F.broadcast(boiler)
+    base = _ensure_parallelism(df).select(
+        F.col(id_col),
+        tokens(_norm(F.col(text_col))).alias("_toks"),
+        _norm(F.col(text_col)).alias("_nt"),
+    ).crossJoin(F.broadcast(boiler))
+    # Materialize the per-window boiler-hit bitmap as its OWN projection
+    # step. Referencing the shingle-array expression inside the nested
+    # position×window lambdas would make Catalyst re-build the whole
+    # array per (i, j) — O(n²·k) string construction per row (measured:
+    # 41 s → 1 s at sf0.1). As a multiply-referenced non-trivial alias
+    # it survives CollapseProject, so the bitmap is computed once per
+    # row and the mask is O(n·k) element_at probes.
+    base = base.withColumn(
+        "_hit",
+        F.transform(
+            _positional_shingles(F.col("_nt"), k),
+            lambda s: F.array_contains(F.col("_boiler"), s),
+        ),
     )
     n = F.size(F.col("_toks"))
-    sh = _positional_shingles(F.col("_toks"), k)
 
     def covered(i):
         lo = F.greatest(F.lit(0), i - (k - 1))
         hi = F.least(i, n - k)
         return (n >= k) & F.exists(
             F.sequence(lo, hi),
-            lambda j: F.array_contains(F.col("_boiler"), F.element_at(sh, j + 1)),
+            lambda j: F.element_at(F.col("_hit"), j + 1),
         )
 
     kept = F.filter(

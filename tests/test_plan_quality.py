@@ -153,3 +153,18 @@ def test_minhash_verify_prunes_before_shingling(spark):
     # plan carries LeftSemi joins under the posting explodes
     plan = _plan(spark, "minhash_lsh_near_pairs")
     assert "LeftSemi" in plan
+
+
+def test_pii_redaction_zero_shuffle_single_scan(spark):
+    # the regexp chain is row-local: no exchange of any kind, one scan
+    plan = _plan(spark, "doc_pii_redaction")
+    assert "Exchange" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_training_split_one_agg_shuffle(spark):
+    # md5->CASE split is a narrow projection; the rollup is one
+    # partial+final hash-agg on the 3-value split key
+    plan = _plan(spark, "training_split_counts")
+    assert plan.count("hashpartitioning(") == 1
+    assert "partial_count" in plan
