@@ -99,12 +99,18 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Composite document-quality heuristic in [0, 1]: rewards
     mid-length docs, lexical diversity and sane stopword mass
     (Gopher/C4-style rule-of-thumb filters, expressed as one Catalyst
-    expression)."""
-    toks = tokens(text)
+    expression).
+
+    Pass ``toks`` (a MATERIALIZED token-array column) when the caller
+    already split the text: expressions referenced inside HOF lambdas
+    are re-evaluated per element (no CSE there), so re-deriving the
+    split here multiplies tokenization cost across every consumer in
+    the same projection."""
+    toks = tokens(text) if toks is None else toks
     n_tok = F.size(toks).cast("double")
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
     stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast(
@@ -119,11 +125,14 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def language_id(text: Column) -> Column:
+def language_id(text: Column, toks: Column | None = None) -> Column:
     """Stopword-marker language-ID heuristic: score each language by
     marker-token hits; argmax with deterministic tiebreak (lexicographic
-    language code). 'und' when nothing matches."""
-    toks = tokens(_norm(text))
+    language code). 'und' when nothing matches.
+
+    ``toks`` (optional): pre-materialized NORMALIZED token array — see
+    :func:`quality_score` for why callers should pass it."""
+    toks = tokens(_norm(text)) if toks is None else toks
     scored = []
     for lang in sorted(LANG_MARKERS):
         hits = F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS[lang])))

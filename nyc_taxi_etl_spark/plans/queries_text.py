@@ -111,11 +111,24 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row features matters more than any other optimization here.
     """
     docs = t(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
+    # Materialize BOTH token arrays once per row (plain + normalized):
+    # every downstream feature references the materialized columns, so
+    # the split never re-evaluates inside the HOF lambdas (no CSE
+    # there) — this was an ~8× tokenization fan-out before. The
+    # projection survives CollapseProject because the aliases are
+    # non-cheap and multiply referenced.
+    base = D._ensure_parallelism(docs).select(
+        "doc_id",
+        "lang",
+        "text",
+        X.tokens(F.col("text")).alias("_toks"),
+        X.tokens(X._norm(F.col("text"))).alias("_ntoks"),
+    )
+    toks = F.col("_toks")
     n_tok = F.size(toks).cast("long")
     n_char = F.length("text").cast("long")
     spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
-    return docs.select(
+    return base.select(
         "doc_id",
         "lang",
         n_char.alias("n_char"),
@@ -130,8 +143,8 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stopword_ratio"),
         ((n_char - spaces).cast("double") / n_tok).alias("avg_token_len"),
         X.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpeish"),
-        X.quality_score(F.col("text")).alias("quality"),
-        X.language_id(F.col("text")).alias("pred_lang"),
+        X.quality_score(F.col("text"), toks=toks).alias("quality"),
+        X.language_id(F.col("text"), toks=F.col("_ntoks")).alias("pred_lang"),
         X.fingerprint(F.col("text")).alias("fingerprint"),
     )
 
