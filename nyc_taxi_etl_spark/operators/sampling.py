@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket_permille", "stratified_hash_sample"]
+__all__ = [
+    "hash_bucket_permille",
+    "stratified_hash_sample",
+    "mixture_rates",
+    "mixture_resample",
+]
 
 
 def hash_bucket_permille(key: Column) -> Column:
@@ -44,3 +49,86 @@ def stratified_hash_sample(
     for value, permille in rates_permille.items():
         rate = F.when(F.col(strata_col) == value, F.lit(permille)).otherwise(rate)
     return df.filter(hash_bucket_permille(F.col(key_col)) < rate)
+
+
+def _salted_bucket_permille(key: Column, salt: str) -> Column:
+    """Like :func:`hash_bucket_permille` but salted, so independent
+    sampling decisions (mixture vs split vs stratified) decorrelate."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+
+
+def mixture_rates(
+    df: DataFrame,
+    source_col: str,
+    weights_permille: dict[str, int],
+) -> DataFrame:
+    """Per-source keep rates that realize a target domain MIXTURE
+    (the Pile/Gopher-style "data mixture" knob: e.g. web 600‰, code
+    250‰, books 150‰ of the OUTPUT corpus) at the largest total the
+    inventory supports without oversampling any source.
+
+    All arithmetic is INTEGER (``DIV``), so the rates are bit-identical
+    cross-engine — no float-threshold divergence between the plan and
+    its SQL oracle:
+
+      * n_total  = min over sources of (n_src * 1000 DIV w_src) — the
+        output size at which the scarcest source is exhausted;
+      * rate_src = (w_src * n_total) DIV n_src per-mille of that
+        source's OWN rows, so expected kept ≈ w_src·n_total/1000.
+
+    Scale: one hash-agg over the corpus on the low-cardinality source
+    key (map-side partials collapse it), one 1-row global min joined
+    back as a broadcast scalar — the standard scalar-join pattern, no
+    driver collect. Returns (source, n_src, w_pm, rate_pm); sources
+    absent from ``weights_permille`` get rate 0 (dropped)."""
+    w: Column = F.lit(0)
+    for value, permille in weights_permille.items():
+        w = F.when(F.col(source_col) == value, F.lit(permille)).otherwise(w)
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count("*").alias("n_src"))
+        .withColumn("w_pm", w)
+    )
+    weighted = counts.filter(F.col("w_pm") > 0)
+    cap = weighted.select(
+        F.min(F.expr("n_src * 1000 DIV w_pm")).alias("n_total")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(cap))
+        .withColumn("rate_pm", F.expr("w_pm * n_total DIV n_src"))
+        .select(source_col, "n_src", "w_pm", "rate_pm")
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weights_permille: dict[str, int],
+    salt: str = "mix:0:",
+) -> DataFrame:
+    """Deterministically resample ``df`` to the target source mixture:
+    keep a row iff its salted key-hash per-mille bucket falls under its
+    source's :func:`mixture_rates` rate.
+
+    The rates side is one row per source (bounded like a dimension
+    table → broadcast); the corpus side stays a narrow filter after
+    the join — no corpus shuffle, no skew sensitivity (acceptance is
+    per-row, not per-partition), idempotent across retries/engines."""
+    rates = mixture_rates(df, source_col, weights_permille)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            _salted_bucket_permille(F.col(key_col), salt) < F.col("rate_pm")
+        )
+        .select(*df.columns)  # original schema/order, helper cols gone
+    )

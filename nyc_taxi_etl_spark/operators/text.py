@@ -26,6 +26,8 @@ __all__ = [
     "language_id",
     "fingerprint",
     "shingles",
+    "shingle_seq",
+    "repetition_metrics",
 ]
 
 # Marker stopwords per language for the n-gram/stopword language-ID
@@ -184,4 +186,99 @@ def shingles(text: Column, k: int = 3) -> Column:
         F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
             F.array().cast("array<string>")
         )
+    )
+
+
+def shingle_seq(text: Column, k: int = 2) -> Column:
+    """Overlapping word k-gram SEQUENCE (non-distinct, document order)
+    as array<string> — the multiset :func:`shingles` collapses. Needed
+    by repetition metrics, where the *count* of each k-gram is the
+    signal. Same one-regex-pass extraction (see :func:`shingles` for
+    the lookahead-anchoring argument); docs with fewer than k tokens
+    yield an empty array (no repetition is measurable)."""
+    t = _norm(text)
+    toks = tokens(t)
+    pat = "(?=(" + "\\S+ " * (k - 1) + "\\S+))\\S+ ?"
+    return F.when(
+        F.size(toks) >= k, F.regexp_extract_all(t, F.lit(pat), 1)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _sorted_run_stats(arr: Column) -> Column:
+    """struct(best, dup_pos) over an array: ``best`` = multiplicity of
+    the most frequent element, ``dup_pos`` = number of positions whose
+    element occurs more than once. One ``aggregate`` pass over the
+    sorted copy (equal elements are adjacent, so run lengths ARE
+    multiplicities). Row-local — the 100 TB alternative (explode +
+    groupBy per doc) would shuffle every k-gram occurrence in the
+    corpus; this keeps repetition analysis a narrow projection. The
+    HOF is interpreted per element, but arrays are document-sized
+    (~n_tokens), so the constant factor is bounded by doc length."""
+    s = F.array_sort(arr)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dup_pos"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        # A run reaching 2 retroactively marks its first position as
+        # duplicated (+2); further extensions add one position each.
+        dup_inc = (
+            F.when(run == 2, F.lit(2)).when(run > 2, F.lit(1)).otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["dup_pos"] + dup_inc).alias("dup_pos"),
+        )
+
+    return F.aggregate(
+        s,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["best"].alias("best"), acc["dup_pos"].alias("dup_pos")
+        ),
+    )
+
+
+def repetition_metrics(
+    text: Column, bg: Column | None = None, tg: Column | None = None
+) -> Column:
+    """Gopher-style intra-document repetition signals as
+    struct(top_bigram_frac, dup_trigram_frac):
+
+      * ``top_bigram_frac`` — occurrences of the single most frequent
+        word 2-gram / total 2-grams (Rae et al. 2021 "fraction of
+        characters in most common n-gram", token-count flavored);
+      * ``dup_trigram_frac`` — fraction of word-3-gram positions whose
+        trigram appears more than once ("fraction of duplicate
+        n-grams").
+
+    Both are exact-int ratios (bit-identical cross-engine) and fully
+    row-local — zero shuffles, composes into any per-doc projection.
+    High values flag degenerate/templated text that survives length
+    and stopword filters.
+
+    Pass ``bg``/``tg`` (MATERIALIZED k-gram array columns from
+    :func:`shingle_seq`) when composing into a wide projection — each
+    is referenced several times here, and a non-materialized regex
+    extraction would re-run per reference (same no-CSE trap
+    documented on :func:`quality_score`)."""
+    bg = shingle_seq(text, 2) if bg is None else bg
+    tg = shingle_seq(text, 3) if tg is None else tg
+    bs = _sorted_run_stats(bg)
+    ts = _sorted_run_stats(tg)
+    top = F.when(
+        F.size(bg) > 0, bs["best"].cast("double") / F.size(bg)
+    ).otherwise(F.lit(0.0))
+    dup = F.when(
+        F.size(tg) > 0, ts["dup_pos"].cast("double") / F.size(tg)
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        top.alias("top_bigram_frac"), dup.alias("dup_trigram_frac")
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import decontam as C
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as X
@@ -73,7 +74,34 @@ def _doc_profile_sql() -> str:
     WITH tok AS (
       SELECT doc_id, lang, text, {_SQL_TOKENS} AS w FROM documents
     ),
-    best AS (SELECT doc_id, list_aggregate({arr}, 'max') AS b FROM tok)
+    best AS (SELECT doc_id, list_aggregate({arr}, 'max') AS b FROM tok),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2 THEN
+               [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]
+             ELSE [] END AS bg,
+             CASE WHEN len(w) >= 3 THEN
+               [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                for i in generate_series(1, len(w)-2)]
+             ELSE [] END AS tg
+      FROM tok),
+    bgc AS (SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest(bg) AS g FROM grams) GROUP BY 1, 2),
+    bga AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+            FROM bgc GROUP BY 1),
+    tgc AS (SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest(tg) AS g FROM grams) GROUP BY 1, 2),
+    tga AS (SELECT doc_id,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos,
+                   sum(c) AS n_tg
+            FROM tgc GROUP BY 1),
+    rep AS (
+      SELECT g.doc_id,
+             coalesce(bga.top_c * 1.0 / bga.n_bg, 0.0) AS top_bigram_frac,
+             coalesce(tga.dup_pos * 1.0 / tga.n_tg, 0.0) AS dup_trigram_frac
+      FROM grams g
+      LEFT JOIN bga ON g.doc_id = bga.doc_id
+      LEFT JOIN tga ON g.doc_id = tga.doc_id)
     SELECT t.doc_id AS doc_id, t.lang AS lang,
            CAST(length(text) AS BIGINT) AS n_char,
            CAST(len(w) AS BIGINT) AS n_tokens,
@@ -88,8 +116,10 @@ def _doc_profile_sql() -> str:
              AS n_tokens_bpeish,
            {quality} AS quality,
            CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS pred_lang,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
-    FROM tok t JOIN best USING (doc_id)
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           rep.top_bigram_frac AS top_bigram_frac,
+           rep.dup_trigram_frac AS dup_trigram_frac
+    FROM tok t JOIN best USING (doc_id) JOIN rep USING (doc_id)
     """
 
 
@@ -123,7 +153,19 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         X.tokens(F.col("text")).alias("_toks"),
         X.tokens(X._norm(F.col("text"))).alias("_ntoks"),
+        X.shingle_seq(F.col("text"), 2).alias("_bg"),
+        X.shingle_seq(F.col("text"), 3).alias("_tg"),
     )
+    # Second projection layer: the repetition struct is non-cheap (an
+    # aggregate HOF) and referenced twice below, so CollapseProject
+    # keeps it materialized — computed once per row, not per field.
+    base = base.select(
+        "*",
+        X.repetition_metrics(
+            F.col("text"), bg=F.col("_bg"), tg=F.col("_tg")
+        ).alias("_rep"),
+    )
+    _rep = F.col("_rep")
     toks = F.col("_toks")
     n_tok = F.size(toks).cast("long")
     n_char = F.length("text").cast("long")
@@ -146,6 +188,8 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.quality_score(F.col("text"), toks=toks).alias("quality"),
         X.language_id(F.col("text"), toks=F.col("_ntoks")).alias("pred_lang"),
         X.fingerprint(F.col("text")).alias("fingerprint"),
+        _rep["top_bigram_frac"].alias("top_bigram_frac"),
+        _rep["dup_trigram_frac"].alias("dup_trigram_frac"),
     )
 
 
@@ -191,6 +235,42 @@ def ngram_jaccard_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
         t(spark, sf_dir, "documents"), k=3, min_jaccard=0.1
     )
+
+
+@query(
+    "doc_decontamination",
+    f"""
+    WITH {_SQL_SHINGLES_CTE},
+    bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM shl
+              WHERE doc_id % 17 = 0),
+    tr AS (SELECT doc_id, sh FROM shl WHERE doc_id % 17 <> 0),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM tr),
+    hits AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS c
+             FROM ex e JOIN bench USING (shingle) GROUP BY 1)
+    SELECT t.doc_id AS doc_id,
+           CAST(len(t.sh) AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_shingles,
+           coalesce(h.c, 0) > 0 AS is_contaminated
+    FROM tr t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): every 17th
+    document plays the held-out benchmark suite; the rest are the
+    training corpus, and each training doc is scored by how many of
+    its distinct word-3-shingles appear anywhere in the benchmark —
+    the GPT-3/PaLM n-gram-overlap contamination rule.
+
+    Scale: the benchmark shingle set is bounded by construction (eval
+    suites don't grow with the corpus), so it broadcasts and the
+    corpus side never shuffles text — only (doc_id, hit) pairs that
+    map-side partials collapse to one row per doc. The oracle replays
+    shingling, the overlap join, and the per-doc rollup in SQL, so
+    the full pipeline is hash-checked."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return C.contamination_report(train, bench, k=3)
 
 
 def _minhash_ctes(
@@ -585,7 +665,11 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
-@query("ann_ivf_cosine")
+# Overflow registry: rows-only in the driver anyway (no SQL oracle for
+# the iterative k-means quantizer), and the LSH ANN entry keeps the
+# approximate-similarity family oracle-green in the ~50-entry driver
+# window; full recall/determinism coverage stays in pytest.
+@query("ann_ivf_cosine", extra=True)
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors for 10 queries via an IVF index
     (16-cell coarse KMeans quantizer, 4 probed cells) — the second

@@ -288,3 +288,70 @@ def training_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_order_key"
         ),
     )
+
+
+# Target mixture: 20 sources, per-mille weights 30..70 cycling so the
+# demo exercises both scarce-limited (w=70 saturates first) and
+# down-sampled (w=30) sources. Sum = 1000.
+_MIX_WEIGHTS = {f"src{i}": 30 + (i % 5) * 10 for i in range(20)}
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items())
+) + " ELSE 0 END"
+
+
+@query(
+    "mixture_source_counts",
+    f"""
+    WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+    w AS (SELECT source, n_src, {_MIX_CASE} AS w_pm FROM c),
+    wf AS (SELECT * FROM w WHERE w_pm > 0),
+    cap AS (SELECT min(n_src * 1000 // w_pm) AS n_total FROM wf),
+    r AS (SELECT source, n_src, w_pm, (w_pm * n_total) // n_src AS rate_pm
+          FROM wf, cap),
+    k AS (SELECT d.source, count(*) AS n_kept
+          FROM documents d JOIN r USING (source)
+          WHERE ('0x' || substr(md5('mix:0:' || CAST(doc_id AS VARCHAR)),
+                                1, 6))::BIGINT % 1000 < r.rate_pm
+          GROUP BY 1)
+    SELECT r.source AS source,
+           CAST(r.n_src AS BIGINT) AS n_docs_in,
+           CAST(r.rate_pm AS BIGINT) AS rate_permille,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_docs_kept
+    FROM r LEFT JOIN k USING (source)
+    """,
+)
+def mixture_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling audit (``operators/sampling.py``
+    ``mixture_rates``/``mixture_resample``): resample the corpus to a
+    target per-source mixture (the Pile/Gopher data-mixture knob) and
+    report, per source, inventory, the integer keep rate, and how many
+    documents the salted-hash gate actually kept.
+
+    Everything is integer arithmetic (``DIV``) + a salted md5
+    per-mille bucket, so the plan and the SQL oracle agree bit-for-bit
+    — no float thresholds. Scale: one low-cardinality hash-agg for
+    rates (map-side partials), a 1-row broadcast scalar join for the
+    feasibility cap, then a narrow per-row filter — the corpus never
+    shuffles, acceptance is skew-immune, and the whole thing is
+    idempotent across retries (hash, not RNG).
+    """
+    from ..operators.sampling import mixture_rates, mixture_resample
+
+    docs = t(spark, sf_dir, "documents")
+    rates = mixture_rates(docs, "source", _MIX_WEIGHTS)
+    kept = (
+        mixture_resample(docs, "doc_id", "source", _MIX_WEIGHTS)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_src").cast("long").alias("n_docs_in"),
+            F.col("rate_pm").cast("long").alias("rate_permille"),
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_kept"),
+        )
+    )

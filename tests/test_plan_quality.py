@@ -36,8 +36,16 @@ def test_filter_pushdown_reaches_scan(spark):
 
 def test_column_pruning_minimal_readschema(spark):
     plan = _plan(spark, "events_time_profile")
-    # events has 6 columns; the hour/dow profile needs exactly ts+value
-    assert "ReadSchema: struct<ts:bigint,value:double>" in plan
+    # events has 6 columns; the hour/dow profile needs exactly ts+value.
+    # Assert on the pruned column SET, not the parquet physical type of
+    # ts (the generated testdata has shipped it as both bigint and
+    # timestamp_ntz across rounds — pruning is what this test pins).
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = sorted(field.split(":")[0] for field in m.group(1).split(","))
+    assert cols == ["ts", "value"], m.group(0)
 
 
 def test_dim_joins_broadcast(spark):
