@@ -72,14 +72,16 @@ def test_catalog_plan_hygiene(spark, name):
     assert "BatchEvalPython" not in plan, name
     # Whitelisted BroadcastNestedLoopJoins are all bounded build sides:
     # 1-row scalar aggregates (doc_top_terms N, lm corpus totals,
-    # pack_sequences' min/max id probe), the pigeonhole-bounded
-    # boilerplate shingle list, and the broadcast query side of
-    # knn_bruteforce_cosine's non-equi self-exclusion.
+    # pack_sequences' min/max id probe, mixture_source_counts'
+    # feasibility cap), the pigeonhole-bounded boilerplate shingle
+    # list, and the broadcast query side of knn_bruteforce_cosine's
+    # non-equi self-exclusion.
     if name not in {
         "doc_top_terms",
         "knn_bruteforce_cosine",
         "doc_lm_scores",
         "doc_chunks_packed",
         "doc_boilerplate_removal",
+        "mixture_source_counts",
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name
