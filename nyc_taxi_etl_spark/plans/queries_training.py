@@ -290,6 +290,69 @@ def training_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_sql() -> str:
+    """DuckDB replica of the fixed-lexicon classifier — the CASE chain
+    is generated from the SAME bucket→weight dict as the Spark plan
+    (``operators/classifier.py``), so the two can never drift."""
+    from ..operators.classifier import N_BUCKETS, fixed_milli_weight_sql
+
+    case = fixed_milli_weight_sql("h")
+    bucket = f"('0x' || substr(md5(t), 1, 6))::BIGINT % {N_BUCKETS}"
+    return f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    big AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2
+                  THEN [array_to_string(list_slice(w, i, i+1), ' ')
+                        for i in generate_series(1, len(w)-1)]
+                  ELSE [] END AS bg
+      FROM tok),
+    f AS (
+      SELECT doc_id,
+             list_transform(w, t -> {bucket})
+             || list_transform(bg, t -> {bucket}) AS hs
+      FROM big),
+    s AS (
+      SELECT doc_id, len(hs) AS n_features,
+             len(list_filter(hs, h -> ({case}) != 0)) AS lex_hits,
+             CAST(coalesce(list_sum(list_transform(hs, h -> {case})), 0)
+                  AS BIGINT) AS milli_total
+      FROM f),
+    l AS (
+      SELECT *, -0.5 + CASE WHEN n_features > 0
+                            THEN milli_total * 10.0 / (1000.0 * n_features)
+                            ELSE 0.0 END AS logit
+      FROM s)
+    SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+           CAST(lex_hits AS BIGINT) AS lex_hits, milli_total,
+           ROUND(logit, 4) AS quality_logit,
+           ROUND(1.0 / (1.0 + exp(-logit)), 4) AS quality_prob,
+           CASE WHEN 1.0 / (1.0 + exp(-logit)) >= 0.5
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM l
+    """
+
+
+@query("doc_quality_classifier", _classifier_sql(), extra=True)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed n-gram linear classifier, fixed-lexicon
+    inference (``operators/classifier.py``): hash unigrams + word
+    bigrams into 4096 buckets, fold integer milli-weights over the
+    feature array, sigmoid — the CCNet/GPT-3 quality-classifier
+    curation axis. The trained-model path (MLlib logistic regression
+    over the same portable feature space) is exercised in
+    ``tests/test_classifier.py``.
+
+    Scale: inference is a zero-shuffle narrow projection fused into
+    the scan — the model ships as the expression tree, the corpus
+    never moves; integer accumulation keeps the hash cross-engine
+    exact with no float-order sensitivity.
+    """
+    from ..operators.classifier import score_fixed_lexicon
+
+    return score_fixed_lexicon(t(spark, sf_dir, "documents"))
+
+
 # Target mixture: 20 sources, per-mille weights 30..70 cycling so the
 # demo exercises both scarce-limited (w=70 saturates first) and
 # down-sampled (w=30) sources. Sum = 1000.
