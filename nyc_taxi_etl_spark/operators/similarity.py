@@ -33,6 +33,7 @@ __all__ = [
     "hyperplane_lsh_pairs",
     "hyperplane_lsh_knn",
     "ivf_knn",
+    "semantic_dedup",
 ]
 
 
@@ -479,4 +480,99 @@ def ivf_knn(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    n_centroids: int = 16,
+    seed: int = 42,
+    fit_sample: int = 20_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — prune documents whose EMBEDDINGS nearly coincide,
+    catching paraphrases/templates that lexical MinHash misses.
+
+    Pipeline: candidate pairs → exact cosine verify (≥ ``threshold``)
+    → connected components → keep the MIN id per component. Returns one
+    row per corpus vector: ``(id_col, keeper_id, is_dup)`` with
+    ``is_dup = 1`` for every non-keeper member of a duplicate cluster
+    (the rows a curation pipeline drops).
+
+    Candidate generation is the scale knob, exactly as in the paper
+    (which clusters with k-means and only compares within clusters):
+
+    * default — IVF route: assign every vector to its coarse-quantizer
+      Voronoi cell (bounded-sample k-means; assignment is one narrow
+      Catalyst argmax pass) and emit within-cell pairs via a cell
+      equi-join. Work is O(Σ cell²); ``n_centroids`` must grow with
+      the corpus (the paper uses ~0.1·√n clusters) to keep cells
+      bounded — same posture as every bucketed path here.
+    * ``candidates`` — any (id_a, id_b) pair set, e.g.
+      ``hyperplane_lsh_pairs``: deterministic plan-time literals, which
+      is what the SQL-oracle-checked catalog entry uses.
+
+    The verify + components stages are shared with the lexical dedup
+    stack (``cosine_near_pairs``, ``dedup.connected_components``) —
+    candidate-driven equi-joins and the large-star/small-star loop, no
+    cross join, no driver-side graph state.
+    """
+    from .dedup import connected_components
+
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    if candidates is None:
+        centroids = _train_coarse_centroids(
+            corpus, vec_col, n_centroids, seed, fit_sample
+        )
+        if centroids is None:  # empty corpus: empty result, same schema
+            return base.select(
+                F.col(id_col),
+                F.col(id_col).cast("long").alias("keeper_id"),
+                F.lit(0).cast("long").alias("is_dup"),
+            )
+        ctr_lits = [
+            F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centroids
+        ]
+        # centroids are unit vectors: argmax of raw dots == argmax of
+        # cosine (norm(vec) is a shared positive factor) — skip the
+        # norm folds, as in ivf_knn.
+        sims = F.array(*[dot(F.col(vec_col), c) for c in ctr_lits])
+        assigned = corpus.select(
+            F.col(id_col),
+            (F.array_position(sims, F.array_max(sims)) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+        candidates = (
+            assigned.select("cell", F.col(id_col).alias("id_a"))
+            .join(
+                assigned.select("cell", F.col(id_col).alias("id_b")), "cell"
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+    pairs = cosine_near_pairs(
+        corpus, threshold, id_col, vec_col, candidates=candidates
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return (
+        base.join(comp, base[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col))
+            .cast("long")
+            .alias("keeper_id"),
+            F.when(
+                F.col("component").isNotNull()
+                & (F.col("component") != F.col(id_col)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_dup"),
+        )
     )

@@ -665,6 +665,69 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
+def _semantic_dedup_sql(threshold: float = 0.35) -> str:
+    # Same hyperplane literals + candidate join as the near-pairs
+    # oracle, then the recursive-CTE transitive closure (the
+    # dedup_components spec) and a LEFT JOIN back to every vector.
+    sig_cols = ",\n           ".join(
+        f"{_bucket_sql('v', S.hyperplanes(64, _PAIRS_BITS, seed=7 + tbl))} AS b{tbl}"
+        for tbl in range(_PAIRS_TABLES)
+    )
+    any_shared = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_PAIRS_TABLES))
+    return f"""
+    WITH RECURSIVE dd AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    sig AS (SELECT vec_id, v,
+           {sig_cols}
+    FROM dd),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+      FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({any_shared})),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE {_cos_sql("va", "vb")} >= {threshold}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    comp AS (
+      SELECT id, least(id, min(b)) AS component
+      FROM nodes JOIN reach ON reach.a = id
+      GROUP BY id)
+    SELECT dd.vec_id,
+           CAST(coalesce(comp.component, dd.vec_id) AS BIGINT) AS keeper_id,
+           CAST(CASE WHEN comp.component IS NOT NULL
+                      AND comp.component != dd.vec_id
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM dd LEFT JOIN comp ON comp.id = dd.vec_id
+    """
+
+
+@query("semantic_dedup", _semantic_dedup_sql(), extra=True)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (``operators/similarity.py::semantic_dedup``): embedding
+    near-coincidence (cos ≥ 0.35 on this near-uniform corpus; ≥ 0.95 in
+    production) → connected components → keep min id per cluster; one
+    row per vector with its keeper and a drop flag.
+
+    This entry gates candidates through the hyperplane-LSH tables
+    (plan-time literals) so the FULL pipeline — signatures, candidate
+    join, cosine verify, transitive closure, keeper choice — is
+    value-hash checked against a recursive-CTE oracle. The paper's
+    k-means-cell gating is the operator's default path, recall-tested
+    in pytest (iterative quantizer ⇒ no SQL spec).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    cand = S.hyperplane_lsh_pairs(
+        emb, bits=_PAIRS_BITS, tables=_PAIRS_TABLES, dim=64, seed=7
+    )
+    return S.semantic_dedup(emb, threshold=0.35, candidates=cand)
+
+
 # Overflow registry: rows-only in the driver anyway (no SQL oracle for
 # the iterative k-means quantizer), and the LSH ANN entry keeps the
 # approximate-similarity family oracle-green in the ~50-entry driver

@@ -330,3 +330,54 @@ def test_multiprobe_lsh_improves_recall(spark):
     assert plain <= probed <= exact
     assert len(probed) > len(plain)
     assert len(probed) / len(exact) >= 0.8
+
+
+def test_semantic_dedup_finds_planted_clones(spark):
+    """IVF-cell-gated default path: clone 10 corpus vectors with tiny
+    perturbations; every clone must be flagged dup with its original
+    (the min id) as keeper, and untouched vectors must survive."""
+    from nyc_taxi_etl_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    originals = emb.filter(F.col("vec_id") < 10)
+    clones = originals.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    corpus = emb.unionByName(clones)
+    out = (
+        semantic_dedup(corpus, threshold=0.99, n_centroids=8)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert len(out) == corpus.count()
+    for i in range(10):
+        assert out.loc[100000 + i, "is_dup"] == 1, i
+        assert out.loc[100000 + i, "keeper_id"] == i, i
+        assert out.loc[i, "is_dup"] == 0, i  # original is the keeper
+    # corpus vectors are near-uniform (max pairwise cos ~0.5): nothing
+    # else should be merged at 0.99
+    untouched = out.drop(index=[i for i in range(10)] + [100000 + i for i in range(10)])
+    assert (untouched.is_dup == 0).all()
+    assert (untouched.keeper_id == untouched.index).all()
+
+
+def test_semantic_dedup_keeper_invariants(spark):
+    """Keepers are never dups; every keeper_id refers to a row that
+    survives (LSH-gated variant, the oracle-checked configuration)."""
+    from nyc_taxi_etl_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cand = hyperplane_lsh_pairs(emb, bits=4, tables=6, dim=64, seed=7)
+    out = semantic_dedup(emb, threshold=0.35, candidates=cand).toPandas()
+    keepers = set(out[out.is_dup == 0].vec_id)
+    assert set(out.keeper_id) <= keepers
+    assert (out[out.is_dup == 0].keeper_id == out[out.is_dup == 0].vec_id).all()
