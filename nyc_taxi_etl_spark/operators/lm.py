@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["train_unigram", "score_documents"]
+__all__ = [
+    "train_unigram",
+    "score_documents",
+    "train_bigram",
+    "score_documents_bigram",
+]
 
 
 def train_unigram(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -73,6 +78,118 @@ def score_documents(
         .agg(
             F.count("token").cast("long").alias("n_tokens"),
             F.avg(F.when(F.col("token").isNotNull(), logp)).alias("_avg"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("_avg"), 4).alias("avg_logprob"),
+        F.round(F.exp(-F.col("_avg")), 4).alias("perplexity"),
+    )
+
+
+def train_bigram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram model ``(prev, token, pair_count)``.
+
+    Pair extraction is ROW-LOCAL — ``zip_with`` over the token array
+    and its shift (no positional self-join; the naive formulation
+    shuffles every token twice to reunite neighbors that were already
+    adjacent in the row). One explode + one hash-agg on (prev, token),
+    the same shape as :func:`train_unigram`.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    # n=0 would make the slice length negative (runtime error): guard.
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda p, c: F.struct(p.alias("prev"), c.alias("token")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,token:string>>"))
+    return (
+        df.select(F.explode(pairs).alias("pc"))
+        .select("pc.prev", "pc.token")
+        .groupBy("prev", "token")
+        .agg(F.count("*").cast("long").alias("pair_count"))
+    )
+
+
+def score_documents_bigram(
+    df: DataFrame,
+    unigram: DataFrame,
+    bigram: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram scoring:
+
+      ``P(w|v) = λ·c(v,w)/c(v·) + (1-λ)·P_uni(w)``
+
+    with ``c(v·)`` the bigram-context total and ``P_uni`` the add-k
+    unigram (one shared OOV bucket) — the classic backoff smoothing, so
+    unseen pairs degrade to the unigram floor instead of -inf. The
+    first token of each document has no context and scores ``P_uni``
+    alone. Returns ``(id, n_tokens, avg_logprob, perplexity)``, floats
+    r4-rounded (cross-engine hash convention).
+
+    Scale: scoring explodes (prev, cur) pairs once (row-local zip, as
+    in training) and joins them against pair counts, context totals,
+    and the unigram model on their natural keys — all AQE-sized
+    (broadcast while the models fit, sort-merge for billion-type
+    corpora); corpus totals ride the 1-row broadcast scalar join.
+    """
+    totals = unigram.agg(
+        F.sum("token_count").cast("double").alias("_total"),
+        F.count("*").cast("double").alias("_vocab"),
+    )
+    context = bigram.groupBy("prev").agg(
+        F.sum("pair_count").cast("long").alias("ctx_count")
+    )
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 1,
+        F.zip_with(
+            F.concat(
+                F.array(F.lit(None).cast("string")), F.slice(toks, 1, n - 1)
+            ),
+            toks,
+            lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(pairs).alias("pc")
+    ).select(F.col(id_col), F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
+
+    uni = unigram.select(
+        F.col("token").alias("cur"), F.col("token_count")
+    )
+    big = bigram.select(
+        F.col("prev"), F.col("token").alias("cur"), F.col("pair_count")
+    )
+    denom = F.col("_total") + F.lit(k) * (F.col("_vocab") + 1)
+    p_uni = (F.coalesce(F.col("token_count"), F.lit(0)) + F.lit(k)) / denom
+    ml = F.when(
+        F.col("prev").isNotNull() & (F.coalesce(F.col("ctx_count"), F.lit(0)) > 0),
+        F.coalesce(F.col("pair_count"), F.lit(0)).cast("double")
+        / F.col("ctx_count"),
+    ).otherwise(F.lit(0.0))
+    p = F.when(
+        F.col("prev").isNull(), p_uni
+    ).otherwise(F.lit(lam) * ml + F.lit(1.0 - lam) * p_uni)
+    scored = (
+        exploded.join(uni, "cur", "left")
+        .join(big, ["prev", "cur"], "left")
+        .join(context, "prev", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count("cur").cast("long").alias("n_tokens"),
+            F.avg(F.when(F.col("cur").isNotNull(), F.log(p))).alias("_avg"),
         )
     )
     return scored.select(

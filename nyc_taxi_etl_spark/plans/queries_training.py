@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 from ..operators.boilerplate import remove_boilerplate
 from ..operators.chunking import chunk_by_tokens, pack_sequences
 from ..operators.export import shuffle_order_key, train_val_test_split
-from ..operators.lm import score_documents, train_unigram
+from ..operators.lm import (
+    score_documents,
+    score_documents_bigram,
+    train_bigram,
+    train_unigram,
+)
 from ..operators.redact import PII_RULES, redact_documents
 from .queries import query, t
 from .queries_text import _SQL_TOKENS
@@ -287,6 +292,59 @@ def training_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(shuffle_order_key(F.col("doc_id"), seed=0)).alias(
             "first_order_key"
         ),
+    )
+
+
+@query(
+    "doc_lm_bigram_scores",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(w) AS cur,
+             unnest([CASE WHEN i > 1 THEN w[i-1] END
+                     for i in generate_series(1, len(w))]) AS prev
+      FROM tok),
+    uni AS (SELECT cur AS token, count(*) AS c FROM pos GROUP BY 1),
+    big AS (SELECT prev, cur, count(*) AS pc FROM pos
+            WHERE prev IS NOT NULL GROUP BY 1, 2),
+    ctx AS (SELECT prev, sum(pc) AS cc FROM big GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total,
+                   CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+    sc AS (
+      SELECT pos.doc_id, count(*) AS n_tokens,
+             avg(ln(CASE WHEN pos.prev IS NULL
+                         THEN (uni.c + 0.5) / (total + 0.5 * (vocab + 1))
+                         ELSE 0.7 * (big.pc * 1.0 / ctx.cc)
+                              + 0.3 * ((uni.c + 0.5)
+                                       / (total + 0.5 * (vocab + 1)))
+                    END)) AS a
+      FROM pos
+      JOIN uni ON uni.token = pos.cur
+      LEFT JOIN big ON big.prev = pos.prev AND big.cur = pos.cur
+      LEFT JOIN ctx ON ctx.prev = pos.prev, tot
+      GROUP BY pos.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(a, 4) AS avg_logprob, ROUND(exp(-a), 4) AS perplexity
+    FROM sc
+    """,
+    extra=True,
+)
+def doc_lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity (``operators/lm.py``
+    ``train_bigram``/``score_documents_bigram``): Jelinek-Mercer
+    ``λ·P_ML(w|v) + (1-λ)·P_uni(w)`` with add-k unigram backoff — a
+    sharper CCNet-style quality axis than the unigram entry (catches
+    locally-incoherent token soup that unigram statistics miss).
+
+    Scale: bigram extraction is row-local (zip over the token array
+    and its shift — no positional self-join); training is one hash-agg
+    on (prev, token); scoring joins pair counts, context totals, and
+    the unigram model on natural keys, all AQE-sized; corpus totals
+    ride the 1-row broadcast scalar join.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return score_documents_bigram(
+        docs, train_unigram(docs), train_bigram(docs)
     )
 
 

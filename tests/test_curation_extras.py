@@ -414,3 +414,54 @@ def test_boilerplate_shingle_set_is_bounded(spark):
     template_words = set((_HEADER + " " + _FOOTER).split())
     for s in found["shingle"]:
         assert set(s.split()) <= template_words
+
+
+def test_bigram_lm_semantics(spark):
+    """Hand-checkable corpus: pair counts, interpolation, and the
+    unigram-only first token."""
+    import math
+
+    from nyc_taxi_etl_spark.operators.lm import (
+        score_documents_bigram,
+        train_bigram,
+        train_unigram,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c"), (4, "")],
+        "doc_id long, text string",
+    )
+    big = {
+        (r.prev, r.token): r.pair_count
+        for r in train_bigram(docs).collect()
+    }
+    # "a b a b": (a,b)x2 + (b,a); "a b": (a,b); "c"/"" contribute none
+    assert big == {("a", "b"): 3, ("b", "a"): 1}
+
+    uni = train_unigram(docs)
+    out = (
+        score_documents_bigram(docs, uni, train_bigram(docs))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[4, "n_tokens"] == 0  # empty doc kept, null scores
+    # doc 3 = single token "c": unigram-only path.
+    # corpus: tokens a:3 b:3 c:1, total 7, vocab 3
+    p_c = (1 + 0.5) / (7 + 0.5 * 4)
+    assert abs(out.loc[3, "avg_logprob"] - round(math.log(p_c), 4)) < 1e-9
+    # doc 2 = "a b": ln(P_uni(a)) then ln(.7*c(a,b)/c(a.) + .3*P_uni(b))
+    p_a = (3 + 0.5) / 9.0
+    p_b_given_a = 0.7 * (3 / 3) + 0.3 * p_a  # c(a,b)=3, ctx(a)=3; uni(b)=uni(a)
+    expected = (math.log(p_a) + math.log(p_b_given_a)) / 2
+    assert abs(out.loc[2, "avg_logprob"] - round(expected, 4)) < 1e-9
+    # unseen pair (b,c): ML term 0, probability degrades to the
+    # 0.3*P_uni floor instead of -inf -- the point of interpolation --
+    # so the seen-pair doc must outscore it
+    unseen = spark.createDataFrame([(9, "b c")], "doc_id long, text string")
+    u = score_documents_bigram(unseen, uni, train_bigram(docs)).collect()[0]
+    assert math.isfinite(u.avg_logprob)
+    p_c_uni = (1 + 0.5) / 9.0
+    exp_u = (math.log(p_b := (3 + 0.5) / 9.0) + math.log(0.3 * p_c_uni)) / 2
+    assert abs(u.avg_logprob - round(exp_u, 4)) < 1e-9
+    assert out.loc[2, "avg_logprob"] > u.avg_logprob
