@@ -80,6 +80,7 @@ def test_catalog_plan_hygiene(spark, name):
         "doc_top_terms",
         "knn_bruteforce_cosine",
         "doc_lm_scores",
+        "doc_lm_bigram_scores",
         "doc_chunks_packed",
         "doc_boilerplate_removal",
         "mixture_source_counts",
