@@ -295,6 +295,79 @@ def training_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUDGET_TOKENS = 800
+# Same oracle-portable quality expression the curation pipeline uses
+# (plans/queries_text.py::_curate_sql): every term is either an exact
+# comparison or a single division / fixed-order weighted sum, so the
+# doubles are bit-identical cross-engine (left UNROUNDED on both sides
+# per the rounding policy: only order-dependent aggregates get r4).
+_QUALITY_SQL = """
+     0.4 * (CASE WHEN len(w) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+   + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
+   + 0.3 * (CASE WHEN len(list_filter(w, x -> list_contains({stop}, x)))
+                      * 1.0 / len(w) > 0.0
+                  AND len(list_filter(w, x -> list_contains({stop}, x)))
+                      * 1.0 / len(w) < 0.6
+                 THEN 1.0 ELSE 0.0 END)"""
+
+
+def _budget_sql() -> str:
+    from .queries_text import _STOP_SQL
+
+    quality = _QUALITY_SQL.format(stop=_STOP_SQL)
+    return f"""
+    WITH tok AS (SELECT doc_id, source, {_SQL_TOKENS} AS w FROM documents),
+    q AS (SELECT doc_id, source, len(w) AS n_tokens, {quality} AS quality
+          FROM tok),
+    r AS (SELECT *, sum(n_tokens) OVER (
+            PARTITION BY source ORDER BY quality DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM q),
+    k AS (SELECT * FROM r WHERE cum <= {_BUDGET_TOKENS})
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+           min(quality) AS min_quality
+    FROM k GROUP BY 1
+    """
+
+
+@query("budget_selected_sources", _budget_sql(), extra=True)
+def budget_selected_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (``operators/selection.py``): per
+    source, admit documents in (quality DESC, doc_id) order while the
+    running token total fits an 800-token budget — the "best N tokens
+    per domain" step between scoring and export; reports per-source
+    kept counts, token mass, and the admission-quality floor.
+
+    This entry runs the EXACT windowed path (per-source sort — fine
+    when one executor can sort a source). The 100 TB variant is
+    ``budget_quality_cutoff``: histogram the quality mass, cumulate
+    over ≤1000 metadata rows per source, filter by the emitted cutoff
+    — one hash-agg + narrow filter, no per-source sort; both
+    implementations are cross-checked in tests.
+    """
+    from ..operators.selection import select_top_quality_within_budget
+    from ..operators.text import quality_score, token_count, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        quality_score(F.col("text"), tokens(F.lower(F.col("text")))).alias(
+            "quality"
+        ),
+    )
+    kept = select_top_quality_within_budget(
+        staged, _BUDGET_TOKENS, "quality", "n_tokens", "source", "doc_id"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        F.min("quality").alias("min_quality"),
+    )
+
+
 @query(
     "doc_lm_bigram_scores",
     f"""
