@@ -28,6 +28,7 @@ __all__ = [
     "shingles",
     "shingle_seq",
     "repetition_metrics",
+    "collapse_repeated_ngrams",
 ]
 
 # Marker stopwords per language for the n-gram/stopword language-ID
@@ -281,4 +282,59 @@ def repetition_metrics(
     ).otherwise(F.lit(0.0))
     return F.struct(
         top.alias("top_bigram_frac"), dup.alias("dup_trigram_frac")
+    )
+
+
+def collapse_repeated_ngrams(
+    text: Column, max_period: int = 3
+) -> Column:
+    """Drop the redundant tail of immediately-repeated word n-gram runs
+    (periods 1..``max_period``): ``"buy now buy now buy now"`` →
+    ``"buy now"``, ``"very very very long"`` → ``"very long"`` — the
+    REMOVAL counterpart of :func:`repetition_metrics` (Gopher flags
+    such docs; pipelines that keep them usually clean the runs
+    instead).
+
+    Rule: 1-based position ``i`` is dropped iff for some period ``p``
+    the p-gram ending at ``i`` equals the p-gram ending at ``i-p``
+    (guarded by ``i ≥ 2p`` so every index is in range). Exact string
+    comparisons and integer indexing only — bit-identical in a DuckDB
+    list comprehension, which is what the catalog oracle replays.
+    A boundary artifact is accepted deterministically: the first
+    ``2p-1`` positions of a run can never be dropped, so "a b a b a b"
+    keeps "a b a" (the trailing partial period survives).
+
+    Row-local (one transform/filter pass over the token array, no
+    shuffle); the token array is materialized once inside this
+    expression chain, so consumers should alias the RESULT, not
+    re-derive it."""
+    toks = tokens(text)
+    n = F.size(toks)
+
+    def dropped(i: Column) -> Column:
+        conds = []
+        for p in range(1, max_period + 1):
+            same = F.lit(True)
+            for j in range(p):
+                same = same & (
+                    F.element_at(toks, i - j) == F.element_at(toks, i - j - p)
+                )
+            conds.append((i >= F.lit(2 * p)) & same)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+
+    kept_ix = F.filter(
+        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: ~dropped(i),
+    )
+    return F.struct(
+        F.concat_ws(
+            " ", F.transform(kept_ix, lambda i: F.element_at(toks, i))
+        ).alias("clean_text"),
+        n.cast("long").alias("n_tokens"),
+        (n - F.size(kept_ix)).cast("long").alias("removed_tokens"),
     )

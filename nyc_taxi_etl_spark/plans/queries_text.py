@@ -209,6 +209,55 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(t(spark, sf_dir, "documents"))
 
 
+def _repeat_removal_sql(max_period: int = 3) -> str:
+    # Drop condition per period p: i >= 2p and the p-gram ending at i
+    # equals the p-gram ending at i-p — generated from the same
+    # parameter as the Spark operator so the two cannot drift.
+    conds = []
+    for p in range(1, max_period + 1):
+        eqs = " AND ".join(f"w[i-{j}] = w[i-{j + p}]" for j in range(p))
+        conds.append(f"(i >= {2 * p} AND {eqs})")
+    drop = " OR ".join(conds)
+    return f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+    k AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             [w[i] for i in generate_series(1, len(w))
+              if NOT ({drop})] AS kw
+      FROM tok)
+    SELECT doc_id, array_to_string(kw, ' ') AS clean_text,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - len(kw) AS BIGINT) AS removed_tokens
+    FROM k
+    """
+
+
+@query("doc_repetition_removal", _repeat_removal_sql(), extra=True)
+def doc_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse immediately-repeated word 1-3-gram runs
+    (``operators/text.py::collapse_repeated_ngrams``): the removal
+    counterpart of the Gopher repetition metrics — "buy now buy now
+    buy now" keeps one period. Reports the cleaned text and how many
+    tokens the collapse dropped.
+
+    Scale: row-local array work fused into the scan (one filter/
+    transform pass over materialized tokens), zero shuffles, no
+    Python; the oracle replays the index rule as a DuckDB list
+    comprehension generated from the same parameters.
+    """
+    docs = t(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        X.collapse_repeated_ngrams(F.lower(F.col("text"))).alias("_r"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("_r.clean_text").alias("clean_text"),
+        F.col("_r.n_tokens").alias("n_tokens"),
+        F.col("_r.removed_tokens").alias("removed_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup dedup
 # ---------------------------------------------------------------------------

@@ -174,3 +174,33 @@ def test_repetition_metrics_degenerate_docs(spark):
     # fully templated doc: one repeated trigram everywhere
     top, dup = _rep(spark, "x x x x x x x x")
     assert top == 1.0 and dup == 1.0
+
+
+def test_collapse_repeated_ngrams_crafted(spark):
+    """Period 1/2/3 runs collapse; non-adjacent recurrence survives;
+    the documented boundary artifact is pinned."""
+    from nyc_taxi_etl_spark.operators.text import collapse_repeated_ngrams
+
+    cases = [
+        ("very very very long", "very long"),
+        ("buy now buy now buy now", "buy now buy"),  # trailing partial
+        ("one two three one two three one two three x", "one two three one two x"),
+        ("a b c a c b", "a b c a c b"),  # recurrence, not repetition
+        ("solo", "solo"),
+        ("x x", "x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i long, text string"
+    )
+    out = (
+        df.select("i", collapse_repeated_ngrams(F.col("text")).alias("r"))
+        .select("i", "r.clean_text", "r.n_tokens", "r.removed_tokens")
+        .toPandas()
+        .set_index("i")
+        .sort_index()
+    )
+    for i, (src, want) in enumerate(cases):
+        assert out.loc[i, "clean_text"] == want, (src, out.loc[i, "clean_text"])
+        assert out.loc[i, "removed_tokens"] == len(src.split()) - len(
+            want.split()
+        )
