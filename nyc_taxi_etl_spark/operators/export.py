@@ -25,6 +25,7 @@ __all__ = [
     "train_val_test_split",
     "shuffle_order_key",
     "export_shuffled",
+    "leakage_safe_split",
 ]
 
 _PPM = 1_000_000
@@ -113,3 +114,35 @@ def export_shuffled(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    fracs: dict[str, float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Split by duplicate CLUSTER, not by document: near-dup ``pairs``
+    (any pair generator — MinHash, SimHash, SemDeDup) are closed into
+    connected components and every member hashes its COMPONENT
+    REPRESENTATIVE (min id) into the split, so two near-duplicates can
+    never straddle train/val — the eval-leakage failure mode a naive
+    per-document split invites (a validation doc whose near-twin sits
+    in train is a leaked label).
+
+    Adds ``split``; singletons hash their own id (identical to
+    :func:`train_val_test_split` for them, so turning this on only
+    moves clustered docs). Scale: components via the
+    large-star/small-star loop (edges only, no driver graph); the
+    re-join to the corpus is on the id key, AQE-sized — dup clusters
+    are a small fraction of a deduped corpus."""
+    from .dedup import connected_components
+
+    fracs = fracs or {"train": 0.98, "val": 0.01, "test": 0.01}
+    comp = connected_components(pairs)
+    joined = df.join(comp, df[id_col] == comp["node"], "left")
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    return joined.withColumn(
+        "split", split_label(rep, fracs, seed)
+    ).drop("node", "component")

@@ -295,6 +295,136 @@ def training_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_case_sql(key_expr: str, seed: int = 0) -> str:
+    """The 80/10/10 split CASE over an arbitrary key expression —
+    DuckDB replica of ``export.split_label`` (same md5 ppm bucket)."""
+    return f"""CASE WHEN ('0x' || substr(md5('split:{seed}:' ||
+                     CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT % 1000000
+                    < 800000 THEN 'train'
+               WHEN ('0x' || substr(md5('split:{seed}:' ||
+                     CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT % 1000000
+                    < 900000 THEN 'val'
+               ELSE 'test' END"""
+
+
+def _leakage_audit_sql() -> str:
+    from .queries_text import _minhash_sql
+
+    return f"""
+    WITH pairs AS ({_minhash_sql()}),
+    s AS (SELECT doc_id, {_split_case_sql("doc_id")} AS split FROM documents)
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs JOIN s sa ON sa.doc_id = pairs.id_a
+               JOIN s sb ON sb.doc_id = pairs.id_b
+    GROUP BY 1, 2
+    """
+
+
+@query("split_leakage_audit", _leakage_audit_sql(), extra=True)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit: count near-dup pairs (MinHash-LSH, jaccard
+    ≥ 0.5) by the (split_a, split_b) of their endpoints under the
+    naive per-document 80/10/10 split. Off-diagonal rows ARE the
+    leakage a cluster-aware split eliminates (see
+    ``leakage_safe_split_counts``).
+
+    Scale: the pair set is the already-sub-quadratic LSH output; split
+    assignment is a narrow projection joined on the pair endpoints
+    (AQE-sized); the rollup key domain is ≤9 rows.
+    """
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.export import train_val_test_split
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=3, num_hashes=12, bands=4, verify_threshold=0.5
+    )
+    s = train_val_test_split(
+        docs.select("doc_id"),
+        fracs={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=0,
+    )
+    sa = s.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = s.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+def _leakage_safe_sql() -> str:
+    from .queries_text import _minhash_sql
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    comp AS (
+      SELECT id, least(id, min(b)) AS component
+      FROM nodes JOIN reach ON reach.a = id
+      GROUP BY id),
+    rep AS (
+      SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS r
+      FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+    s AS (
+      SELECT doc_id,
+             {_split_case_sql("r")} AS split,
+             {_split_case_sql("doc_id")} AS naive_split
+      FROM rep)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN split != naive_split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved
+    FROM s GROUP BY 1
+    """
+
+
+@query("leakage_safe_split_counts", _leakage_safe_sql(), extra=True)
+def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware splitting (``operators/export.py::
+    leakage_safe_split``): every document hashes its duplicate-cluster
+    REPRESENTATIVE into the 80/10/10 split, so near-duplicates always
+    land together; reports per-split sizes and how many docs moved
+    relative to the naive per-document split.
+
+    Scale: components from the large-star/small-star loop over the
+    sub-quadratic LSH pair set; the corpus re-join is id-keyed and
+    AQE-sized; split assignment stays a narrow md5 projection.
+    """
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.export import leakage_safe_split, split_label
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=3, num_hashes=12, bands=4, verify_threshold=0.5
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(
+        docs.select("doc_id"), pairs, fracs=fr, seed=0
+    ).withColumn("naive_split", split_label(F.col("doc_id"), fr, seed=0))
+    return out.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("split") != F.col("naive_split"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved"),
+    )
+
+
 _BUDGET_TOKENS = 800
 # Same oracle-portable quality expression the curation pipeline uses
 # (plans/queries_text.py::_curate_sql): every term is either an exact

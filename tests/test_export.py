@@ -147,3 +147,30 @@ def test_prepare_training_corpus_end_to_end(spark, tmp_path):
         assert back.count() == len(grp)
         assert set(back.columns) == {"doc_id", "chunk_ix", "chunk_text",
                                      "chunk_tokens"}
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark):
+    """After cluster-aware splitting, no near-dup pair straddles
+    splits; singletons keep their naive assignment."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    # synthetic pair set: chain some ids into clusters that the naive
+    # split (seed 0) would scatter
+    ids = [r.doc_id for r in docs.limit(40).collect()]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(0, 30, 2)]
+        + [(ids[30], ids[31]), (ids[31], ids[32])],  # a 3-chain
+        "id_a long, id_b long",
+    )
+    fr = {"train": 0.6, "val": 0.2, "test": 0.2}
+    out = export.leakage_safe_split(docs, pairs, fracs=fr, seed=0)
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    for r in pairs.collect():
+        assert split_of[r.id_a] == split_of[r.id_b], (r.id_a, r.id_b)
+    naive = export.train_val_test_split(docs, fracs=fr, seed=0)
+    naive_of = {r.doc_id: r.split for r in naive.collect()}
+    clustered = {r.id_a for r in pairs.collect()} | {
+        r.id_b for r in pairs.collect()
+    }
+    for did, sp in split_of.items():
+        if did not in clustered:
+            assert sp == naive_of[did], did
