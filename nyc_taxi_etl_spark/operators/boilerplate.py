@@ -89,6 +89,7 @@ def remove_boilerplate(
     id_col: str = "doc_id",
     k: int = 3,
     min_doc_frac: float = 0.05,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Mask every token covered by a high-document-frequency k-gram.
 
@@ -97,7 +98,10 @@ def remove_boilerplate(
     boilerplate k-gram; covered tokens are dropped, the rest are
     rejoined with single spaces.
 
-    Returns ``(id_col, clean_text, n_tokens, removed_tokens)``.
+    Returns ``(id_col, *passthrough, clean_text, n_tokens,
+    removed_tokens)`` — ``passthrough`` columns ride along so pipeline
+    stages downstream (budget selection needs quality/source) don't
+    have to re-join, and re-execute, the upstream subtree.
     """
     boiler = (
         boilerplate_shingles(df, text_col, id_col, k, min_doc_frac)
@@ -105,6 +109,7 @@ def remove_boilerplate(
     )
     base = _ensure_parallelism(df).select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         tokens(_norm(F.col(text_col))).alias("_toks"),
         _norm(F.col(text_col)).alias("_nt"),
     ).crossJoin(F.broadcast(boiler))
@@ -137,6 +142,7 @@ def remove_boilerplate(
     )
     return base.select(
         id_col,
+        *passthrough,
         F.array_join(kept, " ").alias("clean_text"),
         n.cast("long").alias("n_tokens"),
         (n - F.size(kept)).cast("long").alias("removed_tokens"),

@@ -6,14 +6,20 @@ production curation run uses them:
     1. curate      — quality filter → exact dedup → MinHash-LSH
                      near-dedup → component keeper selection
                      (``curate.curate_documents``)
-    2. redact      — PII placeholders (``redact.redact_pii``)
-    3. deboiler    — corpus-frequency k-gram masking
+    2. classify    — optional fastText-style quality-classifier gate
+                     (``classifier.score_fixed_lexicon``)
+    3. redact      — PII placeholders (``redact.redact_pii``)
+    4. deboiler    — corpus-frequency k-gram masking
                      (``boilerplate.remove_boilerplate``)
-    4. chunk       — token-window chunks (``chunking.chunk_by_tokens``)
-    5. split       — deterministic train/val/test
+    5. derep       — optional collapse of immediately-repeated n-gram
+                     runs (``text.collapse_repeated_ngrams``)
+    6. budget      — optional per-source token-budget selection on the
+                     CLEANED text (``selection``)
+    7. chunk       — token-window chunks (``chunking.chunk_by_tokens``)
+    8. split       — deterministic train/val/test
                      (``export.train_val_test_split``)
-    6. export      — shuffled, sharded parquet per split
-                     (``export.export_shuffled``)
+    9. export      — shuffled, sharded parquet or JSONL per split
+                     (``export.export_shuffled`` / ``jsonl``)
 
 Stage ORDER is the scale argument: dedup runs before the per-token
 masking/chunking stages so duplicate bytes are hashed once, never
@@ -50,6 +56,11 @@ def prepare_training_corpus(
     fracs: dict[str, float] | None = None,
     seed: int = 0,
     num_shards: int = 8,
+    classifier_min_prob: float | None = None,
+    collapse_repeats: bool = False,
+    budget_tokens: int | None = None,
+    source_col: str = "source",
+    output_format: str = "parquet",
 ) -> DataFrame:
     """Run the full pipeline; returns the chunk-level DataFrame
     ``(id_col, chunk_ix, chunk_text, chunk_tokens, split)``. When
@@ -67,10 +78,46 @@ def prepare_training_corpus(
         quality_threshold=quality_threshold,
         jaccard_threshold=jaccard_threshold,
     )
+    if classifier_min_prob is not None:
+        # row-local scored gate on the curated survivors; semi-join on
+        # the id key (AQE-sized — the score frame is id+prob only)
+        from .classifier import score_fixed_lexicon
+
+        keep = score_fixed_lexicon(
+            curated, text_col=text_col, id_col=id_col
+        ).filter(F.col("quality_prob") >= classifier_min_prob)
+        curated = curated.join(keep.select(id_col), id_col, "semi")
     redacted = curated.withColumn(text_col, redact_pii(F.col(text_col)))
+    # quality/source ride through the masking stage so the budget
+    # selector doesn't re-join (and re-execute) the curation subtree
+    passthrough = (source_col, "quality") if budget_tokens is not None else ()
     cleaned = remove_boilerplate(
-        redacted, text_col=text_col, id_col=id_col, min_doc_frac=boiler_doc_frac
+        redacted,
+        text_col=text_col,
+        id_col=id_col,
+        min_doc_frac=boiler_doc_frac,
+        passthrough=passthrough,
     ).withColumnRenamed("clean_text", text_col)
+    if collapse_repeats:
+        from .text import collapse_repeated_ngrams
+
+        cleaned = cleaned.withColumn(
+            "_derep", collapse_repeated_ngrams(F.col(text_col))
+        ).withColumn(text_col, F.col("_derep.clean_text")).drop("_derep")
+    if budget_tokens is not None:
+        # budget on the CLEANED token counts (masking/derep changed
+        # them); quality column survives from curation
+        from .selection import select_top_quality_within_budget
+        from .text import token_count
+
+        cleaned = select_top_quality_within_budget(
+            cleaned.withColumn("_nt", token_count(F.col(text_col))),
+            budget_tokens,
+            quality_col="quality",
+            token_col="_nt",
+            source_col=source_col,
+            id_col=id_col,
+        ).drop("_nt", "sel_rank", "cum_tokens")
     # Split AFTER chunking: the label is a pure hash of the DOCUMENT
     # key, so every sibling chunk inherits its document's split with no
     # join and no second execution of the curation subtree — while
@@ -89,13 +136,27 @@ def prepare_training_corpus(
     )
 
     if output_path is not None:
+        if output_format not in ("parquet", "jsonl"):
+            raise ValueError(f"unknown output_format: {output_format}")
         for row in chunks.select("split").distinct().collect():
             name = row["split"]
-            export_shuffled(
-                chunks.filter(F.col("split") == name).drop("split"),
-                f"{output_path}/split={name}",
-                id_col=id_col,
-                seed=seed,
-                num_shards=num_shards,
-            )
+            part = chunks.filter(F.col("split") == name).drop("split")
+            if output_format == "jsonl":
+                from ..sources.jsonl import export_jsonl
+
+                export_jsonl(
+                    part,
+                    f"{output_path}/split={name}",
+                    id_col=id_col,
+                    seed=seed,
+                    num_shards=num_shards,
+                )
+            else:
+                export_shuffled(
+                    part,
+                    f"{output_path}/split={name}",
+                    id_col=id_col,
+                    seed=seed,
+                    num_shards=num_shards,
+                )
     return chunks

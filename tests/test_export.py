@@ -174,3 +174,52 @@ def test_leakage_safe_split_keeps_pairs_together(spark):
     for did, sp in split_of.items():
         if did not in clustered:
             assert sp == naive_of[did], did
+
+
+def test_prepare_training_corpus_full_options_jsonl(spark, tmp_path):
+    """All optional stages on + JSONL export: classifier gate, repeat
+    collapse, per-source token budget, jsonl shards."""
+    import glob
+    import json
+
+    from nyc_taxi_etl_spark.operators import pipeline
+
+    path = str(tmp_path / "tc_jsonl")
+    chunks = pipeline.prepare_training_corpus(
+        _docs(spark),
+        output_path=path,
+        quality_threshold=0.5,
+        jaccard_threshold=0.5,
+        chunk_tokens=32,
+        fracs={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=11,
+        num_shards=2,
+        classifier_min_prob=0.2,
+        collapse_repeats=True,
+        budget_tokens=600,
+        output_format="jsonl",
+    )
+    pdf = chunks.toPandas()
+    assert len(pdf) > 0
+    assert (pdf.groupby("doc_id")["split"].nunique() == 1).all()
+    # budget bound holds per source on cleaned tokens: chunk token
+    # sums per doc never exceed it in aggregate per source is checked
+    # upstream; here pin that selection actually dropped something
+    base = pipeline.prepare_training_corpus(
+        _docs(spark),
+        quality_threshold=0.5,
+        jaccard_threshold=0.5,
+        chunk_tokens=32,
+        fracs={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=11,
+    )
+    assert pdf.doc_id.nunique() < base.toPandas().doc_id.nunique()
+    # jsonl shards parse and cover every chunk row
+    n_lines = 0
+    for split in pdf.split.unique():
+        for f in glob.glob(f"{path}/split={split}/part-*"):
+            for line in open(f):
+                if line.strip():
+                    json.loads(line)
+                    n_lines += 1
+    assert n_lines == len(pdf)
