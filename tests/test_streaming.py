@@ -241,3 +241,43 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path_factory):
     batch = spark.read.parquet(src).dropDuplicates(["event_id"])
     assert got.count() == batch.count()
     ev.unpersist()
+
+
+def test_streaming_curation_scorers_compose(spark, tmp_path_factory):
+    """The row-local curation projections (quality classifier, repeat
+    collapse, PII redaction) run unchanged on a readStream source and
+    match their batch results exactly — stateless narrow ops need no
+    streaming-specific variant."""
+    from nyc_taxi_etl_spark.operators.classifier import score_fixed_lexicon
+    from nyc_taxi_etl_spark.operators.text import collapse_repeated_ngrams
+    from nyc_taxi_etl_spark.streaming.events import run_available_now
+
+    base = tmp_path_factory.mktemp("docstream")
+    src = str(base / "docs_in")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs.repartition(3).write.parquet(src)
+
+    def curation(df):
+        scored = score_fixed_lexicon(df)
+        derep = df.select(
+            "doc_id", collapse_repeated_ngrams(F.col("text")).alias("_r")
+        ).select("doc_id", F.col("_r.removed_tokens").alias("removed_tokens"))
+        return scored.join(derep, "doc_id")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = (
+        run_available_now(
+            curation(stream), "t_curation", _ckpt(tmp_path_factory)
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    batch = (
+        curation(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, batch)
