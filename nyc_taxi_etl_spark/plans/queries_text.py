@@ -331,14 +331,21 @@ def _minhash_ctes(
     """CTE chain (no WITH keyword) ending in ``pairs`` = verified
     near-dup pairs over ``source`` — reusable inside larger oracles
     (dedup_components, curate_documents)."""
+    from ..operators.dedup import MINHASH_P
+
     r = num_hashes // bands
+    # Kirsch-Mitzenmacher permutations from ONE md5 per shingle — the
+    # exact arithmetic of operators/dedup.py::minhash_signatures.
     sig_cols = ",\n         ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}' || ':' || s)), 'min') AS mh_{i}"
+        f"list_aggregate(list_transform(hp, p -> (p[1] + {i} * p[2])"
+        f" % {MINHASH_P}), 'min') AS mh_{i}"
         for i in range(num_hashes)
     )
     band_selects = "\n      UNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, md5("
-        + " || '|' || ".join(f"mh_{i}" for i in range(b * r, (b + 1) * r))
+        + " || '|' || ".join(
+            f"CAST(mh_{i} AS VARCHAR)" for i in range(b * r, (b + 1) * r)
+        )
         + ") AS bucket FROM sigs"
         for b in range(bands)
     )
@@ -352,7 +359,13 @@ def _minhash_ctes(
                   WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
                   ELSE [] END AS sh
       FROM tok),
-    sigs AS (SELECT doc_id, {sig_cols} FROM shl),
+    hp AS (
+      SELECT doc_id,
+             list_transform(sh, s -> [('0x' || substr(md5(s), 1, 8))::BIGINT,
+                                      ('0x' || substr(md5(s), 9, 8))::BIGINT])
+               AS hp
+      FROM shl),
+    sigs AS (SELECT doc_id, {sig_cols} FROM hp),
     banded AS ({band_selects}),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b

@@ -28,13 +28,17 @@ def test_minhash_signatures_match_oracle(spark, duck):
                     list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
                                    for i in generate_series(1, len(w)-2)])
                   WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
-                  ELSE [] END sh FROM tok)
+                  ELSE [] END sh FROM tok),
+        hp AS (SELECT doc_id,
+                 list_transform(sh, s -> [('0x' || substr(md5(s), 1, 8))::BIGINT,
+                                          ('0x' || substr(md5(s), 9, 8))::BIGINT]) hp
+               FROM shl)
         SELECT doc_id,
-          list_aggregate(list_transform(sh, s -> md5('0' || ':' || s)), 'min') mh_0,
-          list_aggregate(list_transform(sh, s -> md5('1' || ':' || s)), 'min') mh_1,
-          list_aggregate(list_transform(sh, s -> md5('2' || ':' || s)), 'min') mh_2,
-          list_aggregate(list_transform(sh, s -> md5('3' || ':' || s)), 'min') mh_3
-        FROM shl
+          list_aggregate(list_transform(hp, p -> (p[1] + 0 * p[2]) % 4294967291), 'min') mh_0,
+          list_aggregate(list_transform(hp, p -> (p[1] + 1 * p[2]) % 4294967291), 'min') mh_1,
+          list_aggregate(list_transform(hp, p -> (p[1] + 2 * p[2]) % 4294967291), 'min') mh_2,
+          list_aggregate(list_transform(hp, p -> (p[1] + 3 * p[2]) % 4294967291), 'min') mh_3
+        FROM hp
         """
     ).df()
     assert_frames_match(sp, du, "minhash_signatures")
