@@ -136,6 +136,58 @@ class VersionedTable:
         paths = [os.path.join(self.root, d) for d in self._active_dirs(v)]
         return self.spark.read.parquet(*paths)
 
+    def append(self, df: DataFrame) -> int:
+        """Publish ``df`` as ADDITIONAL rows (insert-only fast path):
+        the new commit's active set = the previous set + one fresh
+        directory, so nothing is rewritten — the right shape for
+        streaming/batch ingest where updates never touch old rows.
+        Accumulated small directories are merged back to one by
+        :meth:`compact`."""
+        rel = self._write_data_dir(df)
+        latest = self.latest_version()
+        prior = [] if latest is None else self._active_dirs(latest)
+        version = 0 if latest is None else latest + 1
+        self._publish(
+            version,
+            {"version": version, "operation": "append",
+             "active": prior + [rel]},
+        )
+        return version
+
+    def compact(self, target_files: int | None = None) -> int:
+        """Rewrite the current snapshot as ONE data directory (with
+        ``target_files`` parquet files when given) and commit it as
+        the next version — the standard maintenance op after a run of
+        appends has accumulated directories/small files. Old versions
+        still time-travel to the original directories until
+        ``vacuum_versions``-style retention (not implemented — vacuum
+        here only removes unreferenced orphans) lets them go.
+
+        Coalesce (narrow, no shuffle) when shrinking the file count;
+        repartition only when growing it."""
+        base_version = self.latest_version()
+        if base_version is None:
+            raise FileNotFoundError(f"versioned table {self.root} is empty")
+        snap = self.read(base_version)
+        if target_files is not None:
+            n_now = len(snap.inputFiles()) or 1
+            snap = (
+                snap.coalesce(target_files)
+                if target_files <= n_now
+                else snap.repartition(target_files)
+            )
+        rel = self._write_data_dir(snap)
+        self._publish(
+            base_version + 1,
+            {
+                "version": base_version + 1,
+                "operation": "compact",
+                "base_version": base_version,
+                "active": [rel],
+            },
+        )
+        return base_version + 1
+
     def upsert(
         self,
         updates: DataFrame,

@@ -144,3 +144,33 @@ def test_streaming_cdc_into_versioned_table(spark, tmp_path):
     old_sum = t.read(version=first_version).agg(F.sum("value")).first()[0]
     assert abs(old_sum - base_sum) < 1e-6
     ev.unpersist()
+
+
+def test_append_is_incremental_and_time_travels(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(0, 5).withColumnRenamed("id", "k"))
+    v1 = t.append(spark.range(5, 8).withColumnRenamed("id", "k"))
+    assert sorted(r.k for r in t.read().collect()) == list(range(8))
+    assert sorted(r.k for r in t.read(0).collect()) == list(range(5))
+    # append reuses the previous directories: two active dirs now
+    assert len(t._active_dirs(v1)) == 2
+
+
+def test_compact_merges_dirs_preserves_rows_and_history(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(0, 10).withColumnRenamed("id", "k"))
+    for lo in range(10, 40, 10):
+        t.append(
+            spark.range(lo, lo + 10).withColumnRenamed("id", "k")
+        )
+    pre_files = len(t.read().inputFiles())
+    assert len(t._active_dirs(t.latest_version())) == 4
+    v = t.compact(target_files=2)
+    assert len(t._active_dirs(v)) == 1
+    post = t.read()
+    assert len(post.inputFiles()) <= 2 < pre_files
+    assert sorted(r.k for r in post.collect()) == list(range(40))
+    # history before compaction still reads the original layout
+    assert sorted(r.k for r in t.read(1).collect()) == list(range(20))
+    # nothing is orphaned by compaction itself
+    assert t.vacuum() == []
