@@ -45,6 +45,7 @@ import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.merge import merge_upsert
 
@@ -214,6 +215,147 @@ class VersionedTable:
             },
         )
         return base_version + 1
+
+    # -- partition-scoped mutation (the 100 TB path) -----------------------
+
+    def write_partitioned(
+        self, df: DataFrame, partition_col: str
+    ) -> int:
+        """Initial/overwrite publish with PARTITION TRACKING: one data
+        directory per distinct ``partition_col`` value, and the commit
+        records which directory holds which partition — the metadata
+        that lets :meth:`upsert_partitioned` rewrite only touched
+        partitions and :meth:`read` prune untouched ones.
+
+        The partition column stays IN the parquet files (directories
+        are tracked in the log, not encoded in paths), so snapshots
+        read with plain ``spark.read.parquet`` and no basePath tricks.
+        The per-partition write loop is a driver loop bounded by the
+        partition count of the BATCH (months/days — metadata scale);
+        ``df`` is persisted across the loop so the upstream plan runs
+        once, not once per partition."""
+        df = df.persist()
+        try:
+            values = sorted(
+                str(r[0])
+                for r in df.select(partition_col).distinct().collect()
+            )
+            dirs, parts = [], {}
+            for v in values:
+                rel = self._write_data_dir(
+                    df.filter(F.col(partition_col).cast("string") == v)
+                )
+                dirs.append(rel)
+                parts[rel] = v
+            latest = self.latest_version()
+            version = 0 if latest is None else latest + 1
+            self._publish(
+                version,
+                {
+                    "version": version,
+                    "operation": "write_partitioned",
+                    "partition_col": partition_col,
+                    "active": dirs,
+                    "partitions": parts,
+                },
+            )
+            return version
+        finally:
+            df.unpersist()
+
+    def upsert_partitioned(
+        self,
+        updates: DataFrame,
+        keys: Sequence[str],
+        partition_col: str,
+        version_col: str | None = None,
+    ) -> int:
+        """Keep-latest merge that rewrites ONLY the partitions the
+        update batch touches; every other partition's directory is
+        carried into the new commit BY REFERENCE (no data movement) —
+        dynamic-partition-overwrite semantics on the commit-log
+        protocol, which is how the full-rewrite :meth:`upsert` scales
+        to 100 TB. Update keys must not move rows across partitions
+        (the standard constraint; enforce upstream).
+
+        New partition values in the batch simply become new
+        directories. Requires a partition-tracked table
+        (:meth:`write_partitioned`)."""
+        base_version = self.latest_version()
+        if base_version is None:
+            return self.write_partitioned(updates, partition_col)
+        rec = self._read_commit(base_version)
+        parts = rec.get("partitions")
+        if parts is None or set(rec["active"]) - set(parts):
+            raise ValueError(
+                "table has partition-untracked directories; use "
+                "write_partitioned first (or the full-rewrite upsert)"
+            )
+        if rec.get("partition_col") not in (None, partition_col):
+            raise ValueError(
+                f"table is partitioned by {rec.get('partition_col')!r}, "
+                f"not {partition_col!r}"
+            )
+        updates = updates.persist()
+        try:
+            touched = sorted(
+                str(r[0])
+                for r in updates.select(partition_col).distinct().collect()
+            )
+            touched_set = set(touched)
+            carried = [d for d in rec["active"] if parts[d] not in touched_set]
+            base_dirs = [d for d in rec["active"] if parts[d] in touched_set]
+            if base_dirs:
+                base = self.spark.read.parquet(
+                    *[os.path.join(self.root, d) for d in base_dirs]
+                )
+            else:
+                base = updates.limit(0)
+            merged = merge_upsert(base, updates, keys, version_col).persist()
+            new_parts = {d: parts[d] for d in carried}
+            active = list(carried)
+            for v in touched:
+                rel = self._write_data_dir(
+                    merged.filter(F.col(partition_col).cast("string") == v)
+                )
+                active.append(rel)
+                new_parts[rel] = v
+            self._publish(
+                base_version + 1,
+                {
+                    "version": base_version + 1,
+                    "operation": "upsert_partitioned",
+                    "partition_col": partition_col,
+                    "keys": list(keys),
+                    "base_version": base_version,
+                    "rewritten": touched,
+                    "active": active,
+                    "partitions": new_parts,
+                },
+            )
+            merged.unpersist()
+            return base_version + 1
+        finally:
+            updates.unpersist()
+
+    def read_partitions(
+        self, values: Sequence[str], version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read PRUNED to the given partition values using
+        only commit metadata — no file listing or footer reads for
+        untouched partitions."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"versioned table {self.root} is empty")
+        rec = self._read_commit(v)
+        parts = rec.get("partitions") or {}
+        wanted = {str(x) for x in values}
+        dirs = [d for d in rec["active"] if parts.get(d) in wanted]
+        if not dirs:
+            return self.read(v).limit(0)
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, d) for d in dirs]
+        )
 
     def vacuum(self) -> list[str]:
         """Delete data directories referenced by NO commit (crash

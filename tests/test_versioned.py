@@ -174,3 +174,62 @@ def test_compact_merges_dirs_preserves_rows_and_history(spark, tmp_path):
     assert sorted(r.k for r in t.read(1).collect()) == list(range(20))
     # nothing is orphaned by compaction itself
     assert t.vacuum() == []
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, "k long, month string, val string")
+
+
+def test_partitioned_upsert_rewrites_only_touched(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    base = _orders(
+        spark,
+        [(1, "jan", "a"), (2, "jan", "b"), (3, "feb", "c"), (4, "mar", "d")],
+    )
+    v0 = t.write_partitioned(base, "month")
+    rec0 = t._read_commit(v0)
+    assert sorted(rec0["partitions"].values()) == ["feb", "jan", "mar"]
+
+    # update feb + add a NEW partition apr; jan/mar must carry by ref
+    v1 = t.upsert_partitioned(
+        _orders(spark, [(3, "feb", "C2"), (9, "apr", "new")]),
+        keys=["k"],
+        partition_col="month",
+    )
+    rec1 = t._read_commit(v1)
+    carried = set(rec0["active"]) & set(rec1["active"])
+    assert {rec0["partitions"][d] for d in carried} == {"jan", "mar"}
+    assert sorted(rec1["rewritten"]) == ["apr", "feb"]
+    got = {(r.k, r.month, r.val) for r in t.read().collect()}
+    assert got == {
+        (1, "jan", "a"), (2, "jan", "b"), (3, "feb", "C2"),
+        (4, "mar", "d"), (9, "apr", "new"),
+    }
+    # time travel to the pre-upsert snapshot
+    assert {(r.k, r.val) for r in t.read(v0).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    }
+
+
+def test_partition_pruned_read_uses_metadata_only(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.write_partitioned(
+        _orders(spark, [(1, "jan", "a"), (3, "feb", "c"), (4, "mar", "d")]),
+        "month",
+    )
+    pruned = t.read_partitions(["jan", "feb"])
+    assert {r.month for r in pruned.collect()} == {"jan", "feb"}
+    # pruning happened at the metadata level: only 2 dirs scanned
+    assert len({f.rsplit("/", 2)[1] for f in pruned.inputFiles()}) == 2
+    assert t.read_partitions(["dec"]).count() == 0
+
+
+def test_partitioned_upsert_rejects_untracked_table(spark, tmp_path):
+    import pytest as _pytest
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.write(_orders(spark, [(1, "jan", "a")]))
+    with _pytest.raises(ValueError, match="untracked"):
+        t.upsert_partitioned(
+            _orders(spark, [(1, "jan", "A")]), ["k"], "month"
+        )
