@@ -295,6 +295,28 @@ def training_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rows-only (overflow): per-round argmax is not SQL-expressible; BPE
+# semantics are pinned against a reference implementation in
+# tests/test_bpe.py — the KMeans/IVF posture.
+@query("bpe_merges", extra=True)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction over the documents corpus
+    (``operators/bpe.py``): the first 10 learned merges in application
+    order. Training iterates on the word-TYPE table (vocabulary-
+    bounded, not the corpus — one corpus-wide aggregation total);
+    per-round driver traffic is a single argmax row, and the type
+    table is checkpointed each round so the plan stays flat."""
+    from ..operators.bpe import train_bpe
+
+    merges = train_bpe(
+        t(spark, sf_dir, "documents"), num_merges=10
+    )
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "merge_ix long, left string, right string, merged string",
+    )
+
+
 def _split_case_sql(key_expr: str, seed: int = 0) -> str:
     """The 80/10/10 split CASE over an arbitrary key expression —
     DuckDB replica of ``export.split_label`` (same md5 ppm bucket)."""
