@@ -33,7 +33,7 @@ from pyspark.storagelevel import StorageLevel
 from .dedup import connected_components, minhash_lsh_pairs
 from .text import fingerprint, quality_score
 
-__all__ = ["curate_documents"]
+__all__ = ["curate_documents", "curation_audit"]
 
 
 def curate_documents(
@@ -71,3 +71,80 @@ def curate_documents(
         F.col("node").alias(id_col)
     )
     return exact_kept.drop("fingerprint").join(non_keepers, id_col, "left_anti")
+
+
+def curation_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_threshold: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-document curation PROVENANCE: one row per input doc with its
+    quality score, its fate, and the keeper it collapsed into —
+    ``fate ∈ {kept, dropped_quality, dropped_exact_dup,
+    dropped_near_dup}`` with first-failing-stage precedence (a
+    low-quality doc that is also a duplicate reports dropped_quality;
+    it never reached the hash stages). ``keeper_id`` is the retained
+    representative (itself when kept, NULL for quality drops — there
+    is nothing it deduplicated into).
+
+    The report every production pipeline owes its users: how much did
+    each stage remove, and where did my document go. Same stages, same
+    keeper rules, same plan shapes as :func:`curate_documents` — one
+    extra broadcast-sized join per stage to carry the labels back to
+    the full corpus; no new shuffles on the text itself.
+    """
+    scored = docs.withColumn("quality", quality_score(F.col(text_col)))
+    fp = scored.filter(F.col("quality") >= quality_threshold).withColumn(
+        "fingerprint", fingerprint(F.col(text_col))
+    )
+    ex = fp.join(
+        fp.groupBy("fingerprint").agg(F.min(id_col).alias("ex_keeper")),
+        "fingerprint",
+    ).select(id_col, "ex_keeper")
+    exact_kept = (
+        fp.join(ex, id_col)
+        .filter(F.col(id_col) == F.col("ex_keeper"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = minhash_lsh_pairs(
+        exact_kept,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        verify_threshold=jaccard_threshold,
+    )
+    comp = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("component")
+    )
+    out = (
+        scored.select(id_col, "quality")
+        .join(ex, id_col, "left")
+        .join(comp, id_col, "left")
+    )
+    is_q = F.col("quality") < quality_threshold
+    is_ex = F.col("ex_keeper") != F.col(id_col)
+    is_nd = F.col("component").isNotNull() & (
+        F.col("component") != F.col(id_col)
+    )
+    fate = (
+        F.when(is_q, F.lit("dropped_quality"))
+        .when(is_ex, F.lit("dropped_exact_dup"))
+        .when(is_nd, F.lit("dropped_near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    keeper = (
+        F.when(is_q, F.lit(None).cast("long"))
+        .when(is_ex, F.col("ex_keeper").cast("long"))
+        .when(is_nd, F.col("component").cast("long"))
+        .otherwise(F.col(id_col).cast("long"))
+    )
+    return out.select(
+        id_col, "quality", fate.alias("fate"), keeper.alias("keeper_id")
+    )

@@ -539,6 +539,81 @@ def _curate_sql(quality_threshold: float = 0.5, jaccard_threshold: float = 0.5) 
     """
 
 
+def _curation_audit_sql(
+    quality_threshold: float = 0.5, jaccard_threshold: float = 0.5
+) -> str:
+    quality = f"""
+         0.4 * (CASE WHEN len(w) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
+       + 0.3 * (CASE WHEN len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                          * 1.0 / len(w) > 0.0
+                      AND len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                          * 1.0 / len(w) < 0.6
+                     THEN 1.0 ELSE 0.0 END)"""
+    return f"""
+    WITH RECURSIVE
+    tok0 AS (SELECT doc_id, text, {_SQL_TOKENS} AS w FROM documents),
+    scored AS (SELECT doc_id, text, {quality} AS quality FROM tok0),
+    fp AS (SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS fingerprint
+           FROM scored WHERE quality >= {quality_threshold}),
+    ex AS (SELECT f.doc_id, mk.keeper AS ex_keeper
+           FROM fp f JOIN (SELECT fingerprint, min(doc_id) AS keeper
+                           FROM fp GROUP BY 1) mk USING (fingerprint)),
+    corpus AS (SELECT fp.doc_id, fp.text FROM fp JOIN ex USING (doc_id)
+               WHERE ex.ex_keeper = fp.doc_id),
+    {_minhash_ctes(thresh=jaccard_threshold, source="corpus")},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp_nodes AS (SELECT DISTINCT a AS id FROM edges),
+    comp AS (
+      SELECT id, least(id, min(b)) AS component
+      FROM comp_nodes JOIN reach ON reach.a = id GROUP BY id)
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.quality,
+           CASE WHEN s.quality < {quality_threshold} THEN 'dropped_quality'
+                WHEN e.ex_keeper != s.doc_id THEN 'dropped_exact_dup'
+                WHEN c.component IS NOT NULL AND c.component != s.doc_id
+                     THEN 'dropped_near_dup'
+                ELSE 'kept' END AS fate,
+           CAST(CASE WHEN s.quality < {quality_threshold} THEN NULL
+                     WHEN e.ex_keeper != s.doc_id THEN e.ex_keeper
+                     WHEN c.component IS NOT NULL AND c.component != s.doc_id
+                          THEN c.component
+                     ELSE s.doc_id END AS BIGINT) AS keeper_id
+    FROM scored s
+    LEFT JOIN ex e ON e.doc_id = s.doc_id
+    LEFT JOIN comp c ON c.id = s.doc_id
+    """
+
+
+@query("curation_audit", _curation_audit_sql(), extra=True)
+def curation_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation provenance (``operators/curate.py::curation_audit``):
+    one row per INPUT document with its quality score, fate
+    (kept / dropped_quality / dropped_exact_dup / dropped_near_dup,
+    first-failing-stage precedence) and the keeper it collapsed into —
+    the where-did-my-document-go report over the flagship pipeline.
+
+    The oracle replays all stages incl. the recursive-CTE closure and
+    the per-stage keeper joins; fates partition the corpus, so this
+    entry also pins the stage ACCOUNTING of curate_documents (kept
+    rows here == its output ids).
+    """
+    from ..operators.curate import curation_audit
+
+    return curation_audit(
+        t(spark, sf_dir, "documents"),
+        quality_threshold=0.5,
+        jaccard_threshold=0.5,
+    )
+
+
 @query("curate_documents", _curate_sql())
 def curate_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship training-data pipeline: quality filter → exact dedup →

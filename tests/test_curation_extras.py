@@ -465,3 +465,44 @@ def test_bigram_lm_semantics(spark):
     exp_u = (math.log(p_b := (3 + 0.5) / 9.0) + math.log(0.3 * p_c_uni)) / 2
     assert abs(u.avg_logprob - round(exp_u, 4)) < 1e-9
     assert out.loc[2, "avg_logprob"] > u.avg_logprob
+
+
+def test_curation_audit_partitions_and_agrees_with_curate(spark):
+    """Fates partition the input corpus; 'kept' ids are exactly
+    curate_documents' output; keeper rules hold."""
+    from nyc_taxi_etl_spark.operators.curate import (
+        curate_documents,
+        curation_audit,
+    )
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    audit = curation_audit(docs).toPandas()
+    assert len(audit) == docs.count()
+    kept_ids = set(audit[audit.fate == "kept"].doc_id)
+    curated = {r.doc_id for r in curate_documents(docs).collect()}
+    assert kept_ids == curated
+    # keeper invariants
+    k = audit.set_index("doc_id")
+    for _, row in audit.iterrows():
+        if row.fate == "kept":
+            assert row.keeper_id == row.doc_id
+        elif row.fate == "dropped_quality":
+            assert pd.isna(row.keeper_id)  # NULL keeper
+        else:
+            assert row.keeper_id in kept_ids, row.doc_id
+    # the planted test corpus exercises quality and near-dup drops
+    # (its duplicates are NEAR dups -- no byte-identical pairs at this
+    # SF, so dropped_exact_dup is legitimately absent here; the exact
+    # path is covered by a synthetic frame below)
+    assert {"kept", "dropped_quality", "dropped_near_dup"} <= set(audit.fate)
+    twin = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 3),
+         (2, "the quick brown fox jumps over the lazy dog " * 3)],
+        "doc_id long, text string",
+    )
+    tw = curation_audit(twin).toPandas().set_index("doc_id")
+    assert tw.loc[1, "fate"] == "kept"
+    assert tw.loc[2, "fate"] == "dropped_exact_dup"
+    assert tw.loc[2, "keeper_id"] == 1
