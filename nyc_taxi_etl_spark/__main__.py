@@ -8,9 +8,9 @@ as subcommands of one module, running on the engine's session factory
 
   etl        raw per-cab parquet → unified clean curated table
   query      run a named catalog query; print or write parquet/CSV
-  queries    list the catalog
+  queries    list the catalog (driver window + overflow registry)
   report     render the HTML/SVG dashboard
-  bench      alias of bench.py (same JSON line)
+  prepare    run the training-corpus pipeline end-to-end
 
 Exit code 0/1 matches the reference's job contract
 (``etl_yellow_s3.py:78``).
@@ -82,11 +82,14 @@ def cmd_query(args) -> int:
 
 
 def cmd_queries(_args) -> int:
-    from .plans import ORACLE, QUERIES
+    from .plans import ORACLE, ORACLE_EXTRA, QUERIES, QUERIES_EXTRA
 
     for name in QUERIES:
         kind = "oracle" if name in ORACLE else "rows-only"
         print(f"{name}\t{kind}")
+    for name in QUERIES_EXTRA:
+        kind = "oracle" if name in ORACLE_EXTRA else "rows-only"
+        print(f"{name}\t{kind}\toverflow")
     return 0
 
 
@@ -117,12 +120,17 @@ def cmd_prepare(args) -> int:
             chunk_overlap=args.overlap,
             seed=args.seed,
             num_shards=args.shards,
+            classifier_min_prob=args.classifier_min_prob,
+            collapse_repeats=args.collapse_repeats,
+            budget_tokens=args.budget_tokens,
+            output_format=args.format,
         )
+        from pyspark.sql import functions as F
+
         stats = {
             r["split"]: r["n"]
             for r in chunks.groupBy("split")
-            .agg(__import__("pyspark.sql.functions", fromlist=["count"])
-                 .count("*").alias("n"))
+            .agg(F.count("*").alias("n"))
             .collect()
         }
         print(json.dumps({"output": args.out, "chunks_per_split": stats}))
@@ -163,6 +171,25 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     pr.add_argument("--out", default="report.html")
     pr.set_defaults(fn=cmd_report)
+
+    pp = sub.add_parser(
+        "prepare", help="training-corpus pipeline: curate → shards"
+    )
+    pp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--quality", type=float, default=0.5)
+    pp.add_argument("--jaccard", type=float, default=0.5)
+    pp.add_argument("--chunk-tokens", type=int, default=128)
+    pp.add_argument("--overlap", type=int, default=0)
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--shards", type=int, default=8)
+    pp.add_argument("--classifier-min-prob", type=float, default=None)
+    pp.add_argument("--collapse-repeats", action="store_true")
+    pp.add_argument("--budget-tokens", type=int, default=None)
+    pp.add_argument(
+        "--format", choices=["parquet", "jsonl"], default="parquet"
+    )
+    pp.set_defaults(fn=cmd_prepare)
 
     args = p.parse_args(argv)
     return args.fn(args)

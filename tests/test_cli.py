@@ -14,8 +14,11 @@ def test_queries_listing_no_spark(capsys):
     assert main(["queries"]) == 0
     out = capsys.readouterr().out
     lines = [line for line in out.strip().splitlines() if line]
-    assert len(lines) == 50
+    assert len(lines) == 66  # 50 driver window + 16 overflow
     assert any(line.startswith("events_time_profile\toracle") for line in lines)
+    assert sum(line.endswith("\toverflow") for line in lines) == 16
+    assert any(line.startswith("semantic_dedup\toracle\toverflow")
+               for line in lines)
 
 
 def test_unknown_query_exits_1_without_spark(capsys):
@@ -80,3 +83,24 @@ def test_cli_etl_roundtrip(tmp_path):
     metrics = json.loads(r.stdout.strip().splitlines()[-1])
     assert metrics["rows_out"] > 0
     assert (curated / "cab_type=yellow").exists()
+
+
+def test_cli_prepare_jsonl(tmp_path):
+    import glob
+
+    out = tmp_path / "corpus"
+    res = subprocess.run(
+        [sys.executable, "-m", "nyc_taxi_etl_spark", "prepare",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", str(out),
+         "--chunk-tokens", "32", "--shards", "2",
+         "--collapse-repeats", "--format", "jsonl"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["output"] == str(out)
+    assert sum(stats["chunks_per_split"].values()) > 0
+    files = glob.glob(str(out) + "/split=*/part-*")
+    assert files
+    n_lines = sum(1 for f in files for line in open(f) if line.strip())
+    assert n_lines == sum(stats["chunks_per_split"].values())
