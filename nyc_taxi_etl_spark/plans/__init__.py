@@ -5,3 +5,4 @@ from . import queries_streaming  # noqa: F401  (registers Structured Streaming q
 from . import queries_misc  # noqa: F401  (registers sampling/set-op/cube/audit queries)
 from . import queries_temporal  # noqa: F401  (registers as-of join / sessionization queries)
 from . import queries_training  # noqa: F401  (registers chunk/pack, PII, LM, boilerplate, split queries)
+from . import queries_rules  # noqa: F401  (registers Gopher/C4 rule-filter queries)
