@@ -6,3 +6,4 @@ from . import queries_misc  # noqa: F401  (registers sampling/set-op/cube/audit 
 from . import queries_temporal  # noqa: F401  (registers as-of join / sessionization queries)
 from . import queries_training  # noqa: F401  (registers chunk/pack, PII, LM, boilerplate, split queries)
 from . import queries_rules  # noqa: F401  (registers Gopher/C4 rule-filter queries)
+from . import queries_passages  # noqa: F401  (registers duplicate-passage dedup)
