@@ -117,6 +117,132 @@ class VersionedTable:
     def _active_dirs(self, version: int) -> list[str]:
         return list(self._read_commit(version)["active"])
 
+    # -- data-skipping statistics -----------------------------------------
+
+    def _scan_stats(self, rel_dir: str) -> dict[str, dict]:
+        """Per-file min/max column stats for a data directory, read
+        from the parquet FOOTERS pyarrow exposes — exact bounds the
+        writer already computed, no extra data pass. Only JSON-safe
+        primitive types (int/float/str/bool) are recorded; a column a
+        row group lacks stats for is dropped from that file's entry
+        (pruning stays conservative)."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict] = {}
+        absdir = os.path.join(self.root, rel_dir)
+        for name in sorted(os.listdir(absdir)):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(absdir, name)).metadata
+            cols: dict[str, list] = {}
+            dropped: set[str] = set()
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    col = c.path_in_schema
+                    if "." in col or col in dropped:
+                        continue  # nested leaves aren't prunable here
+                    st = c.statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, (int, float, str, bool))
+                        or (isinstance(st.min, float) and st.min != st.min)
+                        or (isinstance(st.max, float) and st.max != st.max)
+                    ):  # missing / non-primitive / NaN bounds: unusable
+                        dropped.add(col)
+                        cols.pop(col, None)
+                        continue
+                    if col in cols:
+                        cols[col][0] = min(cols[col][0], st.min)
+                        cols[col][1] = max(cols[col][1], st.max)
+                    else:
+                        cols[col] = [st.min, st.max]
+            stats[os.path.join(rel_dir, name)] = {
+                "rows": md.num_rows,
+                "cols": cols,
+            }
+        return stats
+
+    def _carry_stats(
+        self, prior: dict, dirs: Sequence[str]
+    ) -> dict[str, dict]:
+        """Stats entries of a prior commit restricted to carried
+        directories (older commits without stats carry nothing — their
+        files are simply never pruned)."""
+        keep = tuple(d + os.sep for d in dirs)
+        return {
+            f: s
+            for f, s in (prior.get("file_stats") or {}).items()
+            if f.startswith(keep)
+        }
+
+    def prune_plan(
+        self,
+        where: dict[str, tuple],
+        version: int | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """Partition the snapshot's files into (kept, skipped) for a
+        conjunction of closed ranges ``{col: (lo, hi)}`` (``None`` =
+        unbounded side; equality = ``(v, v)``) using ONLY commit
+        metadata. Files without recorded stats for a constrained
+        column are always kept (conservative)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"versioned table {self.root} is empty")
+        rec = self._read_commit(v)
+        fstats = rec.get("file_stats") or {}
+        kept, skipped = [], []
+        for rel_dir in rec["active"]:
+            absdir = os.path.join(self.root, rel_dir)
+            for name in sorted(os.listdir(absdir)):
+                if not name.endswith(".parquet"):
+                    continue
+                rel_f = os.path.join(rel_dir, name)
+                cols = (fstats.get(rel_f) or {}).get("cols") or {}
+                drop = False
+                for col, (lo, hi) in where.items():
+                    if col not in cols:
+                        continue
+                    mn, mx = cols[col]
+                    if (hi is not None and mn > hi) or (
+                        lo is not None and mx < lo
+                    ):
+                        drop = True
+                        break
+                (skipped if drop else kept).append(rel_f)
+        return kept, skipped
+
+    def read_where(
+        self,
+        where: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read with FILE-LEVEL DATA SKIPPING: files whose
+        footer min/max bounds cannot intersect the ``where`` ranges are
+        never handed to Spark (no open, no footer read, no task), and
+        the residual range filter is applied to the survivors so the
+        result equals ``read().filter(...)`` exactly.
+
+        This is the lakehouse data-skipping pattern (Delta/Iceberg
+        manifest pruning) on the commit-log protocol: at 100 TB the
+        win is proportional to how well the layout clusters the
+        constrained column — pair with :meth:`compact` after a
+        range-partitioned write for sorted layouts."""
+        kept, _ = self.prune_plan(where, version)
+        cond = F.lit(True)
+        for col, (lo, hi) in where.items():
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+        if not kept:
+            return self.read(version).limit(0).filter(cond)
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in kept]
+        ).filter(cond)
+
     # -- public API --------------------------------------------------------
 
     def write(self, df: DataFrame, operation: str = "overwrite") -> int:
@@ -126,7 +252,8 @@ class VersionedTable:
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
         self._publish(version, {"version": version, "operation": operation,
-                                "active": [rel]})
+                                "active": [rel],
+                                "file_stats": self._scan_stats(rel)})
         return version
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -146,12 +273,15 @@ class VersionedTable:
         :meth:`compact`."""
         rel = self._write_data_dir(df)
         latest = self.latest_version()
-        prior = [] if latest is None else self._active_dirs(latest)
+        prior_rec = {} if latest is None else self._read_commit(latest)
+        prior = list(prior_rec.get("active", []))
         version = 0 if latest is None else latest + 1
+        stats = self._carry_stats(prior_rec, prior)
+        stats.update(self._scan_stats(rel))
         self._publish(
             version,
             {"version": version, "operation": "append",
-             "active": prior + [rel]},
+             "active": prior + [rel], "file_stats": stats},
         )
         return version
 
@@ -185,6 +315,7 @@ class VersionedTable:
                 "operation": "compact",
                 "base_version": base_version,
                 "active": [rel],
+                "file_stats": self._scan_stats(rel),
             },
         )
         return base_version + 1
@@ -212,6 +343,7 @@ class VersionedTable:
                 "keys": list(keys),
                 "base_version": base_version,
                 "active": [rel],
+                "file_stats": self._scan_stats(rel),
             },
         )
         return base_version + 1
@@ -257,6 +389,11 @@ class VersionedTable:
                     "partition_col": partition_col,
                     "active": dirs,
                     "partitions": parts,
+                    "file_stats": {
+                        f: s
+                        for d in dirs
+                        for f, s in self._scan_stats(d).items()
+                    },
                 },
             )
             return version
@@ -314,12 +451,14 @@ class VersionedTable:
             merged = merge_upsert(base, updates, keys, version_col).persist()
             new_parts = {d: parts[d] for d in carried}
             active = list(carried)
+            stats = self._carry_stats(rec, carried)
             for v in touched:
                 rel = self._write_data_dir(
                     merged.filter(F.col(partition_col).cast("string") == v)
                 )
                 active.append(rel)
                 new_parts[rel] = v
+                stats.update(self._scan_stats(rel))
             self._publish(
                 base_version + 1,
                 {
@@ -331,6 +470,7 @@ class VersionedTable:
                     "rewritten": touched,
                     "active": active,
                     "partitions": new_parts,
+                    "file_stats": stats,
                 },
             )
             merged.unpersist()

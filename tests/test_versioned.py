@@ -233,3 +233,94 @@ def test_partitioned_upsert_rejects_untracked_table(spark, tmp_path):
         t.upsert_partitioned(
             _orders(spark, [(1, "jan", "A")]), ["k"], "month"
         )
+
+
+# -- data skipping ---------------------------------------------------------
+
+
+def _skip_table(spark, tmp_path, n_files=4):
+    """Table whose layout clusters k: file i holds k in [100i, 100i+99]."""
+    t = VersionedTable(spark, str(tmp_path / "skip"))
+    df = (
+        spark.range(0, 400)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("val"),
+            F.concat(F.lit("s"), F.col("id")).alias("name"),
+        )
+        .repartitionByRange(n_files, "k")
+        .sortWithinPartitions("k")
+    )
+    t.write(df, operation="init")
+    return t
+
+
+def test_read_where_prunes_files_and_matches_full_scan(spark, tmp_path):
+    t = _skip_table(spark, tmp_path)
+    kept, skipped = t.prune_plan({"k": (150, 199)})
+    assert skipped, "range-clustered layout must skip files"
+    assert len(kept) < len(kept) + len(skipped)
+    got = t.read_where({"k": (150, 199)})
+    want = t.read().filter((F.col("k") >= 150) & (F.col("k") <= 199))
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+    # The pruned plan reads strictly fewer files than the full snapshot.
+    assert len(got.inputFiles()) < len(t.read().inputFiles())
+
+
+def test_read_where_open_ranges_equality_and_strings(spark, tmp_path):
+    t = _skip_table(spark, tmp_path)
+    # equality as (v, v)
+    assert [r["k"] for r in t.read_where({"k": (250, 250)}).collect()] == [250]
+    # open-ended range
+    assert t.read_where({"k": (350, None)}).count() == 50
+    # string column bounds prune too (file 0 holds s0..s99 etc. is NOT
+    # lexicographically clustered, so this only checks correctness)
+    got = t.read_where({"name": ("s399", "s399")}).collect()
+    assert [r["k"] for r in got] == [399]
+
+
+def test_read_where_empty_result_keeps_schema(spark, tmp_path):
+    t = _skip_table(spark, tmp_path)
+    kept, skipped = t.prune_plan({"k": (5000, 6000)})
+    assert not kept and skipped
+    out = t.read_where({"k": (5000, 6000)})
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "val", "name"}
+
+
+def test_stats_carry_through_append_and_upsert_partitioned(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "skipp"))
+    mk = lambda lo, hi, p: spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(p).alias("pt"), F.lit(1).alias("ver")
+    )
+    t.write_partitioned(mk(0, 100, "a").unionAll(mk(100, 200, "b")), "pt")
+    # upsert touches only partition b; a's stats must carry by reference
+    t.upsert_partitioned(mk(150, 160, "b"), keys=["k"], partition_col="pt")
+    rec = t._read_commit(t.latest_version())
+    assert rec["file_stats"], "stats present after partition-scoped upsert"
+    kept, skipped = t.prune_plan({"k": (0, 50)})
+    assert skipped, "untouched partition's carried stats still prune"
+    got = sorted(r["k"] for r in t.read_where({"k": (0, 5)}).collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+    # append on a plain table: old stats carried, new dir scanned
+    t2 = VersionedTable(spark, str(tmp_path / "skap"))
+    t2.write(spark.range(0, 10).select(F.col("id").alias("k")))
+    t2.append(spark.range(1000, 1010).select(F.col("id").alias("k")))
+    kept2, skipped2 = t2.prune_plan({"k": (1000, None)})
+    assert skipped2 and kept2
+
+
+def test_files_without_stats_are_never_pruned(spark, tmp_path):
+    t = _skip_table(spark, tmp_path)
+    v = t.latest_version()
+    rec = t._read_commit(v)
+    rec.pop("file_stats")
+    import json
+
+    with open(t._log_path(v), "w") as f:
+        json.dump(rec, f)
+    kept, skipped = t.prune_plan({"k": (150, 199)})
+    assert not skipped, "no stats -> conservative: read everything"
+    assert t.read_where({"k": (150, 199)}).count() == 50
