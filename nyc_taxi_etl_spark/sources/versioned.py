@@ -285,7 +285,12 @@ class VersionedTable:
         )
         return version
 
-    def compact(self, target_files: int | None = None) -> int:
+    def compact(
+        self,
+        target_files: int | None = None,
+        cluster_by: Sequence[str] | None = None,
+        zorder_bits: int = 8,
+    ) -> int:
         """Rewrite the current snapshot as ONE data directory (with
         ``target_files`` parquet files when given) and commit it as
         the next version — the standard maintenance op after a run of
@@ -295,12 +300,23 @@ class VersionedTable:
         here only removes unreferenced orphans) lets them go.
 
         Coalesce (narrow, no shuffle) when shrinking the file count;
-        repartition only when growing it."""
+        repartition only when growing it.
+
+        ``cluster_by`` lays the rewrite out along the Morton curve of
+        the given columns (``functions/zorder.py``) so that
+        :meth:`read_where` footer pruning works on EVERY clustered
+        column at once — the ``OPTIMIZE ZORDER BY`` maintenance op of
+        the lakehouse formats, at the cost of one range shuffle."""
         base_version = self.latest_version()
         if base_version is None:
             raise FileNotFoundError(f"versioned table {self.root} is empty")
         snap = self.read(base_version)
-        if target_files is not None:
+        if cluster_by:
+            from ..functions.zorder import zorder_layout
+
+            n = target_files or len(snap.inputFiles()) or 1
+            snap = zorder_layout(snap, cluster_by, n, zorder_bits)
+        elif target_files is not None:
             n_now = len(snap.inputFiles()) or 1
             snap = (
                 snap.coalesce(target_files)
@@ -308,16 +324,16 @@ class VersionedTable:
                 else snap.repartition(target_files)
             )
         rel = self._write_data_dir(snap)
-        self._publish(
-            base_version + 1,
-            {
-                "version": base_version + 1,
-                "operation": "compact",
-                "base_version": base_version,
-                "active": [rel],
-                "file_stats": self._scan_stats(rel),
-            },
-        )
+        record = {
+            "version": base_version + 1,
+            "operation": "compact",
+            "base_version": base_version,
+            "active": [rel],
+            "file_stats": self._scan_stats(rel),
+        }
+        if cluster_by:
+            record["clustered_by"] = list(cluster_by)
+        self._publish(base_version + 1, record)
         return base_version + 1
 
     def upsert(

@@ -324,3 +324,51 @@ def test_files_without_stats_are_never_pruned(spark, tmp_path):
     kept, skipped = t.prune_plan({"k": (150, 199)})
     assert not skipped, "no stats -> conservative: read everything"
     assert t.read_where({"k": (150, 199)}).count() == 50
+
+
+def test_zorder_compact_prunes_on_both_dimensions(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "zord"))
+    # Two independent uniform dims; initial layout clusters NEITHER
+    # (shuffled by hash of id).
+    df = (
+        spark.range(0, 4096)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            F.floor(F.col("id") / 64).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(16, "payload")
+    )
+    t.write(df, operation="init")
+    xq = {"x": (0, 7)}   # 1/8 of the x domain
+    yq = {"y": (0, 7)}   # 1/8 of the y domain
+    kept_x0, skip_x0 = t.prune_plan(xq)
+    kept_y0, skip_y0 = t.prune_plan(yq)
+    assert not skip_x0 and not skip_y0, "hash layout prunes nothing"
+    v = t.compact(target_files=16, cluster_by=["x", "y"])
+    assert t._read_commit(v)["clustered_by"] == ["x", "y"]
+    kept_x, skip_x = t.prune_plan(xq)
+    kept_y, skip_y = t.prune_plan(yq)
+    # Morton layout: an 1/8-range predicate on EITHER dim skips at
+    # least half the 16 files.
+    assert len(skip_x) >= 8, (len(kept_x), len(skip_x))
+    assert len(skip_y) >= 8, (len(kept_y), len(skip_y))
+    # Correctness: pruned read == full filter, and the snapshot is intact.
+    assert t.read_where(xq).count() == 4096 // 8
+    assert t.read_where(yq).count() == 4096 // 8
+    assert t.read().count() == 4096
+
+
+def test_zorder_layout_handles_nulls_and_constant_columns(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "zn"))
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("x"),
+        F.lit(5).alias("c"),
+        F.col("id").alias("payload"),
+    )
+    t.write(df, operation="init")
+    t.compact(target_files=4, cluster_by=["x", "c"])
+    assert t.read().count() == 100
+    # nulls fall in bucket 0; equality read still exact (51 is not a
+    # multiple of 10, so it survives the null injection above)
+    assert t.read_where({"x": (51, 51)}).count() == 1
