@@ -124,6 +124,9 @@ def cmd_prepare(args) -> int:
             collapse_repeats=args.collapse_repeats,
             budget_tokens=args.budget_tokens,
             output_format=args.format,
+            gopher_gate=args.gopher_gate,
+            c4_clean=args.c4_clean,
+            passage_dedup_k=args.passage_dedup_k,
         )
         from pyspark.sql import functions as F
 
@@ -186,6 +189,9 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--classifier-min-prob", type=float, default=None)
     pp.add_argument("--collapse-repeats", action="store_true")
     pp.add_argument("--budget-tokens", type=int, default=None)
+    pp.add_argument("--gopher-gate", action="store_true")
+    pp.add_argument("--c4-clean", action="store_true")
+    pp.add_argument("--passage-dedup-k", type=int, default=None)
     pp.add_argument(
         "--format", choices=["parquet", "jsonl"], default="parquet"
     )

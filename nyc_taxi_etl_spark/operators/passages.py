@@ -112,6 +112,7 @@ def dedup_passages(
     id_col: str = "doc_id",
     k: int = 5,
     min_count: int = 2,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Remove duplicated passages, keeping each passage's global first
     occurrence: ``(doc_id, clean_text, n_tokens, removed_tokens)``.
@@ -133,7 +134,9 @@ def dedup_passages(
         F.collect_list("pos").alias("_starts")
     )
     base = df.select(
-        F.col(id_col), tokens(_norm(F.col(text_col))).alias("_w")
+        F.col(id_col),
+        tokens(_norm(F.col(text_col))).alias("_w"),
+        *[F.col(c) for c in extra_cols],
     )
     starts = F.coalesce(F.col("_starts"), F.array().cast("array<long>"))
     kw = F.filter(F.col("_w"), _covered(starts, k))
@@ -144,5 +147,6 @@ def dedup_passages(
             F.array_join(kw, " ").alias("clean_text"),
             F.size("_w").cast("long").alias("n_tokens"),
             (F.size("_w") - F.size(kw)).cast("long").alias("removed_tokens"),
+            *[F.col(c) for c in extra_cols],
         )
     )

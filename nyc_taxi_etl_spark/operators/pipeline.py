@@ -3,9 +3,18 @@
 Composes the individually oracle-checked stages in the order a
 production curation run uses them:
 
+    0. rule gates  — optional Gopher keep-rules (inline WHERE, rides
+                     the scan) and C4 line cleaning
+                     (``rules.gopher_keep`` / ``rules.c4_line_filter``)
+                     — cheap row-local filters run BEFORE the expensive
+                     dedup stages, the RefinedWeb ordering
     1. curate      — quality filter → exact dedup → MinHash-LSH
                      near-dedup → component keeper selection
                      (``curate.curate_documents``)
+    1b. passages   — optional exact duplicate-passage removal on the
+                     dedup survivors (``passages.dedup_passages``,
+                     keep-first) — whole-doc dedup leaves repeated
+                     spans inside distinct docs; this removes them
     2. classify    — optional fastText-style quality-classifier gate
                      (``classifier.score_fixed_lexicon``)
     3. redact      — PII placeholders (``redact.redact_pii``)
@@ -61,6 +70,9 @@ def prepare_training_corpus(
     budget_tokens: int | None = None,
     source_col: str = "source",
     output_format: str = "parquet",
+    gopher_gate: bool | dict = False,
+    c4_clean: bool = False,
+    passage_dedup_k: int | None = None,
 ) -> DataFrame:
     """Run the full pipeline; returns the chunk-level DataFrame
     ``(id_col, chunk_ix, chunk_text, chunk_tokens, split)``. When
@@ -71,6 +83,26 @@ def prepare_training_corpus(
     DOCUMENT key, not the chunk) — sibling chunks of one document must
     never straddle train/val, or evaluation leaks training text.
     """
+    if gopher_gate:
+        # inline boolean rides the scan — no audit-frame semi-join;
+        # pass a dict to override rule thresholds
+        from .rules import gopher_keep
+
+        params = gopher_gate if isinstance(gopher_gate, dict) else {}
+        docs = docs.where(gopher_keep(F.col(text_col), **params))
+    if c4_clean:
+        from .rules import c4_line_filter
+
+        extras = tuple(
+            c for c in docs.columns if c not in (id_col, text_col)
+        )
+        docs = (
+            c4_line_filter(docs, text_col=text_col, id_col=id_col,
+                           extra_cols=extras)
+            .where(F.col("doc_kept"))
+            .drop("n_lines", "kept_lines", "doc_kept")
+            .withColumnRenamed("clean_text", text_col)
+        )
     curated = curate_documents(
         docs,
         id_col=id_col,
@@ -78,6 +110,18 @@ def prepare_training_corpus(
         quality_threshold=quality_threshold,
         jaccard_threshold=jaccard_threshold,
     )
+    if passage_dedup_k is not None:
+        from .passages import dedup_passages
+
+        extras = tuple(
+            c for c in curated.columns if c not in (id_col, text_col)
+        )
+        curated = (
+            dedup_passages(curated, text_col=text_col, id_col=id_col,
+                           k=passage_dedup_k, extra_cols=extras)
+            .drop("n_tokens", "removed_tokens")
+            .withColumnRenamed("clean_text", text_col)
+        )
     if classifier_min_prob is not None:
         # row-local scored gate on the curated survivors; semi-join on
         # the id key (AQE-sized — the score frame is id+prob only)

@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["gopher_flags", "c4_line_filter", "GOPHER_STOPWORDS"]
+__all__ = [
+    "gopher_flags",
+    "gopher_keep",
+    "c4_line_filter",
+    "GOPHER_STOPWORDS",
+]
 
 # Rae et al. A1.1: "contain at least two of the following English
 # words: the, be, to, of, and, that, have, with".
@@ -56,26 +61,9 @@ def _dbl(c: Column) -> Column:
     return c.cast("double")
 
 
-def gopher_flags(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_symbol_ratio: float = 0.1,
-    max_bullet_frac: float = 0.9,
-    max_ellipsis_frac: float = 0.3,
-    min_alpha_frac: float = 0.8,
-    min_stopword_hits: int = 2,
-) -> DataFrame:
-    """Gopher repetition-free quality rules: one row per document with
-    the measured statistic, the per-rule pass flag, and the composite
-    ``keep`` (AND of all rules). Ratios are emitted as raw doubles —
-    they are divisions of exact integers, bit-identical across engines
-    (see ``_dbl``)."""
-    text = F.col(text_col)
+def _gopher_stats(text: Column) -> dict[str, Column]:
+    """The raw per-document statistics every Gopher rule reads — one
+    dict of pure Catalyst expressions over the token/line arrays."""
     w = tokens(text)
     lines = _lines(text)
     n_words = F.size(w).cast("long")
@@ -134,41 +122,127 @@ def gopher_flags(
             F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
         )
     ).cast("long")
+    return {
+        "n_words": n_words,
+        "mean_word_len": _dbl(mean_wl),
+        "symbol_ratio": _dbl(symbol_ratio),
+        "bullet_line_frac": _dbl(bullet_frac),
+        "ellipsis_line_frac": _dbl(ellipsis_frac),
+        "alpha_word_frac": _dbl(alpha_frac),
+        "stopword_hits": stop_hits,
+    }
 
-    out = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        _dbl(mean_wl).alias("mean_word_len"),
-        _dbl(symbol_ratio).alias("symbol_ratio"),
-        _dbl(bullet_frac).alias("bullet_line_frac"),
-        _dbl(ellipsis_frac).alias("ellipsis_line_frac"),
-        _dbl(alpha_frac).alias("alpha_word_frac"),
-        stop_hits.alias("stopword_hits"),
-    )
-    rules = {
-        "ok_words": (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words),
-        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len),
+
+def _gopher_rules(
+    s: dict[str, Column],
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    max_bullet_frac: float,
+    max_ellipsis_frac: float,
+    min_alpha_frac: float,
+    min_stopword_hits: int,
+) -> dict[str, Column]:
+    return {
+        "ok_words": (s["n_words"] >= min_words)
+        & (s["n_words"] <= max_words),
+        "ok_mean_word_len": F.coalesce(
+            (s["mean_word_len"] >= min_mean_word_len)
+            & (s["mean_word_len"] <= max_mean_word_len),
+            F.lit(False),
+        ),
         "ok_symbols": F.coalesce(
-            F.col("symbol_ratio") <= max_symbol_ratio, F.lit(False)
+            s["symbol_ratio"] <= max_symbol_ratio, F.lit(False)
         ),
         "ok_bullets": F.coalesce(
-            F.col("bullet_line_frac") <= max_bullet_frac, F.lit(True)
+            s["bullet_line_frac"] <= max_bullet_frac, F.lit(True)
         ),
         "ok_ellipsis": F.coalesce(
-            F.col("ellipsis_line_frac") <= max_ellipsis_frac, F.lit(True)
+            s["ellipsis_line_frac"] <= max_ellipsis_frac, F.lit(True)
         ),
         "ok_alpha": F.coalesce(
-            F.col("alpha_word_frac") >= min_alpha_frac, F.lit(False)
+            s["alpha_word_frac"] >= min_alpha_frac, F.lit(False)
         ),
-        "ok_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+        "ok_stopwords": s["stopword_hits"] >= min_stopword_hits,
     }
+
+
+def gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher repetition-free quality rules: one row per document with
+    the measured statistic, the per-rule pass flag, and the composite
+    ``keep`` (AND of all rules). Ratios are emitted as raw doubles —
+    they are divisions of exact integers, bit-identical across engines
+    (see ``_dbl``)."""
+    stats = _gopher_stats(F.col(text_col))
+    out = df.select(
+        F.col(id_col), *[c.alias(name) for name, c in stats.items()]
+    )
+    rules = _gopher_rules(
+        {name: F.col(name) for name in stats},
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        max_symbol_ratio,
+        max_bullet_frac,
+        max_ellipsis_frac,
+        min_alpha_frac,
+        min_stopword_hits,
+    )
     out = out.select("*", *[expr.alias(name) for name, expr in rules.items()])
     keep = F.lit(True)
     for name in rules:
         keep = keep & F.col(name)
     return out.select("*", keep.alias("keep"))
+
+
+def gopher_keep(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """The composite Gopher ``keep`` as ONE inline boolean expression —
+    the zero-shuffle form for use directly in a ``WHERE`` (pipelines
+    filter with this instead of semi-joining the audit frame, so the
+    gate rides the scan and costs no exchange)."""
+    rules = _gopher_rules(
+        _gopher_stats(text),
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        max_symbol_ratio,
+        max_bullet_frac,
+        max_ellipsis_frac,
+        min_alpha_frac,
+        min_stopword_hits,
+    )
+    keep = F.lit(True)
+    for expr in rules.values():
+        keep = keep & expr
+    return keep
 
 
 def c4_line_filter(
@@ -177,6 +251,7 @@ def c4_line_filter(
     id_col: str = "doc_id",
     min_words_per_line: int = 3,
     min_kept_lines: int = 3,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """C4 cleaning: a line survives iff it ends in terminal punctuation
     (``. ! ? "``) and has ≥ ``min_words_per_line`` whitespace words;
@@ -201,4 +276,5 @@ def c4_line_filter(
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("kept_lines"),
         (~bad_doc & (F.size(kept) >= min_kept_lines)).alias("doc_kept"),
+        *[F.col(c) for c in extra_cols],
     )

@@ -105,14 +105,16 @@ _GOPHER_SQL = (
     FROM base)
   SELECT *,
          n_words >= 50 AND n_words <= 100000 AS ok_words,
-         mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_word_len,
+         coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+                  FALSE) AS ok_mean_word_len,
          coalesce(symbol_ratio <= 0.1, FALSE) AS ok_symbols,
          coalesce(bullet_line_frac <= 0.9, TRUE) AS ok_bullets,
          coalesce(ellipsis_line_frac <= 0.3, TRUE) AS ok_ellipsis,
          coalesce(alpha_word_frac >= 0.8, FALSE) AS ok_alpha,
          stopword_hits >= 1 AS ok_stopwords,
          (n_words >= 50 AND n_words <= 100000)
-           AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+           AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+                        FALSE)
            AND coalesce(symbol_ratio <= 0.1, FALSE)
            AND coalesce(bullet_line_frac <= 0.9, TRUE)
            AND coalesce(ellipsis_line_frac <= 0.3, TRUE)

@@ -223,3 +223,49 @@ def test_prepare_training_corpus_full_options_jsonl(spark, tmp_path):
                     json.loads(line)
                     n_lines += 1
     assert n_lines == len(pdf)
+
+
+def test_prepare_training_corpus_rule_gates_and_passage_dedup(spark):
+    """New optional stages compose: Gopher gate (inline WHERE), C4 line
+    cleanup, and keep-first passage dedup inside the pipeline."""
+    from nyc_taxi_etl_spark.operators import pipeline
+
+    base = pipeline.prepare_training_corpus(
+        _docs(spark),
+        quality_threshold=0.5,
+        jaccard_threshold=0.5,
+        chunk_tokens=32,
+        seed=11,
+    ).toPandas()
+    gated = pipeline.prepare_training_corpus(
+        _docs(spark),
+        quality_threshold=0.5,
+        jaccard_threshold=0.5,
+        chunk_tokens=32,
+        seed=11,
+        gopher_gate={"min_stopword_hits": 1, "min_words": 30},
+        passage_dedup_k=5,
+    ).toPandas()
+    assert len(gated) > 0
+    # the word-count floor drops short docs; the gate never ADDS any
+    assert gated.doc_id.nunique() < base.doc_id.nunique()
+    # passage dedup only ever removes tokens
+    assert gated.chunk_tokens.sum() <= base.chunk_tokens.sum()
+    # sibling chunks still share a split
+    assert (gated.groupby("doc_id")["split"].nunique() == 1).all()
+
+
+def test_c4_clean_stage_preserves_extra_columns(spark):
+    from nyc_taxi_etl_spark.operators.rules import c4_line_filter
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "good line one here.\nsecond good line too.\nthird one also.",
+          "web", 0.9)],
+        "doc_id long, text string, source string, quality double",
+    )
+    out = c4_line_filter(
+        df, extra_cols=("source", "quality")
+    ).where(F.col("doc_kept"))
+    row = out.collect()[0]
+    assert row["source"] == "web" and row["quality"] == 0.9
