@@ -53,6 +53,8 @@ EXTENSION = [
     "doc_lm_bigram_scores",
     "doc_quality_classifier",
     "semantic_dedup",
+    "doc_passage_dedup",
+    "doc_gopher_flags",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

@@ -249,6 +249,7 @@ def test_streaming_curation_scorers_compose(spark, tmp_path_factory):
     match their batch results exactly — stateless narrow ops need no
     streaming-specific variant."""
     from nyc_taxi_etl_spark.operators.classifier import score_fixed_lexicon
+    from nyc_taxi_etl_spark.operators.rules import c4_line_filter, gopher_keep
     from nyc_taxi_etl_spark.operators.text import collapse_repeated_ngrams
     from nyc_taxi_etl_spark.streaming.events import run_available_now
 
@@ -260,9 +261,20 @@ def test_streaming_curation_scorers_compose(spark, tmp_path_factory):
     def curation(df):
         scored = score_fixed_lexicon(df)
         derep = df.select(
-            "doc_id", collapse_repeated_ngrams(F.col("text")).alias("_r")
-        ).select("doc_id", F.col("_r.removed_tokens").alias("removed_tokens"))
-        return scored.join(derep, "doc_id")
+            "doc_id",
+            collapse_repeated_ngrams(F.col("text")).alias("_r"),
+            # rule filters are row-local expressions too: same
+            # stream/batch parity guarantee
+            gopher_keep(F.col("text"), min_stopword_hits=1).alias(
+                "gopher_ok"
+            ),
+        ).select(
+            "doc_id",
+            F.col("_r.removed_tokens").alias("removed_tokens"),
+            "gopher_ok",
+        )
+        c4 = c4_line_filter(df).select("doc_id", "kept_lines", "doc_kept")
+        return scored.join(derep, "doc_id").join(c4, "doc_id")
 
     stream = (
         spark.readStream.schema(docs.schema)
