@@ -974,3 +974,37 @@ def shingle_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(F.explode(X.shingles(F.col("text"), 3)).alias("shingle"))
     agg = ex.groupBy("shingle").agg(F.count("*").alias("df"))
     return topk(agg, ["shingle"], "df", 100)
+
+
+@query(
+    "fuzzy_near_pairs",
+    f"""
+    WITH {_SQL_SHINGLES_CTE},
+    post AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM post a JOIN post b USING (s) WHERE a.doc_id < b.doc_id),
+    n AS (SELECT doc_id,
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+          FROM documents)
+    SELECT id_a, id_b, CAST(levenshtein(na.t, nb.t) AS BIGINT) AS distance
+    FROM cand JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+    WHERE levenshtein(na.t, nb.t) <= 50
+    """,
+    extra=True,
+)
+def fuzzy_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs (≤50 char edits on normalized text)
+    gated by the shared-shingle inverted index
+    (``operators/fuzzy.py``) — the edit-distance member of the dedup
+    family, for near-identical records where set-overlap metrics
+    under/over-count small in-place edits.
+
+    Scale: blocking is the posting-list equi-join (never n²; hot
+    postings cappable via ``max_doc_freq``); verification uses Spark's
+    banded threshold levenshtein — O(d·n) per candidate, not O(n²).
+    """
+    from ..operators.fuzzy import fuzzy_near_pairs
+
+    return fuzzy_near_pairs(
+        t(spark, sf_dir, "documents"), max_distance=50, k=3
+    )

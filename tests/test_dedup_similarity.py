@@ -385,3 +385,46 @@ def test_semantic_dedup_keeper_invariants(spark):
     keepers = set(out[out.is_dup == 0].vec_id)
     assert set(out.keeper_id) <= keepers
     assert (out[out.is_dup == 0].keeper_id == out[out.is_dup == 0].vec_id).all()
+
+
+# -- fuzzy (edit-distance) near pairs --------------------------------------
+
+
+def test_fuzzy_near_pairs_semantics(spark):
+    from nyc_taxi_etl_spark.operators.fuzzy import (
+        fuzzy_candidates,
+        fuzzy_near_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base.replace("lazy", "hazy")),          # 1 edit
+        (2, base.replace("quick brown", "slow red")),  # several edits
+        (3, "completely unrelated text about spark queries and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_near_pairs(df, max_distance=5).collect()
+    }
+    assert out[(0, 1)] == 1
+    assert (0, 3) not in out and (1, 3) not in out
+    # (0,2) shares shingles (candidate: distance 9) but exceeds the threshold
+    cands = {
+        (r["id_a"], r["id_b"]) for r in fuzzy_candidates(df).collect()
+    }
+    assert (0, 2) in cands and (0, 2) not in out
+
+
+def test_fuzzy_hot_posting_cap_drops_stop_shingles(spark):
+    from nyc_taxi_etl_spark.operators.fuzzy import fuzzy_candidates
+
+    # every doc shares the same hot prefix shingle; unique tails
+    rows = [(i, "common stop shingle unique%d tail%d word%d" % (i, i, i))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    all_pairs = fuzzy_candidates(df).count()
+    capped = fuzzy_candidates(df, max_doc_freq=3).count()
+    assert all_pairs == 15  # C(6,2): the hot shingle blocks everyone
+    assert capped == 0      # cap removes the hot posting entirely
