@@ -245,6 +245,10 @@ class VersionedTable:
 
     # -- public API --------------------------------------------------------
 
+    @staticmethod
+    def _schema_of(df: DataFrame) -> list[list[str]]:
+        return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
     def write(self, df: DataFrame, operation: str = "overwrite") -> int:
         """Publish ``df`` as the complete new table state (init /
         overwrite). Returns the committed version."""
@@ -253,27 +257,84 @@ class VersionedTable:
         version = 0 if latest is None else latest + 1
         self._publish(version, {"version": version, "operation": operation,
                                 "active": [rel],
+                                "schema": self._schema_of(df),
                                 "file_stats": self._scan_stats(rel)})
         return version
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (latest, or time-travel to ``version``)."""
+        """Snapshot read (latest, or time-travel to ``version``).
+
+        Commits whose history evolved the schema (see :meth:`append`)
+        read with ``mergeSchema`` — files predating a column surface
+        NULLs for it — and project the RECORDED column order, so the
+        caller-visible schema is stable regardless of which file the
+        scan starts footers from. Unevolved tables skip the mergeSchema
+        footer pass entirely."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"versioned table {self.root} is empty")
-        paths = [os.path.join(self.root, d) for d in self._active_dirs(v)]
-        return self.spark.read.parquet(*paths)
+        rec = self._read_commit(v)
+        paths = [os.path.join(self.root, d) for d in rec["active"]]
+        if not rec.get("schema_evolved"):
+            return self.spark.read.parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return df.select(*[name for name, _ in rec["schema"]])
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Publish ``df`` as ADDITIONAL rows (insert-only fast path):
         the new commit's active set = the previous set + one fresh
         directory, so nothing is rewritten — the right shape for
         streaming/batch ingest where updates never touch old rows.
         Accumulated small directories are merged back to one by
-        :meth:`compact`."""
-        rel = self._write_data_dir(df)
+        :meth:`compact`.
+
+        ``merge_schema=True`` lets the batch EVOLVE the table schema:
+        new columns are appended to the recorded schema (old files
+        surface NULLs on read); columns shared with the table must keep
+        their type, and a mismatch raises instead of corrupting the
+        table — the Delta-style additive evolution contract. Without
+        the flag, any schema drift raises."""
         latest = self.latest_version()
         prior_rec = {} if latest is None else self._read_commit(latest)
+        prior_schema = prior_rec.get("schema")
+        new_schema = self._schema_of(df)
+        evolved = bool(prior_rec.get("schema_evolved"))
+        if prior_schema is not None:
+            prior_types = dict(map(tuple, prior_schema))
+            new_types = dict(map(tuple, new_schema))
+            clash = {
+                n
+                for n in prior_types.keys() & new_types.keys()
+                if prior_types[n] != new_types[n]
+            }
+            if clash:
+                raise ValueError(
+                    f"append would change column type(s) {sorted(clash)}; "
+                    "schema evolution is additive-only"
+                )
+            drift = (prior_types.keys() != new_types.keys()) or [
+                n for n, _ in new_schema
+            ] != [n for n, _ in prior_schema]
+            if drift and not merge_schema:
+                raise ValueError(
+                    "append batch schema differs from the table schema; "
+                    "pass merge_schema=True for additive evolution"
+                )
+            merged_schema = list(map(list, prior_schema)) + [
+                [n, t] for n, t in new_schema if n not in prior_types
+            ]
+            merged_names = {n for n, _ in merged_schema}
+            # evolved ⇔ some active file lacks a merged column: either
+            # the batch ADDED columns (old files lack them) or the
+            # batch OMITS table columns (its new files lack those)
+            evolved = (
+                evolved
+                or bool(merged_names - prior_types.keys())
+                or bool(merged_names - new_types.keys())
+            )
+        else:
+            merged_schema = new_schema
+        rel = self._write_data_dir(df)
         prior = list(prior_rec.get("active", []))
         version = 0 if latest is None else latest + 1
         stats = self._carry_stats(prior_rec, prior)
@@ -281,7 +342,8 @@ class VersionedTable:
         self._publish(
             version,
             {"version": version, "operation": "append",
-             "active": prior + [rel], "file_stats": stats},
+             "active": prior + [rel], "schema": merged_schema,
+             "schema_evolved": evolved, "file_stats": stats},
         )
         return version
 

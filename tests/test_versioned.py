@@ -372,3 +372,49 @@ def test_zorder_layout_handles_nulls_and_constant_columns(spark, tmp_path):
     # nulls fall in bucket 0; equality read still exact (51 is not a
     # multiple of 10, so it survives the null injection above)
     assert t.read_where({"x": (51, 51)}).count() == 1
+
+
+# -- schema evolution ------------------------------------------------------
+
+
+def test_append_schema_evolution_additive(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "evo"))
+    t.write(spark.createDataFrame([(1, "a")], "k long, val string"))
+    # drift without the flag raises
+    widened = spark.createDataFrame(
+        [(2, "b", 0.5)], "k long, val string, score double"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        t.append(widened)
+    v = t.append(widened, merge_schema=True)
+    out = t.read().orderBy("k").collect()
+    assert [r["k"] for r in out] == [1, 2]
+    assert out[0]["score"] is None and out[1]["score"] == 0.5
+    assert t.read().columns == ["k", "val", "score"]
+    # time travel predates the evolution
+    assert t.read(version=v - 1).columns == ["k", "val"]
+    # a later same-schema append keeps the evolved read path working
+    t.append(spark.createDataFrame([(3, "c", 0.7)],
+                                   "k long, val string, score double"),
+             merge_schema=True)
+    assert t.read().where("k = 1").collect()[0]["score"] is None
+
+
+def test_append_type_change_always_rejected(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "evo2"))
+    t.write(spark.createDataFrame([(1, "a")], "k long, val string"))
+    bad = spark.createDataFrame([(2, 3)], "k long, val long")
+    with pytest.raises(ValueError, match="additive-only"):
+        t.append(bad, merge_schema=True)
+
+
+def test_compact_resolves_evolution(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "evo3"))
+    t.write(spark.createDataFrame([(1, "a")], "k long, val string"))
+    t.append(
+        spark.createDataFrame([(2, "b", 9)], "k long, val string, n long"),
+        merge_schema=True,
+    )
+    t.compact(target_files=1)
+    out = t.read().orderBy("k").collect()
+    assert len(out) == 2 and out[0]["n"] is None and out[1]["n"] == 9
