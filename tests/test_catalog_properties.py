@@ -75,7 +75,8 @@ def test_catalog_plan_hygiene(spark, name):
     # pack_sequences' min/max id probe, mixture_source_counts'
     # feasibility cap), the pigeonhole-bounded boilerplate shingle
     # list, and the broadcast query side of knn_bruteforce_cosine's
-    # non-equi self-exclusion.
+    # non-equi self-exclusion; ann_pq_cosine broadcasts the bounded
+    # per-query ADC lookup-table frame (queries × m·k doubles).
     if name not in {
         "doc_top_terms",
         "knn_bruteforce_cosine",
@@ -84,5 +85,6 @@ def test_catalog_plan_hygiene(spark, name):
         "doc_chunks_packed",
         "doc_boilerplate_removal",
         "mixture_source_counts",
+        "ann_pq_cosine",
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -428,3 +428,56 @@ def test_fuzzy_hot_posting_cap_drops_stop_shingles(spark):
     capped = fuzzy_candidates(df, max_doc_freq=3).count()
     assert all_pairs == 15  # C(6,2): the hot shingle blocks everyone
     assert capped == 0      # cap removes the hot posting entirely
+
+
+# -- product quantization ---------------------------------------------------
+
+
+def test_pq_knn_recall_vs_brute_force(spark):
+    from nyc_taxi_etl_spark.operators.pq import pq_knn
+    from nyc_taxi_etl_spark.operators.similarity import brute_force_knn
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_knn(emb, queries, k=5)
+    approx = pq_knn(emb, queries, k=5, m=16, n_codes=16, seed=42)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a) == len(e) == 50
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall
+    # determinism: same seed, same result set
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_knn(emb, queries, k=5, m=16, n_codes=16, seed=42).collect()
+    }
+    assert again == a
+
+
+def test_pq_encode_codes_shape_and_reconstruction(spark):
+    import numpy as np
+
+    from nyc_taxi_etl_spark.operators.pq import pq_encode, train_pq
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = train_pq(emb, m=8, k=16, seed=1)
+    assert books.shape == (8, 16, 8)
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+    # encoding is the L2-argmin: reconstruction beats a shifted code
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    r0 = codes[0]
+    x = np.asarray(vecs[r0["vec_id"]], dtype=float)
+    x = x / np.linalg.norm(x)
+    recon = np.concatenate([books[j, c] for j, c in enumerate(r0["codes"])])
+    worse = np.concatenate(
+        [books[j, (c + 1) % 16] for j, c in enumerate(r0["codes"])]
+    )
+    assert np.linalg.norm(x - recon) <= np.linalg.norm(x - worse)
