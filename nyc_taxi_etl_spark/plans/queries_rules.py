@@ -27,12 +27,26 @@ __all__ = ["doc_gopher_flags", "doc_c4_line_filter"]
 
 
 def _lined_spark() -> F.Column:
-    """Deterministic doc_id-derived line structure (Spark side)."""
-    w = X.tokens(X._norm(F.col("text")))
-    m = (F.lit(4) + (F.col("doc_id") % 4)).cast("int")
-    n_lines = F.ceil(F.size(w).cast("double") / m).cast("int")
+    """Deterministic doc_id-derived line structure (Spark side).
 
-    def line(j: F.Column) -> F.Column:
+    ONE regex pass turns every m-th inter-token space into a newline
+    (the shingle-extraction lesson: a ``transform(sequence, slice)``
+    formulation is interpreted per line and copies O(m) per window —
+    measured ~3× the whole rule pass); prefixes/suffixes are then O(1)
+    concats per line."""
+    norm = X._norm(F.col("text"))
+    # m ∈ {4..7}: pick the per-doc pattern with a row-level CASE; only
+    # the matching branch's regexp_replace executes per row.
+    m = (F.col("doc_id") % 4).cast("int")
+    broken = F.when(m == 0, F.regexp_replace(norm, r"((?:\S+ ){3}\S+) ", "$1\n"))
+    for i, mm in enumerate((5, 6, 7), start=1):
+        broken = broken.when(
+            m == i,
+            F.regexp_replace(norm, r"((?:\S+ ){%d}\S+) " % (mm - 1), "$1\n"),
+        )
+
+    def decorate(l: F.Column, j0: F.Column) -> F.Column:
+        j = j0 + 1
         prefix = F.when((F.col("doc_id") + j) % 5 == 0, F.lit("- ")).otherwise(
             F.lit("")
         )
@@ -42,16 +56,12 @@ def _lined_spark() -> F.Column:
             .when(r == 1, F.lit("..."))
             .otherwise(F.lit(""))
         )
-        return F.concat(
-            prefix,
-            F.array_join(F.slice(w, ((j - 1) * m + 1).cast("int"), m), " "),
-            suffix,
-        )
+        return F.concat(prefix, l, suffix)
 
-    return F.when(
-        F.size(w) > 0,
-        F.array_join(F.transform(F.sequence(F.lit(1), n_lines), line), "\n"),
-    ).otherwise(F.lit(""))
+    lines = F.transform(F.split(broken, r"\n"), decorate)
+    return F.when(F.trim(F.col("text")) != "", F.array_join(lines, "\n")).otherwise(
+        F.lit("")
+    )
 
 
 # DuckDB twin of _lined_spark (same arithmetic, comprehension form).
