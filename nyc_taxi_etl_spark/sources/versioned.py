@@ -312,9 +312,9 @@ class VersionedTable:
                     f"append would change column type(s) {sorted(clash)}; "
                     "schema evolution is additive-only"
                 )
-            drift = (prior_types.keys() != new_types.keys()) or [
-                n for n, _ in new_schema
-            ] != [n for n, _ in prior_schema]
+            # column ORDER is not drift (parquet resolves by name);
+            # only the column SET matters
+            drift = prior_types.keys() != new_types.keys()
             if drift and not merge_schema:
                 raise ValueError(
                     "append batch schema differs from the table schema; "

@@ -418,3 +418,34 @@ def test_compact_resolves_evolution(spark, tmp_path):
     t.compact(target_files=1)
     out = t.read().orderBy("k").collect()
     assert len(out) == 2 and out[0]["n"] is None and out[1]["n"] == 9
+
+
+# -- incremental ingestion -------------------------------------------------
+
+
+def test_incremental_ingest_dedups_across_batches(spark, tmp_path):
+    from nyc_taxi_etl_spark.operators.incremental import incremental_ingest
+
+    t = VersionedTable(spark, str(tmp_path / "inc"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "ALPHA   beta")],
+        "doc_id long, text string",
+    )
+    # doc 3 normalizes to doc 1's content -> within-batch dedup
+    a1 = incremental_ingest(t, b1)
+    assert a1 == {"batch_rows": 3, "appended": 2, "version": 0}
+    b2 = spark.createDataFrame(
+        [(10, "gamma delta"), (11, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    a2 = incremental_ingest(t, b2)
+    assert a2["appended"] == 1 and a2["version"] == 1
+    texts = sorted(r["text"] for r in t.read().collect())
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+    # at-least-once delivery: replaying batch 2 appends nothing and
+    # publishes no commit
+    a3 = incremental_ingest(t, b2)
+    assert a3 == {"batch_rows": 2, "appended": 0, "version": None}
+    assert t.latest_version() == 1
+    # time travel: the pre-batch-2 corpus is intact
+    assert t.read(version=0).count() == 2
