@@ -13,7 +13,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nyc_taxi_etl_spark.plans import ORACLE, QUERIES
+from nyc_taxi_etl_spark.plans import (
+    ORACLE,
+    ORACLE_EXTRA,
+    QUERIES,
+    QUERIES_EXTRA,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -24,12 +29,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 (and the
+    north-star extension families). Ordered: the 50 highest-value
+    entries first (the round-1 driver snapshot truncated at 50 in
+    registration order), then the overflow registry — every entry is
+    oracle-tested locally either way (tests/test_oracle.py)."""
+    return {**QUERIES, **QUERIES_EXTRA}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each catalog query (keys missing
     here get the driver's weaker rows-only check — reserved for the
     genuinely non-SQL-expressible ops)."""
-    return dict(ORACLE)
+    return {**ORACLE, **ORACLE_EXTRA}

@@ -55,6 +55,7 @@ EXTENSION = [
     "semantic_dedup",
     "doc_passage_dedup",
     "doc_gopher_flags",
+    "fuzzy_near_pairs",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

@@ -257,3 +257,58 @@ def stratified_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round("o_totalprice", 4).alias("total"),
     )
+
+
+@query(
+    "events_drift_profile",
+    """
+    WITH per AS (
+      SELECT ts::date AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             ROUND(avg(value), 4) AS avg_value,
+             ROUND(stddev_samp(value), 4) AS sd_value,
+             ROUND(quantile_cont(value, 0.50), 4) AS p50_value
+      FROM events GROUP BY 1)
+    SELECT day, n_events, avg_value, sd_value, p50_value,
+           avg_value - lag(avg_value) OVER (ORDER BY day) AS delta_avg,
+           CAST(n_events - lag(n_events) OVER (ORDER BY day) AS BIGINT)
+             AS delta_n
+    FROM per
+    """,
+    extra=True,
+)
+def events_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality drift monitor: per-day distribution profile of the
+    event value stream (count, mean, stddev, exact median) plus
+    day-over-day deltas — the table a pipeline-health dashboard reads
+    to catch schema/volume/distribution drift before it poisons
+    downstream training data.
+
+    Scale: one hash-agg to the day grain; the lag window orders the
+    BOUNDED post-agg daily frame (same bounded-window argument as
+    extreme_days_zscore). Deltas subtract already-rounded operands, so
+    both engines subtract identical doubles.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.percentile("value", F.lit(0.5)).cast("double"), 4).alias(
+            "p50_value"
+        ),
+    )
+    w = Window.orderBy("day")
+    return per.select(
+        "day",
+        "n_events",
+        "avg_value",
+        "sd_value",
+        "p50_value",
+        (F.col("avg_value") - F.lag("avg_value").over(w)).alias("delta_avg"),
+        (F.col("n_events") - F.lag("n_events").over(w))
+        .cast("long")
+        .alias("delta_n"),
+    )
