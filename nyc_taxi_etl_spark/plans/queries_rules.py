@@ -189,3 +189,63 @@ def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _lined_spark().alias("text")
     )
     return c4_line_filter(docs, min_words_per_line=3, min_kept_lines=3)
+
+
+_FUNNEL_SQL = f"""
+    WITH flags AS ({_GOPHER_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE NOT ok_words) AS BIGINT)
+             AS fail_words,
+           CAST(count(*) FILTER (WHERE NOT ok_mean_word_len) AS BIGINT)
+             AS fail_mean_word_len,
+           CAST(count(*) FILTER (WHERE NOT ok_symbols) AS BIGINT)
+             AS fail_symbols,
+           CAST(count(*) FILTER (WHERE NOT ok_bullets) AS BIGINT)
+             AS fail_bullets,
+           CAST(count(*) FILTER (WHERE NOT ok_ellipsis) AS BIGINT)
+             AS fail_ellipsis,
+           CAST(count(*) FILTER (WHERE NOT ok_alpha) AS BIGINT)
+             AS fail_alpha,
+           CAST(count(*) FILTER (WHERE NOT ok_stopwords) AS BIGINT)
+             AS fail_stopwords,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept
+    FROM flags
+"""
+
+
+@query("gopher_rule_funnel", _FUNNEL_SQL, extra=True)
+def gopher_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-rejection funnel over the Gopher audit frame: how many
+    documents each quality rule rejects, and how many survive the
+    composite gate — the one-row dashboard a curation run publishes
+    (the reference's ETL prints the same kind of kept/dropped tallies,
+    `spark_jobs/etl_yellow_s3.py` cleaning counters).
+
+    Scale: single-scan conditional aggregation over the row-local rule
+    expressions (the A20 etl_filter_audit shape) — one reduce to one
+    row, no shuffle beyond the final 1-row agg.
+    """
+    flags = gopher_flags(
+        t(spark, sf_dir, "documents").select(
+            "doc_id", _lined_spark().alias("text")
+        ),
+        min_words=50,
+        min_stopword_hits=1,
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        *[
+            F.count_if(~F.col(c)).cast("long").alias(f"fail_{c[3:]}")
+            for c in (
+                "ok_words",
+                "ok_mean_word_len",
+                "ok_symbols",
+                "ok_bullets",
+                "ok_ellipsis",
+                "ok_alpha",
+                "ok_stopwords",
+            )
+        ],
+        F.count_if(F.col("keep")).cast("long").alias("kept"),
+    ]
+    return flags.agg(*aggs)

@@ -449,3 +449,39 @@ def test_incremental_ingest_dedups_across_batches(spark, tmp_path):
     assert t.latest_version() == 1
     # time travel: the pre-batch-2 corpus is intact
     assert t.read(version=0).count() == 2
+
+
+def test_streaming_document_ingest_dedups_against_corpus(spark, tmp_path):
+    from nyc_taxi_etl_spark.streaming.events import stream_ingest_documents
+
+    src = str(tmp_path / "docs_in")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, "gamma delta"), (11, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    t = VersionedTable(spark, str(tmp_path / "corpus"))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_ingest_documents(
+        stream, t, checkpoint_dir=str(tmp_path / "ck")
+    )
+    texts = sorted(r["text"] for r in t.read().collect())
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+    # a fresh feed redelivering batch 2 converges without new commits
+    v = t.latest_version()
+    src2 = str(tmp_path / "docs_in2")
+    b2.coalesce(1).write.parquet(src2)
+    stream2 = spark.readStream.schema(b1.schema).parquet(src2)
+    stream_ingest_documents(
+        stream2, t, checkpoint_dir=str(tmp_path / "ck2")
+    )
+    assert t.latest_version() == v and t.read().count() == 3
