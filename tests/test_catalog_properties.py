@@ -29,7 +29,7 @@ QUERIES = {**_MAIN, **QUERIES_EXTRA}
 
 _STREAMING = {n for n in QUERIES if n.startswith("streaming_")}
 # global aggregates legitimately emit one (all-zero) row over no rows
-_GLOBAL_AGG = {"etl_filter_audit"}
+_GLOBAL_AGG = {"etl_filter_audit", "gopher_rule_funnel"}
 # media queries synthesize their blobs (no media table in testdata) —
 # input-independent by design, so 'empty input' doesn't apply to them
 _SYNTHETIC = {n for n in QUERIES if n.startswith("media_")}
