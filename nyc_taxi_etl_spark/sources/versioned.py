@@ -575,6 +575,25 @@ class VersionedTable:
             *[os.path.join(self.root, d) for d in dirs]
         )
 
+    def expire_versions(self, keep_last: int = 1) -> list[int]:
+        """Retention: drop all but the newest ``keep_last`` commit
+        records, then :meth:`vacuum` the data directories only expired
+        commits referenced. Time travel to expired versions is gone —
+        that is the point (bounded storage); the newest ``keep_last``
+        snapshots remain fully readable.
+
+        Expiry order is oldest-first and the newest commit is never
+        expired, so a crash mid-expiry leaves a contiguous,
+        fully-functional suffix of history."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        expired = vs[:-keep_last]
+        for v in expired:
+            os.unlink(self._log_path(v))
+        self.vacuum()
+        return expired
+
     def vacuum(self) -> list[str]:
         """Delete data directories referenced by NO commit (crash
         orphans, never-published writes). Returns the removed

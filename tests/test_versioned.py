@@ -485,3 +485,21 @@ def test_streaming_document_ingest_dedups_against_corpus(spark, tmp_path):
         stream2, t, checkpoint_dir=str(tmp_path / "ck2")
     )
     assert t.latest_version() == v and t.read().count() == 3
+
+
+def test_expire_versions_bounds_history_and_reclaims_storage(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "ret"))
+    t.write(spark.range(0, 5).withColumnRenamed("id", "k"))          # v0
+    t.upsert(spark.range(5, 8).withColumnRenamed("id", "k"), ["k"])  # v1
+    t.append(spark.range(100, 103).withColumnRenamed("id", "k"))     # v2
+    dirs_before = len(os.listdir(os.path.join(t.root, "data")))
+    expired = t.expire_versions(keep_last=1)
+    assert expired == [0, 1] and t.versions() == [2]
+    # latest snapshot intact (v1's upsert dir is shared by v2 -> kept)
+    assert t.read().count() == 11
+    with pytest.raises(FileNotFoundError):
+        t.read(version=0)
+    # v0's directory was referenced only by expired commits -> gone
+    assert len(os.listdir(os.path.join(t.root, "data"))) < dirs_before
+    with pytest.raises(ValueError):
+        t.expire_versions(keep_last=0)
