@@ -312,3 +312,61 @@ def events_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("delta_n"),
     )
+
+
+@query(
+    "winsorized_event_values",
+    """
+    WITH b AS (
+      SELECT ROUND(quantile_cont(value, 0.01), 4) AS p01,
+             ROUND(quantile_cont(value, 0.99), 4) AS p99
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN value < p01 OR value > p99 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped,
+           ROUND(sum(CASE WHEN value < p01 THEN p01
+                          WHEN value > p99 THEN p99
+                          ELSE value END), 4) AS winsorized_sum,
+           ROUND(avg(CASE WHEN value < p01 THEN p01
+                          WHEN value > p99 THEN p99
+                          ELSE value END), 4) AS winsorized_avg
+    FROM events, b
+    GROUP BY event_type
+    """,
+    extra=True,
+)
+def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (P13's clip/cap with DATA-DRIVEN
+    bounds): clip event values to the corpus p01/p99 and report
+    per-type clipped counts and winsorized sums/means — the standard
+    outlier-robust aggregation for metrics poisoned by heavy tails.
+
+    Scale: the bounds are a 1-row aggregate riding the broadcast
+    scalar-join pattern (never a shuffle of the fact table for a
+    2-value frame); clipping is a row-local CASE fused into the same
+    scan as the final hash-agg.
+    """
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.round(F.percentile("value", F.lit(0.01)).cast("double"), 4).alias(
+            "p01"
+        ),
+        F.round(F.percentile("value", F.lit(0.99)).cast("double"), 4).alias(
+            "p99"
+        ),
+    )
+    clipped = F.when(F.col("value") < F.col("p01"), F.col("p01")).when(
+        F.col("value") > F.col("p99"), F.col("p99")
+    ).otherwise(F.col("value"))
+    outlier = (F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(outlier.cast("int")).cast("long").alias("n_clipped"),
+            F.round(F.sum(clipped), 4).alias("winsorized_sum"),
+            F.round(F.avg(clipped), 4).alias("winsorized_avg"),
+        )
+    )

@@ -86,5 +86,6 @@ def test_catalog_plan_hygiene(spark, name):
         "doc_boilerplate_removal",
         "mixture_source_counts",
         "ann_pq_cosine",
+        "winsorized_event_values",  # 1-row p01/p99 bounds broadcast
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name
