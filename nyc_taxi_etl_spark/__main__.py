@@ -11,6 +11,7 @@ as subcommands of one module, running on the engine's session factory
   queries    list the catalog (driver window + overflow registry)
   report     render the HTML/SVG dashboard
   prepare    run the training-corpus pipeline end-to-end
+  table      versioned-table maintenance: versions/compact/vacuum/expire
 
 Exit code 0/1 matches the reference's job contract
 (``etl_yellow_s3.py:78``).
@@ -142,6 +143,40 @@ def cmd_prepare(args) -> int:
         spark.stop()
 
 
+def cmd_table(args) -> int:
+    """Versioned-table maintenance: versions / compact / vacuum /
+    expire (``sources/versioned.py``). Only ``compact`` needs a Spark
+    session; the metadata actions run on the commit log alone."""
+    from .sources.versioned import VersionedTable
+
+    if args.action == "compact":
+        spark = _session("table-compact")
+        try:
+            t = VersionedTable(spark, args.root)
+            cluster = args.cluster_by.split(",") if args.cluster_by else None
+            v = t.compact(
+                target_files=args.target_files, cluster_by=cluster
+            )
+            print(json.dumps({"compacted_to_version": v,
+                              "clustered_by": cluster}))
+            return 0
+        finally:
+            spark.stop()
+    t = VersionedTable(None, args.root)
+    if args.action == "versions":
+        out = [
+            {k: t._read_commit(v).get(k)
+             for k in ("version", "operation", "schema_evolved")}
+            for v in t.versions()
+        ]
+        print(json.dumps(out))
+    elif args.action == "vacuum":
+        print(json.dumps({"removed": t.vacuum()}))
+    elif args.action == "expire":
+        print(json.dumps({"expired": t.expire_versions(args.keep_last)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="nyc_taxi_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -196,6 +231,19 @@ def main(argv: list[str] | None = None) -> int:
         "--format", choices=["parquet", "jsonl"], default="parquet"
     )
     pp.set_defaults(fn=cmd_prepare)
+
+    pt = sub.add_parser(
+        "table", help="versioned-table maintenance (commit-log parquet)"
+    )
+    pt.add_argument(
+        "action", choices=["versions", "compact", "vacuum", "expire"]
+    )
+    pt.add_argument("--root", required=True)
+    pt.add_argument("--target-files", type=int, default=None)
+    pt.add_argument("--cluster-by", default=None,
+                    help="comma-separated z-order columns for compact")
+    pt.add_argument("--keep-last", type=int, default=1)
+    pt.set_defaults(fn=cmd_table)
 
     args = p.parse_args(argv)
     return args.fn(args)

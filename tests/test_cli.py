@@ -104,3 +104,24 @@ def test_cli_prepare_jsonl(tmp_path):
     assert files
     n_lines = sum(1 for f in files for line in open(f) if line.strip())
     assert n_lines == sum(stats["chunks_per_split"].values())
+
+
+def test_cli_table_maintenance_roundtrip(spark, tmp_path, capsys):
+    import json
+
+    from nyc_taxi_etl_spark.__main__ import main
+    from nyc_taxi_etl_spark.sources.versioned import VersionedTable
+
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(spark, root)
+    t.write(spark.range(0, 10).withColumnRenamed("id", "k"))
+    t.append(spark.range(10, 20).withColumnRenamed("id", "k"))
+
+    assert main(["table", "versions", "--root", root]) == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert [r["version"] for r in recs] == [0, 1]
+    assert main(["table", "vacuum", "--root", root]) == 0
+    assert json.loads(capsys.readouterr().out) == {"removed": []}
+    assert main(["table", "expire", "--root", root, "--keep-last", "1"]) == 0
+    assert json.loads(capsys.readouterr().out) == {"expired": [0]}
+    assert t.read().count() == 20

@@ -83,3 +83,65 @@ def test_c4_line_filter_semantics(spark):
     assert out[1]["kept_lines"] == 4 and not out[1]["doc_kept"]
     assert not out[2]["doc_kept"]
     assert out[3]["kept_lines"] == 2 and not out[3]["doc_kept"]
+
+
+# -- hypothesis robustness --------------------------------------------------
+
+
+def test_rules_total_on_arbitrary_text(spark):
+    """Gopher flags, the inline keep, and the C4 filter are TOTAL on
+    arbitrary unicode text (no regex/HOF crashes), and internally
+    consistent: keep == AND of the flags; C4 kept lines are a subset
+    of the doc's own lines."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nyc_taxi_etl_spark.operators.rules import gopher_keep
+
+    import pyspark.sql.functions as F
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(texts)
+    def run(batch):
+        df = spark.createDataFrame(
+            list(enumerate(batch)), "doc_id long, text string"
+        )
+        flags = gopher_flags(df).collect()
+        rule_cols = (
+            "ok_words", "ok_mean_word_len", "ok_symbols", "ok_bullets",
+            "ok_ellipsis", "ok_alpha", "ok_stopwords",
+        )
+        for r in flags:
+            # every rule flag is coalesced non-null, and the composite
+            # is exactly their conjunction
+            assert all(r[c] is not None for c in rule_cols), r
+            assert r["keep"] == all(r[c] for c in rule_cols), r
+        inline = df.where(gopher_keep(F.col("text"))).count()
+        kept_flags = sum(1 for r in flags if r["keep"])
+        assert inline == kept_flags
+        c4 = c4_line_filter(df).collect()
+        raw_lines = {
+            r["doc_id"]: {
+                line.strip()
+                for line in (batch[r["doc_id"]] or "").split("\n")
+                if line.strip()
+            }
+            for r in c4
+        }
+        for r in c4:
+            kept = [x for x in r["clean_text"].split("\n") if x]
+            assert set(kept) <= raw_lines[r["doc_id"]]
+            assert r["kept_lines"] <= r["n_lines"]
+
+    run()
