@@ -370,3 +370,60 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clipped), 4).alias("winsorized_avg"),
         )
     )
+
+
+@query(
+    "kanon_daily_user_activity",
+    """
+    WITH g AS (
+      SELECT ts::date AS day, user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             ROUND(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2),
+    released AS (
+      SELECT day, user_id, n_events, sum_value, FALSE AS suppressed
+      FROM g WHERE n_events >= 3),
+    rolled AS (
+      SELECT day, CAST(NULL AS BIGINT) AS user_id,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             ROUND(sum(sum_value), 4) AS sum_value,
+             TRUE AS suppressed
+      FROM g WHERE n_events < 3 GROUP BY 1)
+    SELECT * FROM released UNION ALL SELECT * FROM rolled
+    """,
+    extra=True,
+)
+def kanon_daily_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous aggregate release (k=3) of per-user daily activity:
+    cells smaller than k are never published individually — they roll
+    into one per-day ``suppressed`` bucket (user_id NULL), so the
+    released table leaks no small-population cells while totals stay
+    reconcilable. The governance gate a curation platform applies
+    before sharing usage aggregates.
+
+    Scale: one hash-agg to the release grain, then a row-local
+    partition into released/suppressed and a per-day re-agg of ONLY
+    the suppressed residue — no second scan of the fact table.
+    """
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy(F.to_date("ts").alias("day"), "user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    released = g.where(F.col("n_events") >= 3).select(
+        "day", "user_id", "n_events", "sum_value",
+        F.lit(False).alias("suppressed"),
+    )
+    rolled = (
+        g.where(F.col("n_events") < 3)
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        )
+        .select(
+            "day", F.lit(None).cast("long").alias("user_id"),
+            "n_events", "sum_value", F.lit(True).alias("suppressed"),
+        )
+    )
+    return released.unionByName(rolled)

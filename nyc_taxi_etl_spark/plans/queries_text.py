@@ -1031,3 +1031,19 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_knn(emb, queries, k=5, m=16, n_codes=16, seed=42).select(
         "query_id", "neighbor_id", "cosine_sim", "rank"
     )
+
+
+@query("doc_compression_signal", extra=True)
+def doc_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal per document
+    (``operators/signals.py``): repetitive/templated text compresses
+    far better than prose — the classic curation tail-detector used
+    beside the Gopher rules.
+
+    No SQL oracle (zlib is not expressible in DuckDB SQL); rows-only
+    check + crafted-text separation and determinism pinned in pytest.
+    Arrow-batched mapInPandas, zero shuffles.
+    """
+    from ..operators.signals import compression_signals
+
+    return compression_signals(t(spark, sf_dir, "documents"))

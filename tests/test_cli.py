@@ -14,9 +14,9 @@ def test_queries_listing_no_spark(capsys):
     assert main(["queries"]) == 0
     out = capsys.readouterr().out
     lines = [line for line in out.strip().splitlines() if line]
-    assert len(lines) == 74  # 50 driver window + 24 overflow
+    assert len(lines) == 76  # 50 driver window + 26 overflow
     assert any(line.startswith("events_time_profile\toracle") for line in lines)
-    assert sum(line.endswith("\toverflow") for line in lines) == 24
+    assert sum(line.endswith("\toverflow") for line in lines) == 26
     assert any(line.startswith("semantic_dedup\toracle\toverflow")
                for line in lines)
 

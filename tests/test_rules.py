@@ -145,3 +145,30 @@ def test_rules_total_on_arbitrary_text(spark):
             assert r["kept_lines"] <= r["n_lines"]
 
     run()
+
+
+def test_compression_signals_separate_repetitive_from_diverse(spark):
+    from nyc_taxi_etl_spark.operators.signals import compression_signals
+
+    import random
+
+    rng = random.Random(7)
+    diverse = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(200)
+    )
+    rows = [
+        (0, "spam ham " * 400),   # heavily repetitive
+        (1, diverse),              # high-entropy prose stand-in
+        (2, ""),                   # empty
+        (3, None),                 # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_signals(df).collect()}
+    assert out[0]["compression_ratio"] < 0.05
+    assert out[1]["compression_ratio"] > 0.5
+    assert out[2]["compression_ratio"] == 1.0 and out[2]["raw_bytes"] == 0
+    assert out[3]["compression_ratio"] == 1.0
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in compression_signals(df).collect()}
+    assert again == out
