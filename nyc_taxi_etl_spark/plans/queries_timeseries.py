@@ -1,0 +1,221 @@
+"""Time-series catalog queries: spine gap-filling with forward-fill,
+pivoted wide tables, and order-cadence window analytics.
+
+North-star extension — the reference's closest shapes are the dense
+hourly/daily rollup notebooks (`notebooks/analytics_yellow.ipynb`
+cells 8-9, `spark_jobs/analytics_yellow_s3.py:15-23`), which silently
+DROP empty buckets: a missing hour simply has no row, so its charts
+interpolate visually. A real time-series engine materializes the
+empty buckets (gap-fill against a generated spine) and carries the
+last observation forward — the TimescaleDB `time_bucket_gapfill` /
+`locf` shape — which is what these entries add.
+
+Oracle portability: bucket timestamps are emitted as
+'yyyy-MM-dd HH:mm:ss' strings, floats r4-rounded at the pre-fill agg
+so the forward-filled copies are bit-identical, and every window has
+a unique total order (tiebreak on the key column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import r4
+from .queries import query, t
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "hourly_gapfilled_values",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n_events,
+             ROUND(sum(value), 4) AS total_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    j AS (
+      SELECT s.event_type, s.h, hourly.n_events, hourly.total_value
+      FROM spine s LEFT JOIN hourly
+        ON hourly.event_type = s.event_type AND hourly.h = s.h)
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket,
+           COALESCE(n_events, 0) AS n_events,
+           CAST(n_events IS NULL AS BIGINT) AS gap_filled,
+           last_value(total_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS total_value_locf
+    FROM j
+    """,
+    extra=True,
+)
+def hourly_gapfilled_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event type with last-observation-
+    carried-forward: empty hours become explicit rows (gap_filled=1,
+    n_events=0) whose total carries the previous hour's value — the
+    `time_bucket_gapfill + locf` hypertable shape the reference's
+    dense-only rollups can't express (a missing hour has no row at
+    all in `analytics_yellow.ipynb cell 8`).
+
+    Scale: the spine is generated from a 5-row bounds aggregate
+    (`sequence` + `explode` — rows are born distributed, never on the
+    driver), the fill join is an equi-join on (type, hour) whose left
+    side is |types|×|hours| — tiny relative to the event scan that
+    feeds the hourly agg — and the LOCF window sorts each type's
+    bounded post-agg series (~10⁵ rows/decade/type), not raw events.
+    """
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n_events"),
+        r4(F.sum("value")).alias("total_value"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("h", _FMT).alias("bucket"),
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.col("n_events").isNull().cast("long").alias("gap_filled"),
+        F.last("total_value", ignorenulls=True).over(w).alias("total_value_locf"),
+    )
+
+
+@query(
+    "monthly_status_pivot",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS open_orders,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS filled_orders,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS partial_orders,
+           ROUND(COALESCE(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 4)
+             AS open_revenue,
+           ROUND(COALESCE(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 4)
+             AS filled_revenue,
+           ROUND(COALESCE(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 4)
+             AS partial_revenue
+    FROM orders GROUP BY 1
+    """,
+    extra=True,
+)
+def monthly_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide month×status matrix via `groupBy().pivot()` — the
+    crosstab/`pd.pivot_table` shape of the reference's month-vs-cab
+    comparison tables (`notebooks/cab_wise_analysis.ipynb cell 5`
+    builds exactly this with pandas `unstack`).
+
+    Scale: pivot values are DECLARED (['O','F','P']) so Spark skips
+    the extra distinct-values job and the plan is one hash-agg with
+    3×2 conditional partials — identical cost to a flat groupBy; the
+    output is |months| rows. Never pivot on an unbounded-cardinality
+    column at scale (each value becomes a column) — declaring the
+    domain is the guard.
+    """
+    orders = t(spark, sf_dir, "orders")
+    p = (
+        orders.withColumn(
+            "order_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        .groupBy("order_month")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            # count(*) is rejected inside Pivot; count(lit(1)) is the
+            # same aggregate without star expansion
+            F.count(F.lit(1)).alias("n"),
+            r4(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("rev"),
+        )
+    )
+    renames = {
+        "O_n": "open_orders",
+        "F_n": "filled_orders",
+        "P_n": "partial_orders",
+        "O_rev": "open_revenue",
+        "F_rev": "filled_revenue",
+        "P_rev": "partial_revenue",
+    }
+    sel = [F.col("order_month")]
+    for old, new in renames.items():
+        c = F.col(old)
+        if old.endswith("_n"):
+            # months with zero orders of a status pivot to NULL counts
+            c = F.coalesce(c, F.lit(0)).cast("long")
+        else:
+            c = F.coalesce(c, F.lit(0.0))
+        sel.append(c.alias(new))
+    return p.select(*sel)
+
+
+@query(
+    "customer_order_cadence",
+    """
+    SELECT o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                AS BIGINT) AS gap_days,
+           CAST(date_diff('day', o_orderdate, lead(o_orderdate) OVER w)
+                AS BIGINT) AS next_gap_days,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS spend_quartile,
+           ROUND(percent_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice, o_orderkey), 4)
+             AS spend_pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    extra=True,
+)
+def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order cadence: sequence number, days since the
+    previous / until the next order (lag+lead), and within-customer
+    spend quartile + percentile (ntile / percent_rank) — the window-
+    function breadth set (SURVEY §2.5) beyond the rank/row_number the
+    top-k entries already exercise. The reference's pandas analogue
+    is the per-cab `diff()`-style month deltas in
+    `notebooks/cab_wise_analysis.ipynb cell 7`.
+
+    Scale: ALL four windows share one partitioning (o_custkey) and
+    per-customer row counts are bounded (~10 orders/customer
+    regardless of SF), so this is one hash-partition shuffle + one
+    per-key sort; there is deliberately NO global ntile — a global
+    rank would serialize 100 TB through one partition (the two-pass
+    range-partitioned rank is the documented alternative).
+    """
+    orders = t(spark, sf_dir, "orders")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.row_number().over(wd).cast("long").alias("order_seq"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(wd))
+        .cast("long")
+        .alias("gap_days"),
+        F.datediff(F.lead("o_orderdate").over(wd), F.col("o_orderdate"))
+        .cast("long")
+        .alias("next_gap_days"),
+        F.ntile(4).over(wp).cast("long").alias("spend_quartile"),
+        r4(F.percent_rank().over(wp)).alias("spend_pct_rank"),
+    )

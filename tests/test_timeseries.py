@@ -1,0 +1,75 @@
+"""Behavioral pins for the time-series entries beyond the DuckDB
+oracle match: the gap-fill path must actually fire on the test data
+(a dense series would leave LOCF untested), and the pivot layout must
+be total-preserving."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_spark.plans.queries_timeseries import (
+    hourly_gapfilled_values,
+    monthly_status_pivot,
+)
+
+from .conftest import SF_DIR
+
+
+def test_gapfill_materializes_missing_hours(spark):
+    out = hourly_gapfilled_values(spark, SF_DIR)
+    agg = out.agg(
+        F.sum("gap_filled").alias("n_gaps"),
+        F.sum(F.when(F.col("gap_filled") == 1, F.col("n_events"))).alias(
+            "gap_events"
+        ),
+        F.sum(
+            F.when(
+                (F.col("gap_filled") == 1)
+                & F.col("total_value_locf").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("gap_null_locf"),
+    ).first()
+    # the sf tables leave ~40 empty hours per type — the fill path runs
+    assert agg.n_gaps > 0
+    # filled rows carry zero events and a non-null carried-forward value
+    assert agg.gap_events == 0
+    assert agg.gap_null_locf == 0
+
+
+def test_gapfill_spine_is_contiguous_per_type(spark):
+    out = hourly_gapfilled_values(spark, SF_DIR)
+    per_type = out.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.min("bucket").alias("b0"),
+        F.max("bucket").alias("b1"),
+    )
+    chk = per_type.select(
+        "event_type",
+        "n_rows",
+        (
+            (
+                F.unix_timestamp("b1", "yyyy-MM-dd HH:mm:ss")
+                - F.unix_timestamp("b0", "yyyy-MM-dd HH:mm:ss")
+            )
+            / 3600
+            + 1
+        ).cast("long").alias("span_hours"),
+    )
+    for row in chk.collect():
+        assert row.n_rows == row.span_hours, row
+
+
+def test_pivot_preserves_order_totals(spark):
+    from nyc_taxi_etl_spark.plans.queries import t
+
+    out = monthly_status_pivot(spark, SF_DIR)
+    pivot_total = out.agg(
+        F.sum(
+            F.col("open_orders")
+            + F.col("filled_orders")
+            + F.col("partial_orders")
+        )
+    ).first()[0]
+    n_orders = t(spark, SF_DIR, "orders").count()
+    assert pivot_total == n_orders
