@@ -186,3 +186,39 @@ def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_count",
         "sum_value",
     )
+
+
+@query(
+    "streaming_purchase_error_pairs",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+               FROM events WHERE event_type = 'purchase'),
+    e AS (SELECT event_id AS error_id, user_id, ts AS e_ts
+          FROM events WHERE event_type = 'error')
+    SELECT p.purchase_id, e.error_id, p.user_id,
+           epoch_us(p.p_ts) - epoch_us(e.e_ts) AS lag_us,
+           ROUND(p.value, 4) AS purchase_value
+    FROM p JOIN e ON e.user_id = p.user_id
+      AND e.e_ts >= p.p_ts - INTERVAL 30 MINUTE
+      AND e.e_ts <= p.p_ts + INTERVAL 30 MINUTE
+    """,
+    extra=True,
+)
+def streaming_purchase_error_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval self-join executed by the streaming
+    engine (§2.10 extension): purchases pair with same-user errors
+    within ±30 minutes, oracle-checked against the equivalent batch
+    range join. The event-time range predicate + both-side watermarks
+    are what bound the join state store (an error is evicted once the
+    watermark passes e_ts + 30 min) — without them stream-stream join
+    state grows without limit.
+
+    Scale: both sides hash-shuffle on user_id once; per-key state is
+    the 2×30-minute window regardless of stream length. Inner join
+    emits eagerly (no watermark-close latency)."""
+    from ..streaming import purchase_error_stream_join
+
+    out = _drain(
+        purchase_error_stream_join(_events_stream(spark, sf_dir)), "append"
+    )
+    return out

@@ -44,6 +44,7 @@ __all__ = [
     "user_session_windows",
     "user_running_totals",
     "dedup_events_stream",
+    "purchase_error_stream_join",
     "run_available_now",
     "stream_upsert_to_table",
     "stream_ingest_documents",
@@ -273,6 +274,54 @@ def stream_upsert_to_table(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def purchase_error_stream_join(
+    events: DataFrame,
+    tolerance: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval self-join: each purchase pairs with the
+    same user's errors within ±``tolerance`` — the continuous twin of
+    the batch ``interval_join`` (operators/temporal.py). Both sides
+    are watermarked and the join predicate carries an explicit event-
+    time range, which is what lets Spark BOUND the join state: a
+    buffered error can be evicted once the watermark passes
+    ``e_ts + tolerance`` (without the range predicate the state store
+    would grow forever).
+
+    Scale: one shuffle of each side on user_id; state per key is the
+    2·tolerance window of events, independent of stream length. Inner
+    join only — results are emitted as soon as both sides arrive, no
+    watermark-close wait (that cost appears only for outer variants).
+    """
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    err = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = purch.withWatermark("p_ts", watermark).join(
+        err.withWatermark("e_ts", watermark),
+        F.expr(
+            f"p_user = e_user AND "
+            f"e_ts >= p_ts - interval {tolerance} AND "
+            f"e_ts <= p_ts + interval {tolerance}"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "purchase_id",
+        "error_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("e_ts")).alias("lag_us"),
+        F.round("p_value", 4).alias("purchase_value"),
+    )
 
 
 def run_available_now(

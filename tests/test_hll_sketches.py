@@ -1,0 +1,100 @@
+"""Error-envelope and mergeability pins for the HLL sketch operators
+(no DuckDB oracle can exist: DataSketches HLL ≠ DuckDB's HLL)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_spark.operators.sketches import (
+    keyed_sketches,
+    trailing_union,
+    union_estimate,
+)
+from nyc_taxi_etl_spark.plans.queries_sketches import distinct_users_hll_rollup
+from nyc_taxi_etl_spark.sources.catalog import load_table
+
+from .conftest import SF_DIR
+
+# lgK=14 → relative standard error ≈ 1.04/sqrt(2^14) ≈ 0.8%; allow 4σ
+_REL_TOL = 0.033
+
+
+def _events_daily(spark):
+    ev = load_table(spark, SF_DIR, "events").withColumn("d", F.to_date("ts"))
+    return ev
+
+
+def test_daily_estimates_within_envelope(spark):
+    ev = _events_daily(spark)
+    exact = {
+        r.d: r.n
+        for r in ev.groupBy("d")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    daily = keyed_sketches(ev, ["d"], "user_id")
+    est = union_estimate(daily, ["d"], out_col="est").collect()
+    assert len(est) == len(exact)
+    for r in est:
+        e = exact[r.d]
+        assert abs(r.est - e) <= max(3, _REL_TOL * e), (r.d, r.est, e)
+
+
+def test_union_of_daily_matches_whole_table_envelope(spark):
+    """Merging per-day sketches must estimate the same population as
+    one sketch over the whole table — the property that makes stored
+    sketches answer arbitrary-range rollups without rescanning."""
+    ev = _events_daily(spark)
+    exact = ev.select(F.count_distinct("user_id")).first()[0]
+    daily = keyed_sketches(ev, ["d"], "user_id")
+    merged = union_estimate(daily, [], out_col="est").first().est
+    whole = (
+        ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))))
+        .first()[0]
+    )
+    assert abs(merged - exact) <= max(3, _REL_TOL * exact)
+    # merge of partitions vs single pass: same sketch algorithm on the
+    # same values — estimates agree to within the envelope of each other
+    assert abs(merged - whole) <= max(3, _REL_TOL * exact)
+
+
+def test_trailing_union_beats_additive_counts(spark):
+    """Trailing-7d distinct ≤ sum of the 7 daily distincts (users
+    repeat across days) and matches the exact trailing distinct."""
+    ev = _events_daily(spark)
+    daily = keyed_sketches(ev, ["d"], "user_id")
+    t7 = {
+        r.target_date: (r.est, r.days_merged)
+        for r in trailing_union(daily, "d", days=7, out_col="est").collect()
+    }
+    # exact trailing-7d via self-join replay
+    a, b = ev.alias("a"), ev.select("d").distinct().alias("b")
+    exact = {
+        r.target_d: r.n
+        for r in a.join(
+            b,
+            (F.col("a.d") <= F.col("b.d"))
+            & (F.col("a.d") >= F.date_sub(F.col("b.d"), 6)),
+        )
+        .select(F.col("b.d").alias("target_d"), F.col("a.user_id"))
+        .groupBy("target_d")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(t7) == set(exact)
+    for d, (est, days_merged) in t7.items():
+        assert 1 <= days_merged <= 7
+        assert abs(est - exact[d]) <= max(3, _REL_TOL * exact[d]), (
+            d,
+            est,
+            exact[d],
+        )
+
+
+def test_catalog_entry_shape(spark):
+    out = distinct_users_hll_rollup(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) == 30  # 30 days in the sf events table
+    for r in rows:
+        # a trailing window can never be smaller than its own day
+        assert r.distinct_users_7d >= 0.9 * r.distinct_users
