@@ -596,8 +596,9 @@ class VersionedTable:
 
     def vacuum(self) -> list[str]:
         """Delete data directories referenced by NO commit (crash
-        orphans, never-published writes). Returns the removed
-        table-relative paths."""
+        orphans, never-published writes), plus any bloom-index
+        sidecars of removed directories. Returns the removed
+        table-relative data paths."""
         import shutil
 
         referenced: set[str] = set()
@@ -610,4 +611,11 @@ class VersionedTable:
             if rel not in referenced:
                 shutil.rmtree(os.path.join(data_root, name))
                 removed.append(rel)
+        idx_root = os.path.join(self.root, "_index")
+        if removed and os.path.isdir(idx_root):
+            gone = {os.path.basename(r) for r in removed}
+            for name in os.listdir(idx_root):
+                # sidecars are named <dir-uuid>.<col>.json
+                if name.split(".", 1)[0] in gone:
+                    os.unlink(os.path.join(idx_root, name))
         return removed
