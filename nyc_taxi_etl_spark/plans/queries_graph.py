@@ -1,0 +1,100 @@
+"""Graph catalog query: PageRank over the customer→supplier purchase
+graph, oracle-checked by unrolling the same power iteration as
+chained DuckDB CTEs.
+
+The graph: a directed edge c→s whenever customer c has an order with
+a line item supplied by s (orders ⋈ lineitem, distinct pairs).
+Suppliers are pure sinks (dangling nodes), so the entry also
+exercises the dangling-mass redistribution path.
+
+Oracle portability: a FIXED iteration count makes power iteration a
+deterministic composition of joins/aggs both engines express exactly;
+per-iteration float divergence is summation-order ulp (~1e-16
+relative), far under the final r4 rounding. No top-k cut — selection
+by a float rank could flip membership across engines at ulp scale, so
+the entry returns every node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import r4
+from ..operators.graph import pagerank
+from .queries import query, t
+
+_ITERATIONS = 6
+_DAMPING = 0.85
+
+
+def _pagerank_sql(iterations: int = _ITERATIONS, d: float = _DAMPING) -> str:
+    ctes = [
+        """edges AS (
+          SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        """deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+                   FROM edges GROUP BY 1)""",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(
+            f"""dang{i} AS (
+              SELECT COALESCE(sum(r), 0) AS dm
+              FROM r{p} LEFT JOIN deg ON deg.src = r{p}.node
+              WHERE deg.src IS NULL)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+              SELECT nodes.node,
+                     (1 - {d}) / (SELECT n FROM nn)
+                     + {d} * (COALESCE(inc.s, 0)
+                              + (SELECT dm FROM dang{i}) / (SELECT n FROM nn))
+                       AS r
+              FROM nodes LEFT JOIN (
+                SELECT e.dst AS node, sum(p.r / deg.outdeg) AS s
+                FROM edges e
+                JOIN r{p} p ON p.node = e.src
+                JOIN deg ON deg.src = e.src
+                GROUP BY 1) inc ON inc.node = nodes.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(r, 4) AS rank FROM r{iterations}"
+    )
+
+
+@query("purchase_graph_pagerank", _pagerank_sql(), extra=True)
+def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (6 fixed iterations, d=0.85) on the customer→supplier
+    purchase graph — ranks suppliers by how much customer "attention
+    mass" flows into them, the centrality companion to
+    ``dedup_components``' connectivity.
+
+    Scale: see ``operators/graph.py::pagerank`` — one node-key
+    shuffle per iteration over a persisted edge⋈degree relation, a
+    1-row broadcast for dangling mass, zero driver-side graph state.
+    The edge list itself is |distinct (cust,supp)| ≤ lineitem and
+    shrinks through the DISTINCT's partial agg."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    ranks = pagerank(edges, iterations=_ITERATIONS, damping=_DAMPING)
+    return ranks.select("node", r4(F.col("rank")).alias("rank"))
