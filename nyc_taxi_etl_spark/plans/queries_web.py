@@ -1,0 +1,232 @@
+"""Web-curation and IR catalog queries: URL parsing / per-domain
+profiles / per-domain quota caps, and BM25 relevance scoring.
+
+North-star extension — the web-pipeline operations (CCNet/RefinedWeb
+style) a crawl-derived training corpus needs: group documents by
+registered host, cap any one domain's contribution (boilerplate farms
+dominate raw crawls), and rank documents against a query with the
+standard BM25 function (the retrieval companion to the TF-IDF entry).
+
+The synthetic documents table has no URL column, so a deterministic
+URL is synthesized from (source, lang, doc_id) IDENTICALLY in Spark
+and the oracle (the same restructuring pattern the PII/Gopher entries
+use) — Spark then parses it back with the real ``parse_url``
+expression while the oracle re-derives the parts with regexes, so the
+Spark side exercises genuine URL parsing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import text as X
+from .queries import query, t
+
+# deterministic synthetic URL, same construction in both engines
+_URL_SQL = (
+    "'https://www.' || source || '.example-' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '.com/' || lang || '/doc-' || CAST(doc_id AS VARCHAR)"
+    " || '.html?ref=' || CAST(doc_id % 7 AS VARCHAR)"
+)
+
+
+def _url_col() -> F.Column:
+    return F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example-"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html?ref="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+
+
+@query(
+    "url_host_profile",
+    f"""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars, {_URL_SQL} AS url FROM documents),
+    parsed AS (
+      SELECT doc_id, lang, n_chars,
+             regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+             regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+             regexp_extract(url, 'ref=([0-9]+)', 1) AS ref
+      FROM u)
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT ref) AS BIGINT) AS n_refs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(path) AS first_path
+    FROM parsed GROUP BY 1
+    """,
+    extra=True,
+)
+def url_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl profile: document count, language spread,
+    distinct ref-params, total bytes-ish chars, lexicographically
+    first path — the table a crawl-curation run consults before
+    deciding domain quotas. Spark parses with the built-in
+    ``parse_url`` (HOST/PATH/QUERY:ref — codegen'd, zero shuffles
+    before the host agg); the oracle re-derives the parts by regex.
+
+    Scale: one hash-agg keyed by host. Host count scales sublinearly
+    with corpus size, and pathological single-host skew is exactly
+    what the cap entry below exists to bound."""
+    docs = t(spark, sf_dir, "documents").withColumn("url", _url_col())
+    parsed = docs.select(
+        "lang",
+        "n_chars",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("ref").alias("n_refs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("path").alias("first_path"),
+    )
+
+
+@query(
+    "domain_capped_docs",
+    f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             regexp_extract({_URL_SQL}, 'https://([^/]+)/', 1) AS host
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, host, n_chars,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM u)
+    SELECT doc_id, host, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS BIGINT) AS host_rank
+    FROM ranked WHERE rk <= 4
+    """,
+    extra=True,
+)
+def domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (RefinedWeb-style): keep at most 4
+    documents per host, preferring the longest (n_chars DESC, doc_id
+    tiebreak) — the guard that stops template farms from dominating a
+    crawl-derived corpus.
+
+    Scale: one window over the host partitioning; a hot host makes
+    one fat partition, but the rank predicate truncates its OUTPUT to
+    the cap — for extreme skew swap to the two-phase top-k
+    (per-partition partial top-k then final), same contract."""
+    docs = t(spark, sf_dir, "documents").withColumn("url", _url_col())
+    u = docs.select(
+        "doc_id",
+        "n_chars",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        u.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_rank") <= 4)
+        .select("doc_id", "host", F.col("n_chars").cast("long").alias("n_chars"), "host_rank")
+    )
+
+
+_BM25_TERMS = ("spark", "hash", "window")
+_K1, _B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{w}'" for w in _BM25_TERMS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+           FROM tok WHERE term <> '' GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     (SELECT avg(dl) FROM dl) AS avgdl
+              FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM tok WHERE term IN ({terms}) GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * tf.tf * ({_K1} + 1)
+                 / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)))
+               AS score,
+             CAST(count(*) AS BIGINT) AS terms_matched
+      FROM tf
+      JOIN dfreq d USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY 1)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           ROUND(score, 4) AS bm25, terms_matched
+    FROM scored
+    """
+
+
+@query("bm25_scores", _bm25_sql(), extra=True)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones; k1=1.2, b=0.75) document scores
+    for a fixed query — the probabilistic-IR companion to the TF-IDF
+    entry, scoring every matching document (no float top-k cut: ulp
+    could flip cut membership across engines; a caller ranks with a
+    doc_id tiebreak).
+
+    Scale: tf for the |Q| query terms is one token-explode + hash-agg
+    whose output is |matching docs|·|Q| rows; doc lengths are a
+    second agg over the same explode; N/avgdl and the per-term df
+    ride 1-row / |Q|-row broadcasts, so the scoring join never
+    shuffles the corpus — the plan is two aggregations and a
+    broadcast-joined combine."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl")
+    ).crossJoin(docs.agg(F.count("*").cast("double").alias("n")))
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * F.lit(_K1 + 1)
+                / (
+                    F.col("tf")
+                    + F.lit(_K1)
+                    * (1 - _B + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score"),
+            F.count("*").alias("terms_matched"),
+        )
+    )
+    return scored.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("bm25"),
+        "terms_matched",
+    )
