@@ -56,6 +56,11 @@ EXTENSION = [
     "doc_passage_dedup",
     "doc_gopher_flags",
     "fuzzy_near_pairs",
+    "purchase_graph_pagerank",
+    "hourly_gapfilled_values",
+    "bm25_scores",
+    "distinct_users_hll_rollup",
+    "streaming_purchase_error_pairs",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

@@ -1,0 +1,97 @@
+"""Data-quality catalog query: a declared expectation suite over
+lineitem+orders evaluated by ``operators/expectations.py``.
+
+Oracle portability: check names/kinds are shared literals; row-level
+and uniqueness counters replay as one conditional-agg CTE, the
+referential check as a left-join-null count. Uniqueness keys are
+non-null here — Spark's ``count_distinct(struct(...))`` and SQL
+``count(DISTINCT (a,b))`` agree whenever no key field is NULL (SQL
+DISTINCT-count drops rows with a NULL member; the struct form keeps
+them), which is the posture a key-uniqueness check wants anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import expectations as ex
+from .queries import query, t
+
+_CHECK_SQL = """
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_nn,
+        CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                           OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_qty,
+        CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0
+                           OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_disc,
+        CAST(sum(CASE WHEN l_returnflag IS NULL
+                           OR l_returnflag NOT IN ('A', 'N', 'R')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+        CAST(sum(CASE WHEN l_linestatus IS NULL
+                           OR NOT regexp_matches(l_linestatus, '^[OF]$')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        CAST(sum(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+             AS BIGINT) AS v_uniq
+      FROM lineitem),
+    refv AS (
+      SELECT CAST(count(*) AS BIGINT) AS v
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IS NULL),
+    rows_out AS (
+      SELECT 'not_null:l_orderkey' AS check_name, 'not_null' AS kind,
+             n AS n_rows, v_nn AS n_violations FROM base
+      UNION ALL SELECT 'in_range:l_quantity', 'in_range', n, v_qty FROM base
+      UNION ALL SELECT 'in_range:l_discount', 'in_range', n, v_disc FROM base
+      UNION ALL SELECT 'in_set:l_returnflag', 'in_set', n, v_flag FROM base
+      UNION ALL SELECT 'matches:l_linestatus', 'matches', n, v_status
+        FROM base
+      UNION ALL SELECT 'satisfies:positive_price', 'satisfies', n, v_price
+        FROM base
+      UNION ALL SELECT 'unique:l_orderkey,l_linenumber', 'unique', n, v_uniq
+        FROM base
+      UNION ALL SELECT 'referential:lineitem_orders', 'referential',
+        (SELECT n FROM base), v FROM refv)
+    SELECT check_name, kind, n_rows, n_violations,
+           CAST(n_violations = 0 AS BIGINT) AS passed
+    FROM rows_out
+"""
+
+
+@query("lineitem_quality_report", _CHECK_SQL, extra=True)
+def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared expectation suite over lineitem: null/range/set/regex/
+    predicate row checks, composite-key uniqueness, and referential
+    integrity to orders — the promotion gate a raw→curated pipeline
+    runs (the consolidated form of the reference's scattered validity
+    filters, `spark_jobs/utils.py:60-76`).
+
+    Scale: all row+uniqueness checks share ONE scan (conditional
+    partial aggs — adding a check adds a counter, not a pass); the
+    referential check is one anti-join against the distinct order-key
+    set. Output is |checks| rows."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    return ex.run_checks(
+        li,
+        [
+            ex.not_null("l_orderkey"),
+            ex.in_range("l_quantity", 1, 50),
+            ex.in_range("l_discount", 0.0, 0.1),
+            ex.in_set("l_returnflag", ["A", "N", "R"]),
+            ex.matches("l_linestatus", "^[OF]$"),
+            ex.satisfies("positive_price", F.col("l_extendedprice") > 0),
+            ex.unique("l_orderkey", "l_linenumber"),
+            ex.referential(
+                "l_orderkey", orders, "o_orderkey", "lineitem_orders"
+            ),
+        ],
+    )

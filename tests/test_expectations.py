@@ -1,0 +1,75 @@
+"""Expectation-suite counting on planted violations (the TPC-H-ish
+tables are mostly clean, so the oracle match alone would leave the
+violation arms untested) plus the one-scan plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_spark.operators import expectations as ex
+
+
+def _suite(spark):
+    rows = [
+        (1, 10.0, "A", "ok-1"),
+        (2, -5.0, "A", "ok-2"),      # range violation
+        (None, 3.0, "B", "ok-3"),    # null id + bad flag
+        (4, 7.0, "A", "bad 4"),      # regex violation
+        (4, 2.0, "A", "ok-5"),       # duplicate id
+        (9, None, "A", None),        # null value + null text
+    ]
+    return spark.createDataFrame(rows, "id int, v double, flag string, txt string")
+
+
+def test_row_checks_count_violations(spark):
+    df = _suite(spark)
+    ref = spark.createDataFrame([(1,), (2,), (4,)], ["k"])
+    out = {
+        r.check_name: r
+        for r in ex.run_checks(
+            df,
+            [
+                ex.not_null("id"),
+                ex.in_range("v", 0.0, 100.0),
+                ex.in_set("flag", ["A"]),
+                ex.matches("txt", r"^ok-\d$"),
+                ex.satisfies("v_above_1", F.col("v") > 1.0),
+                ex.unique("id"),
+                ex.referential("id", ref, "k", "id_in_ref"),
+            ],
+        ).collect()
+    }
+    assert all(r.n_rows == 6 for r in out.values())
+    assert out["not_null:id"].n_violations == 1
+    assert out["in_range:v"].n_violations == 2  # -5 and NULL
+    assert out["in_set:flag"].n_violations == 1
+    assert out["matches:txt"].n_violations == 2  # 'bad 4' and NULL
+    assert out["satisfies:v_above_1"].n_violations == 2  # -5 fails, NULL fails
+    assert out["unique:id"].n_violations == 1  # one extra copy of 4
+    assert out["referential:id_in_ref"].n_violations == 2  # NULL and 9
+    assert out["not_null:id"].passed == 0
+    clean = ex.run_checks(df, [ex.in_range("v", -100.0, 100.0)]).first()
+    # NULL v still violates the closed range; range check is null-strict
+    assert clean.n_violations == 1
+
+
+def test_all_row_checks_share_one_scan(spark):
+    df = _suite(spark)
+    plan = ex.run_checks(
+        df,
+        [ex.not_null("id"), ex.in_range("v", 0, 1), ex.unique("id", "flag")],
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # a single Aggregate node: adding checks must not add passes
+    assert plan.count("Aggregate") == 1
+
+
+def test_empty_suite_is_empty_frame(spark):
+    out = ex.run_checks(_suite(spark), [])
+    assert out.count() == 0
+    assert out.columns == [
+        "check_name",
+        "kind",
+        "n_rows",
+        "n_violations",
+        "passed",
+    ]
