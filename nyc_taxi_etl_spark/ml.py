@@ -273,3 +273,71 @@ def isolation_forest_by_group(
         return pdf[in_cols + ["anomaly_score", "is_outlier"]]
 
     return df.repartition(group_col).groupBy(group_col).applyInPandas(fit_score, out_schema)
+
+
+def lda_topics(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    seed: int = 42,
+    vocab_size: int = 200,
+    max_iter: int = 20,
+    top_n: int = 8,
+) -> DataFrame:
+    """Latent Dirichlet Allocation topic model over a text column —
+    the unsupervised TOPIC companion to KMeans' numeric clusters
+    (SURVEY §2.11 extension; the reference has no text-ML surface).
+
+    Tokenization happens Catalyst-side (operators/text.py tokens —
+    same rule every text entry uses); CountVectorizer builds the
+    bounded document-term matrix; LDA trains with the EM optimizer
+    (deterministic under a fixed seed, unlike online variational
+    minibatching). Output: ``(topic, term_rank, term, weight)`` —
+    k × top_n rows describing each topic by its heaviest terms.
+
+    Scale: EM-LDA iterates Spark jobs whose shuffle size is
+    O(docs × k) topic-count vectors, never a driver-side matrix;
+    ``vocab_size`` bounds the term dimension (the topic-term matrix
+    lives on the driver at k × vocab — metadata scale). For web-scale
+    corpora raise ``vocab_size`` and switch to the online optimizer,
+    trading determinism for per-minibatch memory.
+    """
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    from .operators.text import tokens
+
+    toks = df.select(
+        tokens(F.lower(F.col(text_col))).alias("__tokens")
+    ).filter(F.size("__tokens") > 0)
+    if toks.isEmpty():
+        return df.sparkSession.createDataFrame(
+            [], "topic long, term_rank long, term string, weight double"
+        )
+    cv = CountVectorizer(
+        inputCol="__tokens", outputCol="__features", vocabSize=vocab_size
+    ).fit(toks)
+    feats = cv.transform(toks)
+    model = LDA(
+        k=k,
+        seed=seed,
+        maxIter=max_iter,
+        optimizer="em",
+        featuresCol="__features",
+    ).fit(feats)
+    vocab = F.array(*[F.lit(w) for w in cv.vocabulary])
+    desc = model.describeTopics(top_n)
+    return desc.select(
+        F.col("topic").cast("long"),
+        F.posexplode(
+            F.arrays_zip(
+                F.col("termIndices").alias("idx"),
+                F.col("termWeights").alias("w"),
+            )
+        ).alias("pos", "z"),
+    ).select(
+        "topic",
+        (F.col("pos") + 1).cast("long").alias("term_rank"),
+        F.element_at(vocab, F.col("z.idx").cast("int") + 1).alias("term"),
+        F.round(F.col("z.w"), 6).alias("weight"),
+    )

@@ -121,3 +121,19 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame").cast("long").alias("frame_bytes"),
         F.crc32("frame").alias("frame_crc32"),
     ).orderBy("media_id", "frame_idx")
+
+
+@query("lda_document_topics", None, extra=True)
+def lda_document_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDA topic-term table over the documents corpus (k=5 topics ×
+    top-8 terms, EM optimizer, seed-pinned). Rows-only by design —
+    iterative EM inference is not SQL-expressible; determinism and
+    shape invariants live in tests/test_ml.py.
+
+    Scale: see ml.py::lda_topics — per-iteration shuffles carry
+    O(docs × k) vectors; vocab bounded at 200."""
+    from ..ml import lda_topics
+
+    docs = t(spark, sf_dir, "documents")
+    return lda_topics(docs, "text", k=5, seed=42, vocab_size=200,
+                      max_iter=20, top_n=8)

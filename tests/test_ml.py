@@ -101,3 +101,34 @@ def test_iforest_tiny_group_degrades_gracefully(spark):
     )
     row = isolation_forest_by_group(df, "g", ["v1", "v2"]).collect()[0]
     assert row["anomaly_score"] == 0.0 and row["is_outlier"] == 0.0
+
+
+def test_lda_topics_shape_and_determinism(spark):
+    from nyc_taxi_etl_spark.ml import lda_topics
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = lda_topics(docs, "text", k=5, seed=42, vocab_size=200,
+                   max_iter=10, top_n=8)
+    rows = a.collect()
+    assert len(rows) == 5 * 8
+    by_topic = {}
+    for r in rows:
+        assert r.weight > 0
+        by_topic.setdefault(r.topic, []).append((r.term_rank, r.weight, r.term))
+    for t, terms in by_topic.items():
+        ws = [w for _, w, _ in sorted(terms)]
+        assert ws == sorted(ws, reverse=True)  # describeTopics rank order
+    b = lda_topics(docs, "text", k=5, seed=42, vocab_size=200,
+                   max_iter=10, top_n=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+
+
+def test_lda_empty_input(spark):
+    from nyc_taxi_etl_spark.ml import lda_topics
+
+    empty = spark.createDataFrame([], "text string")
+    out = lda_topics(empty, "text")
+    assert out.count() == 0
+    assert out.columns == ["topic", "term_rank", "term", "weight"]
