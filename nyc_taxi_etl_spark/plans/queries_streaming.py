@@ -52,7 +52,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _drain(sdf: DataFrame, mode: str) -> DataFrame:
     name = "q_" + uuid.uuid4().hex[:12]
-    return run_available_now(sdf, name, tempfile.mkdtemp(prefix="ckpt_"), output_mode=mode)
+    # 8 state-store partitions: every stateful entry here keys on a
+    # bounded domain (users / hourly windows), where per-store fixed
+    # cost dominates — see run_available_now's sizing note
+    return run_available_now(
+        sdf,
+        name,
+        tempfile.mkdtemp(prefix="ckpt_"),
+        output_mode=mode,
+        shuffle_partitions=8,
+    )
 
 
 @query(
