@@ -1,0 +1,176 @@
+"""Statistical catalog queries: correlation/covariance matrix,
+chi-square independence, and range-frame rolling windows.
+
+North-star extension — the reference's notebooks compute pandas
+``df.corr()`` heatmaps (`notebooks/advanced_visualizations.ipynb`,
+correlation cell) and eyeball seasonal co-movement; these entries are
+the engine-side versions: one-pass moment aggregates for the
+correlation matrix, a contingency chi-square for categorical
+independence, and a calendar-range rolling window (RANGE frame, not
+ROWS — gaps in the date series must still span 7 calendar days).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import r4
+from .queries import query, t
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_sql() -> str:
+    pieces = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            an, bn = a.removeprefix("l_"), b.removeprefix("l_")
+            pieces.append(f"ROUND(corr({a}, {b}), 4) AS corr_{an}_{bn}")
+            pieces.append(
+                f"ROUND(covar_samp({a}, {b}), 4) AS cov_{an}_{bn}"
+            )
+    cols = ",\n           ".join(pieces)
+    return f"SELECT CAST(count(*) AS BIGINT) AS n_rows,\n           {cols}\nFROM lineitem"
+
+
+@query("lineitem_correlations", _corr_sql(), extra=True)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance over the four
+    lineitem measures — the engine-side ``df.corr()`` matrix of the
+    reference's notebook heatmap, as ONE aggregation pass (every
+    corr/covar is a co-moment partial agg; 12 statistics cost one
+    scan, map-side combined).
+
+    Scale: co-moment aggregates are associative (Welford/Chan
+    merging) — the same single-shuffle shape as a sum at any size."""
+    li = t(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            an, bn = a.removeprefix("l_"), b.removeprefix("l_")
+            aggs.append(r4(F.corr(a, b)).alias(f"corr_{an}_{bn}"))
+            aggs.append(r4(F.covar_samp(a, b)).alias(f"cov_{an}_{bn}"))
+    return li.agg(*aggs)
+
+
+@query(
+    "lang_source_chisq",
+    """
+    WITH obs AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+      FROM documents GROUP BY 1, 2),
+    langs AS (SELECT lang, sum(o) AS rl FROM obs GROUP BY 1),
+    srcs AS (SELECT source, sum(o) AS cs FROM obs GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+      SELECT l.lang, s.source, COALESCE(obs.o, 0) AS o,
+             l.rl * s.cs / (SELECT n FROM n) AS e
+      FROM langs l CROSS JOIN srcs s
+      LEFT JOIN obs ON obs.lang = l.lang AND obs.source = s.source)
+    SELECT ROUND(sum((o - e) * (o - e) / e), 4) AS chi2,
+           CAST((SELECT count(*) FROM langs) - 1 AS BIGINT)
+             * CAST((SELECT count(*) FROM srcs) - 1 AS BIGINT) AS dof,
+           CAST((SELECT n FROM n) AS BIGINT) AS n_docs
+    FROM cells
+    """,
+    extra=True,
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for the lang × source
+    contingency table (is language mix independent of crawl source?) —
+    including the ZERO-observed cells, which still contribute (0−e)²/e
+    and which a naive groupBy-only formulation silently drops.
+
+    Scale: observed cells come from one hash-agg; the full grid is
+    |langs| × |sources| (metadata scale) built by crossing the two
+    marginal tables, both broadcastable; the statistic is one final
+    sum. dof and N ride along for the caller's significance lookup."""
+    docs = t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    obs = obs.persist()  # marginals + cells share it
+    langs = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    srcs = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        langs.crossJoin(F.broadcast(srcs))
+        .join(obs, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.coalesce("o", F.lit(0.0)).alias("o"),
+            (F.col("rl") * F.col("cs") / F.col("n")).alias("e"),
+        )
+    )
+    nl = langs.agg(F.count("*").alias("nl"))
+    ns = srcs.agg(F.count("*").alias("ns"))
+    return (
+        cells.agg(
+            r4(
+                F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e"))
+            ).alias("chi2")
+        )
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "chi2",
+            ((F.col("nl") - 1) * (F.col("ns") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.col("n").cast("long").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "daily_rolling_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             ROUND(sum(o_totalprice), 4) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS day, n_orders, revenue,
+           ROUND(sum(revenue) OVER w, 4) AS revenue_7d,
+           CAST(count(*) OVER w AS BIGINT) AS days_present_7d,
+           ROUND(avg(revenue) OVER w, 4) AS avg_daily_revenue_7d
+    FROM daily
+    WINDOW w AS (ORDER BY d
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    extra=True,
+)
+def daily_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-CALENDAR-day rolling revenue over the daily series —
+    a RANGE frame keyed on the date value, so missing days still
+    shrink the window (a ROWS frame would silently span more than a
+    week across gaps); ``days_present_7d`` exposes exactly that.
+
+    Scale: the window runs over the POST-AGG daily table (bounded:
+    one row per day — the daily_pct_of_baseline posture), so the
+    single-partition window is safe; the raw scan is one hash-agg.
+    For multi-decade spans partition the frame by year after
+    prepending each year's 6-day tail."""
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").alias("n_orders"),
+        r4(F.sum("o_totalprice")).alias("revenue"),
+    )
+    # integer day number gives an exact RANGE key in both engines
+    daily = daily.withColumn(
+        "day_num", F.datediff("d", F.lit("1970-01-01"))
+    )
+    w = (
+        Window.orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_orders",
+        "revenue",
+        r4(F.sum("revenue").over(w)).alias("revenue_7d"),
+        F.count("*").over(w).cast("long").alias("days_present_7d"),
+        r4(F.avg("revenue").over(w)).alias("avg_daily_revenue_7d"),
+    )
