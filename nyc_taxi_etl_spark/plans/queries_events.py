@@ -1,0 +1,215 @@
+"""Event-analytics catalog queries: ordered funnel conversion, cohort
+retention, and event-type transition matrices.
+
+North-star extension — the product-analytics staples over an event
+stream. The reference's closest shapes are the hourly/dow dashboards
+(A1/A12); these entries add the ORDERED and COHORT dimensions those
+rollups can't express: "did A happen, then B after it, then C after
+that", "of the users who first appeared in week W, how many were
+still active k weeks later", and "what follows what".
+
+Oracle portability: conversion/retention/transition RATIOS are pure
+divisions of exact integers — bit-identical IEEE doubles in both
+engines, deliberately left UNROUNDED (r4 would introduce the
+midpoint-rounding divergence it usually absorbs). Week grain is
+date_trunc('week') — ISO Monday start in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import query, t
+
+_FUNNEL = ("signup", "view", "purchase")
+
+
+@query(
+    "event_funnel",
+    f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts >= s1.t1 GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts >= s2.t2 GROUP BY 1),
+    counts AS (
+      SELECT 1 AS stage_idx, '{_FUNNEL[0]}' AS stage,
+             CAST(count(*) AS BIGINT) AS users FROM s1
+      UNION ALL SELECT 2, '{_FUNNEL[1]}', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL SELECT 3, '{_FUNNEL[2]}', CAST(count(*) AS BIGINT) FROM s3)
+    SELECT stage_idx, stage, users,
+           users / first_value(users) OVER (ORDER BY stage_idx)
+             AS conversion_from_start
+    FROM counts
+    """,
+    extra=True,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → view → purchase: a user counts at
+    stage k only if stage k's FIRST qualifying event is at-or-after
+    their stage-(k−1) time — strictly ordered conversion, not mere
+    co-occurrence (the product-analytics semantics a plain groupBy
+    cannot express).
+
+    Scale: one filtered min-agg per stage, each stage's user set
+    shrinking monotonically; joins are equi-joins on user_id so the
+    whole funnel is a chain of key-local steps. Output is |stages|
+    rows."""
+    ev = t(spark, sf_dir, "events")
+    stage_users = []
+    prev = None
+    for etype in _FUNNEL:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            cur = e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                e.join(prev.select("user_id", F.col("t").alias("pt")), "user_id")
+                .filter(F.col("ts") >= F.col("pt"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        stage_users.append(cur)
+        prev = cur
+    counts = None
+    for i, (etype, su) in enumerate(zip(_FUNNEL, stage_users), start=1):
+        c = su.agg(F.count("*").alias("users")).select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(etype).alias("stage"),
+            F.col("users").cast("long"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    w = Window.orderBy("stage_idx")
+    return counts.withColumn(
+        "conversion_from_start",
+        F.col("users") / F.first("users").over(w),
+    )
+
+
+@query(
+    "weekly_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('day', f.cohort_week,
+                       date_trunc('week', e.ts)) // 7 AS week_offset
+      FROM events e JOIN firsts f USING (user_id)),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY 1)
+    SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(a.week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS active_users,
+           s.cohort_size,
+           count(*) / CAST(s.cohort_size AS DOUBLE) AS retention
+    FROM activity a JOIN sizes s USING (cohort_week)
+    GROUP BY 1, 2, s.cohort_size
+    """,
+    extra=True,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the ISO week of
+    their FIRST event; retention at offset k = the share of the
+    cohort active k weeks later — the triangular retention matrix.
+
+    Scale: first-seen is one min-agg; the activity join is key-local
+    on user_id; distinct (user, offset) and the final cohort agg are
+    two more shuffles on bounded keys. Cohort×offset output is
+    weeks² — metadata scale no matter the corpus."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("active_users"))
+        .join(sizes, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.col("week_offset").cast("long"),
+            F.col("active_users").cast("long"),
+            F.col("cohort_size").cast("long"),
+            (
+                F.col("active_users")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS transitions
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, transitions,
+           transitions / CAST(sum(transitions) OVER (PARTITION BY prev_type)
+                              AS DOUBLE) AS probability
+    FROM pairs
+    """,
+    extra=True,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream (what follows what): lag over each user's time-ordered
+    events, bigram counts, row-normalized probabilities.
+
+    Scale: ONE shuffle on user_id for the lag window (per-user sort,
+    same partitioning the sessionize entry uses), then a hash-agg on
+    the |types|² key domain; normalization is a window over that
+    bounded matrix."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("transitions"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("transitions").cast("long"),
+        (
+            F.col("transitions")
+            / F.sum("transitions").over(wn).cast("double")
+        ).alias("probability"),
+    )
