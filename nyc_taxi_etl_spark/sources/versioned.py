@@ -44,7 +44,7 @@ import os
 import uuid
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.merge import merge_upsert
@@ -87,8 +87,12 @@ class VersionedTable:
         ``os.link`` of a fully-written temp file is an atomic
         create-if-absent: a concurrent writer publishing the same
         version gets EEXIST (surfaced as a conflict) and neither log
-        entry is ever observed half-written.
+        entry is ever observed half-written. Every record carries a
+        ``committed_at`` wall timestamp for AS-OF time travel.
         """
+        import time as _time
+
+        record.setdefault("committed_at", _time.time())
         tmp = self._log_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(record, f, sort_keys=True)
@@ -574,6 +578,143 @@ class VersionedTable:
         return self.spark.read.parquet(
             *[os.path.join(self.root, d) for d in dirs]
         )
+
+    def version_as_of(self, ts: float) -> int:
+        """Newest version committed at-or-before wall time ``ts``
+        (epoch seconds) — Delta-style timestamp time travel. Raises if
+        the table didn't exist yet at ``ts``."""
+        best = None
+        for v in self.versions():
+            if self._read_commit(v).get("committed_at", float("inf")) <= ts:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"versioned table {self.root} has no commit at or before {ts}"
+            )
+        return best
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """Snapshot read of the table as it stood at wall time ``ts``."""
+        return self.read(self.version_as_of(ts))
+
+    def table_changes(
+        self, keys: Sequence[str], v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Change data feed between two snapshots, derived by key
+        comparison: one row per key whose presence or content changed,
+        with ``_change_type`` ∈ insert/update/delete and the NEW row
+        values (delete rows carry the OLD values). Works for any
+        operation history because it diffs STATE, not the log.
+
+        Scale: one full-outer join of the two snapshots on the key —
+        a single co-partitioned shuffle; update detection hashes the
+        non-key columns engine-side (no row comparison in Python).
+        For insert-only histories prefer :meth:`read_changes_since`,
+        which reads only the appended directories and never touches
+        the base snapshot."""
+        v_to = self.latest_version() if v_to is None else v_to
+        old, new = self.read(v_from), self.read(v_to)
+        shared = [c for c in new.columns if c in set(old.columns)]
+        value_cols = [c for c in shared if c not in set(keys)]
+
+        def _sig(df: DataFrame) -> Column:
+            if not value_cols:
+                return F.lit(0).cast("long")
+            return F.xxhash64(*[F.col(c) for c in value_cols])
+
+        o = old.select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            F.struct(*[F.col(c) for c in shared]).alias("__old"),
+            _sig(old).alias("__osig"),
+        )
+        n = new.select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            F.struct(*[F.col(c) for c in shared]).alias("__new"),
+            _sig(new).alias("__nsig"),
+        )
+        cond = [o[f"__k_{k}"].eqNullSafe(n[f"__k_{k}"]) for k in keys]
+        j = o.join(n, cond, "full_outer")
+        change = (
+            F.when(o["__osig"].isNull(), F.lit("insert"))
+            .when(n["__nsig"].isNull(), F.lit("delete"))
+            .when(o["__osig"] != n["__nsig"], F.lit("update"))
+        )
+        row = F.coalesce(n["__new"], o["__old"])
+        return (
+            j.select(change.alias("_change_type"), row.alias("__r"))
+            .filter(F.col("_change_type").isNotNull())
+            .select("_change_type", *[F.col(f"__r.{c}").alias(c) for c in shared])
+        )
+
+    def read_changes_since(self, v_from: int) -> DataFrame:
+        """Incremental read for APPEND-ONLY history: the rows added
+        after snapshot ``v_from``, read from exactly the data
+        directories later commits introduced — no scan of the base
+        snapshot at all (the consumption side of the streaming-ingest
+        path; a downstream refresh processes only the delta).
+
+        Raises if any commit in (v_from, latest] is not an append —
+        a rewrite (upsert/compact/delete) invalidates directory-
+        increment semantics; use :meth:`table_changes` there."""
+        latest = self.latest_version()
+        if latest is None or v_from > latest:
+            raise FileNotFoundError(
+                f"versioned table {self.root}: bad version range"
+            )
+        base = set(self._active_dirs(v_from))
+        new_dirs: list[str] = []
+        for v in self.versions():
+            if v <= v_from:
+                continue
+            rec = self._read_commit(v)
+            if rec.get("operation") != "append":
+                raise ValueError(
+                    f"commit {v} is {rec.get('operation')!r}, not append; "
+                    "directory-increment reads need an append-only range"
+                )
+            new_dirs += [d for d in rec["active"] if d not in base]
+            base.update(rec["active"])
+        if not new_dirs:
+            return self.read(latest).limit(0)
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, d) for d in new_dirs]
+        )
+        rec = self._read_commit(latest)
+        if rec.get("schema_evolved"):
+            for name, _ in rec["schema"]:
+                if name not in df.columns:
+                    df = df.withColumn(name, F.lit(None))
+            df = df.select(*[name for name, _ in rec["schema"]])
+        return df
+
+    def delete_where(self, condition) -> int:
+        """Row-level delete: rewrite the snapshot without rows
+        matching ``condition`` (a Column or SQL string), committed as
+        the next version. Completes the CRUD surface next to
+        append/upsert.
+
+        Scale: a full rewrite here; on a partition-tracked table the
+        dynamic-partition-overwrite shape applies identically (rewrite
+        only partitions containing matches) — same protocol, smaller
+        replaced set."""
+        base_version = self.latest_version()
+        if base_version is None:
+            raise FileNotFoundError(f"versioned table {self.root} is empty")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        kept = self.read(base_version).filter(~F.coalesce(cond, F.lit(False)))
+        rel = self._write_data_dir(kept)
+        self._publish(
+            base_version + 1,
+            {
+                "version": base_version + 1,
+                "operation": "delete",
+                "base_version": base_version,
+                "active": [rel],
+                "schema": self._schema_of(kept),
+                "file_stats": self._scan_stats(rel),
+            },
+        )
+        return base_version + 1
 
     def expire_versions(self, keep_last: int = 1) -> list[int]:
         """Retention: drop all but the newest ``keep_last`` commit

