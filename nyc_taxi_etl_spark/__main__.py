@@ -149,16 +149,43 @@ def cmd_table(args) -> int:
     session; the metadata actions run on the commit log alone."""
     from .sources.versioned import VersionedTable
 
-    if args.action == "compact":
-        spark = _session("table-compact")
+    if args.action in ("compact", "changes", "delete", "index", "lookup"):
+        spark = _session(f"table-{args.action}")
         try:
             t = VersionedTable(spark, args.root)
-            cluster = args.cluster_by.split(",") if args.cluster_by else None
-            v = t.compact(
-                target_files=args.target_files, cluster_by=cluster
-            )
-            print(json.dumps({"compacted_to_version": v,
-                              "clustered_by": cluster}))
+            if args.action == "compact":
+                cluster = (
+                    args.cluster_by.split(",") if args.cluster_by else None
+                )
+                v = t.compact(
+                    target_files=args.target_files, cluster_by=cluster
+                )
+                print(json.dumps({"compacted_to_version": v,
+                                  "clustered_by": cluster}))
+            elif args.action == "changes":
+                out = t.table_changes(
+                    args.keys.split(","), args.from_version, args.to_version
+                )
+                for row in out.toJSON().toLocalIterator():
+                    print(row)
+            elif args.action == "delete":
+                v = t.delete_where(args.where)
+                print(json.dumps({"deleted_to_version": v}))
+            elif args.action == "index":
+                from .sources.bloom_index import build_bloom_index
+
+                n = build_bloom_index(t, args.column, fpp=args.fpp)
+                print(json.dumps({"files_indexed": n, "column": args.column}))
+            else:  # lookup
+                from .sources.bloom_index import bloom_prune, read_eq
+
+                kept, skipped = bloom_prune(t, args.column, args.value)
+                rows = read_eq(t, args.column, args.value).count()
+                print(json.dumps({
+                    "files_scanned": len(kept),
+                    "files_skipped": len(skipped),
+                    "rows": rows,
+                }))
             return 0
         finally:
             spark.stop()
@@ -236,13 +263,26 @@ def main(argv: list[str] | None = None) -> int:
         "table", help="versioned-table maintenance (commit-log parquet)"
     )
     pt.add_argument(
-        "action", choices=["versions", "compact", "vacuum", "expire"]
+        "action",
+        choices=["versions", "compact", "vacuum", "expire", "changes",
+                 "delete", "index", "lookup"],
     )
     pt.add_argument("--root", required=True)
     pt.add_argument("--target-files", type=int, default=None)
     pt.add_argument("--cluster-by", default=None,
                     help="comma-separated z-order columns for compact")
     pt.add_argument("--keep-last", type=int, default=1)
+    pt.add_argument("--keys", default=None,
+                    help="comma-separated key columns for changes")
+    pt.add_argument("--from-version", type=int, default=None)
+    pt.add_argument("--to-version", type=int, default=None)
+    pt.add_argument("--where", default=None,
+                    help="SQL predicate for delete")
+    pt.add_argument("--column", default=None,
+                    help="column for bloom index/lookup")
+    pt.add_argument("--value", default=None,
+                    help="probe value for lookup")
+    pt.add_argument("--fpp", type=float, default=0.01)
     pt.set_defaults(fn=cmd_table)
 
     args = p.parse_args(argv)

@@ -23,10 +23,10 @@ explicit repartition-by-key pipelines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_broadcast_join"]
+__all__ = ["salted_agg", "salted_broadcast_join", "two_phase_topk"]
 
 _MERGERS = {
     "sum": F.sum,
@@ -96,3 +96,55 @@ def salted_broadcast_join(
     )
     out = salted_big.alias("l").join(replicated_small.alias("r"), cond, how)
     return out.drop("__salt")
+
+
+def two_phase_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    metric_col: str,
+    tiebreak_col: str,
+    k: int,
+) -> DataFrame:
+    """Skew-safe per-group top-k: truncate WITHIN each input partition
+    before the shuffle, so a hot group ships ≤ k rows per partition
+    instead of its entire row set through one reducer.
+
+    Phase 1 groups by (group, spark_partition_id) — each such key
+    lives in exactly one input partition, so the bounded
+    sort_array+slice aggregate completes map-side and the exchange
+    carries ≤ k·partitions rows per group. Phase 2 is the ordinary
+    rank window over that pre-truncated set.
+
+    Contract: top-k by ``metric_col`` DESC with ``tiebreak_col`` ASC
+    (both numeric; the tiebreak is negated inside the packed sort
+    struct to express the mixed direction) — identical output to the
+    direct ``row_number`` window, equivalence-tested. Use when one
+    group holds a large share of all rows; for mild skew AQE plus the
+    plain window is simpler and the extra aggregate isn't free."""
+    payload = [c for c in df.columns if c not in group_cols]
+    packed = F.struct(
+        F.col(metric_col).alias("__m"),
+        (-F.col(tiebreak_col)).alias("__negtie"),
+        F.struct(*[F.col(c) for c in payload]).alias("__row"),
+    )
+    tops = (
+        df.groupBy(*group_cols, F.spark_partition_id().alias("__pid"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(packed), asc=False), 1, k
+            ).alias("__top")
+        )
+        .select(*group_cols, F.explode("__top").alias("__t"))
+        .select(
+            *group_cols,
+            *[F.col(f"__t.__row.{c}").alias(c) for c in payload],
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(metric_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        tops.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -14,9 +14,15 @@ def test_queries_listing_no_spark(capsys):
     assert main(["queries"]) == 0
     out = capsys.readouterr().out
     lines = [line for line in out.strip().splitlines() if line]
-    assert len(lines) == 76  # 50 driver window + 26 overflow
+    from nyc_taxi_etl_spark.plans import QUERIES, QUERIES_EXTRA
+
+    # driver window (pinned at 50) + however many overflow entries exist
+    assert len(QUERIES) == 50
+    assert len(lines) == len(QUERIES) + len(QUERIES_EXTRA)
     assert any(line.startswith("events_time_profile\toracle") for line in lines)
-    assert sum(line.endswith("\toverflow") for line in lines) == 26
+    assert sum(line.endswith("\toverflow") for line in lines) == len(
+        QUERIES_EXTRA
+    )
     assert any(line.startswith("semantic_dedup\toracle\toverflow")
                for line in lines)
 
@@ -125,3 +131,44 @@ def test_cli_table_maintenance_roundtrip(spark, tmp_path, capsys):
     assert main(["table", "expire", "--root", root, "--keep-last", "1"]) == 0
     assert json.loads(capsys.readouterr().out) == {"expired": [0]}
     assert t.read().count() == 20
+
+
+def test_cli_table_cdf_delete_and_bloom(spark, tmp_path):
+    import json
+
+    from nyc_taxi_etl_spark.sources.versioned import VersionedTable
+
+    root = str(tmp_path / "cdf")
+    t = VersionedTable(spark, root)
+    t.write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+        ).repartition(3)
+    )
+    t.write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 99.0), (4, 40.0)], "k long, v double"
+        )
+    )
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "nyc_taxi_etl_spark", "table", *args,
+             "--root", root],
+            capture_output=True, text=True, timeout=240, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        return r.stdout.strip().splitlines()
+
+    changes = [json.loads(x) for x in run(
+        "changes", "--keys", "k", "--from-version", "0", "--to-version", "1")]
+    assert {(c["_change_type"], c["k"]) for c in changes} == {
+        ("update", 2), ("delete", 3), ("insert", 4)}
+
+    assert json.loads(run("index", "--column", "k")[-1])["files_indexed"] >= 1
+    lk = json.loads(run("lookup", "--column", "k", "--value", "4")[-1])
+    assert lk["rows"] == 1
+
+    assert json.loads(run("delete", "--where", "v > 50")[-1]) == {
+        "deleted_to_version": 2}
+    assert sorted(r.k for r in t.read().collect()) == [1, 4]

@@ -118,3 +118,52 @@ def test_salted_join_matches_plain(spark):
     s_rev = salted.agg(F.sum("o_totalprice")).collect()[0][0]
     p_rev = plain.agg(F.sum("o_totalprice")).collect()[0][0]
     assert abs(s_rev - p_rev) < 1e-4
+
+
+def test_two_phase_topk_equals_direct_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_spark.functions.skew import two_phase_topk
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "event_id", "value"
+    ).repartition(16)  # several partitions so phase 1 truncation matters
+    got = two_phase_topk(ev, ["event_type"], "value", "event_id", k=5)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    want = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .drop("rk")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_two_phase_topk_hot_group(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_spark.functions.skew import two_phase_topk
+
+    # one group holds 99% of rows; k must still come out exact
+    hot = spark.range(10_000).select(
+        F.lit("hot").alias("g"), F.col("id").alias("tie"),
+        (F.col("id") % 97).cast("double").alias("m"),
+    )
+    cold = spark.range(10).select(
+        F.lit("cold").alias("g"), F.col("id").alias("tie"),
+        F.col("id").cast("double").alias("m"),
+    )
+    df = hot.unionByName(cold).repartition(8)
+    out = two_phase_topk(df, ["g"], "m", "tie", k=3).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append((r.m, r.tie))
+    # hot: metric 96 appears many times; ties resolve to smallest ids
+    assert by_g["hot"] == [(96.0, 96), (96.0, 193), (96.0, 290)]
+    assert by_g["cold"] == [(9.0, 9), (8.0, 8), (7.0, 7)]
