@@ -22,6 +22,7 @@ __all__ = [
     "stratified_hash_sample",
     "mixture_rates",
     "mixture_resample",
+    "weighted_sample",
 ]
 
 
@@ -131,4 +132,57 @@ def mixture_resample(
             _salted_bucket_permille(F.col(key_col), salt) < F.col("rate_pm")
         )
         .select(*df.columns)  # original schema/order, helper cols gone
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Weighted random sampling without replacement (Efraimidis &
+    Spirakis 2006 A-ES), deterministic and cluster-safe: each row's
+    sort key is ``ln(u)/w`` with ``u`` a uniform derived from
+    ``md5(seed || id)`` — inclusion probability tracks the weight, and
+    the same (seed, ids) always yields the same sample on any
+    partition layout (Spark's seeded ``sample()`` is layout-dependent;
+    a key hash is not). Rows with non-positive/null weight are
+    excluded, per the algorithm's domain.
+
+    The training-data use: quality-weighted corpus subsampling — k
+    documents favoring high quality scores without a hard cutoff.
+
+    Scale: the key is a narrow per-row expression; selection is one
+    per-group top-k window (swap in ``functions.skew.two_phase_topk``
+    for a pathologically hot group). Returns the sampled rows plus
+    ``sample_key`` (for audit/reproducibility checks)."""
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / float(16**13)
+    key = F.log(u) / F.col(weight_col)
+    base = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_key", key)
+    )
+    w = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    ).orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+    return (
+        base.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )

@@ -427,3 +427,49 @@ def kanon_daily_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return released.unionByName(rolled)
+
+
+@query(
+    "weighted_doc_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             ln((('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                 + 0.5) / 4503599627370496.0)
+               / CAST(n_chars AS DOUBLE) AS sample_key
+      FROM documents WHERE n_chars > 0),
+    ranked AS (
+      SELECT doc_id, lang, sample_key,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sample_key DESC, doc_id ASC) AS rk
+      FROM keyed)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           ROUND(sample_key, 4) AS sample_key
+    FROM ranked WHERE rk <= 10
+    """,
+    extra=True,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): 10 documents per language, inclusion probability tracking
+    document length — quality/length-weighted corpus subsampling with
+    no hard cutoff (operators/sampling.py::weighted_sample, seed=7).
+
+    Deterministic cross-engine: u derives from md5 of (seed | doc_id)
+    — the portable-hash posture of every sampling entry — and with
+    static inputs the ln-keyed ranking either matches the oracle or
+    never does, so the hash check is exact, not flaky. Scale: narrow
+    per-row key + one per-group top-k window (two_phase_topk swaps in
+    for hot groups)."""
+    from ..operators.sampling import weighted_sample
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+    )
+    out = weighted_sample(docs, "doc_id", "w", k=10, seed=7,
+                          group_cols=["lang"])
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.round("sample_key", 4).alias("sample_key"),
+    )

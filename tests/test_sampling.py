@@ -3,6 +3,8 @@ drop, and the subset is identical across runs (no RNG)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from nyc_taxi_etl_spark.operators.sampling import stratified_hash_sample
 from nyc_taxi_etl_spark.sources.catalog import load_table
 
@@ -26,3 +28,70 @@ def test_rates_and_determinism(spark):
     a = sorted(r["o_orderkey"] for r in sampled.select("o_orderkey").collect())
     b = sorted(r["o_orderkey"] for r in sampled.select("o_orderkey").collect())
     assert a == b and len(a) == sum(got.values())
+
+
+def test_weighted_sample_deterministic_and_sized(spark):
+    from nyc_taxi_etl_spark.operators.sampling import weighted_sample
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+    )
+    a = weighted_sample(docs, "doc_id", "w", k=10, seed=7,
+                        group_cols=["lang"])
+    b = weighted_sample(docs, "doc_id", "w", k=10, seed=7,
+                        group_cols=["lang"])
+    ra = sorted((r.lang, r.doc_id) for r in a.collect())
+    assert ra == sorted((r.lang, r.doc_id) for r in b.collect())
+    per_lang = {}
+    for lang, _ in ra:
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    assert all(v == 10 for v in per_lang.values())
+    # a different seed draws a different sample
+    c = weighted_sample(docs, "doc_id", "w", k=10, seed=8,
+                        group_cols=["lang"])
+    assert ra != sorted((r.lang, r.doc_id) for r in c.collect())
+
+
+def test_weighted_sample_inclusion_tracks_weights(spark):
+    """k=1 A-ES inclusion probability is exactly w_i/Σw; replay 600
+    seeds in ONE job (seed × item grid) and check the frequencies."""
+    from pyspark.sql import Window
+
+    items = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 4.0)], "item string, w double"
+    )
+    seeds = spark.range(600).select(F.col("id").alias("seed"))
+    grid = seeds.crossJoin(items)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"),
+                               F.col("item"))), 1, 13), 16, 10
+        ).cast("double") + 0.5
+    ) / float(16 ** 13)
+    keyed = grid.withColumn("key", F.log(u) / F.col("w"))
+    w = Window.partitionBy("seed").orderBy(F.col("key").desc())
+    winners = (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("item")
+        .count()
+    )
+    got = {r.item: r["count"] for r in winners.collect()}
+    # expected 600 * w/7 = (85.7, 171.4, 342.9); allow ~4σ
+    assert abs(got.get("a", 0) - 85.7) < 45, got
+    assert abs(got.get("b", 0) - 171.4) < 55, got
+    assert abs(got.get("c", 0) - 342.9) < 60, got
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from nyc_taxi_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "id long, w double",
+    )
+    out = weighted_sample(df, "id", "w", k=10)
+    assert sorted(r.id for r in out.collect()) == [1, 5]
