@@ -59,3 +59,13 @@ def is_exchange_free(df: DataFrame) -> bool:
         for line in plan.splitlines()
         if "BroadcastExchange" not in line
     )
+
+
+# Bucket pruning caveat (tests/test_bucketed.py): an equality
+# predicate on the bucket key scans ONE bucket's files
+# (SelectedBucketsCount in the scan) — but autoBucketedScan disables
+# the bucketed layout for plans where no operator needs the
+# distribution (a bare filter), which also disables pruning. Pin
+# spark.sql.sources.bucketing.autoBucketedScan.enabled=false for
+# point-lookup workloads. Mismatched bucket counts re-shuffle exactly
+# one side (the other keeps its layout).

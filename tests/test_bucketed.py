@@ -1,13 +1,13 @@
-"""Bucketed-table co-location: the join/agg plans must show NO
-exchange on the bucketed key, results must equal the plain-parquet
-join, and mismatched bucket counts must re-shuffle only one side."""
+"""Bucketed-table behaviors beyond the exchange-free joins already
+pinned in test_scale_patterns.py: bucket-pruned point lookups and the
+mismatched-bucket-count re-shuffle shape."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from nyc_taxi_etl_spark.sources.bucketed import read_bucketed, write_bucketed
+from nyc_taxi_etl_spark.sources.bucketing import bucket_table
 from nyc_taxi_etl_spark.sources.catalog import load_table
 
 from .conftest import SF_DIR
@@ -17,16 +17,16 @@ from .conftest import SF_DIR
 def bucketed(spark):
     orders = load_table(spark, SF_DIR, "orders")
     lineitem = load_table(spark, SF_DIR, "lineitem")
-    write_bucketed(orders, "b_orders", ["o_orderkey"], 8)
-    write_bucketed(
+    bucket_table(orders, "bp_orders", ["o_orderkey"], 8)
+    bucket_table(
         lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
-        "b_lineitem",
+        "bp_lineitem",
         ["o_orderkey"],
         8,
     )
-    write_bucketed(orders, "b_orders4", ["o_orderkey"], 4)
+    bucket_table(orders, "bp_orders4", ["o_orderkey"], 4)
     yield
-    for t in ["b_orders", "b_lineitem", "b_orders4"]:
+    for t in ["bp_orders", "bp_lineitem", "bp_orders4"]:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -34,45 +34,12 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _no_broadcast(spark):
+def test_mismatched_bucket_counts_shuffle_one_side(spark, bucketed):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    return prev
-
-
-def test_bucketed_join_has_no_exchange(spark, bucketed):
-    prev = _no_broadcast(spark)
     try:
-        o = read_bucketed(spark, "b_orders")
-        li = read_bucketed(spark, "b_lineitem")
-        j = o.join(li, "o_orderkey").select("o_orderkey", "l_quantity")
-        plan = _plan(j)
-        assert "Exchange" not in plan, plan
-        # within-bucket sortBy also removes the sort-merge Sort
-        assert "SortMergeJoin" in plan
-        # and the result is the same as the plain-parquet join
-        raw = load_table(spark, SF_DIR, "orders").join(
-            load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
-                "l_orderkey", "o_orderkey"
-            ),
-            "o_orderkey",
-        )
-        assert j.count() == raw.count()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-
-
-def test_bucketed_groupby_has_no_exchange(spark, bucketed):
-    o = read_bucketed(spark, "b_orders")
-    agg = o.groupBy("o_orderkey").agg(F.sum("o_totalprice"))
-    assert "Exchange" not in _plan(agg)
-
-
-def test_mismatched_bucket_counts_shuffle_one_side(spark, bucketed):
-    prev = _no_broadcast(spark)
-    try:
-        o4 = read_bucketed(spark, "b_orders4")
-        li8 = read_bucketed(spark, "b_lineitem")
+        o4 = spark.table("bp_orders4")
+        li8 = spark.table("bp_lineitem")
         plan = _plan(
             o4.join(li8, "o_orderkey").select("o_orderkey", "l_quantity")
         )
@@ -83,7 +50,7 @@ def test_mismatched_bucket_counts_shuffle_one_side(spark, bucketed):
 
 
 def test_bucket_pruning_on_point_lookup(spark, bucketed):
-    o = read_bucketed(spark, "b_orders")
+    o = spark.table("bp_orders")
     key = o.select("o_orderkey").first().o_orderkey
     got = o.filter(F.col("o_orderkey") == key)
     prev = spark.conf.get("spark.sql.maxMetadataStringLength")
