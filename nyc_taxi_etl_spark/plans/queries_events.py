@@ -63,31 +63,59 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole funnel is a chain of key-local steps. Output is |stages|
     rows."""
     ev = t(spark, sf_dir, "events")
-    stage_users = []
-    prev = None
-    for etype in _FUNNEL:
-        e = ev.filter(F.col("event_type") == etype)
-        if prev is None:
-            cur = e.groupBy("user_id").agg(F.min("ts").alias("t"))
-        else:
-            cur = (
-                e.join(prev.select("user_id", F.col("t").alias("pt")), "user_id")
-                .filter(F.col("ts") >= F.col("pt"))
-                .groupBy("user_id")
-                .agg(F.min("ts").alias("t"))
-            )
-        stage_users.append(cur)
-        prev = cur
-    counts = None
-    for i, (etype, su) in enumerate(zip(_FUNNEL, stage_users), start=1):
-        c = su.agg(F.count("*").alias("users")).select(
-            F.lit(i).alias("stage_idx"),
-            F.lit(etype).alias("stage"),
-            F.col("users").cast("long"),
+    # ONE scan, ONE shuffle: all three stage times are windows over
+    # the same user_id partitioning (Catalyst reuses the exchange), so
+    # the per-stage-filter-and-rejoin formulation's 3 scans + 3
+    # shuffles collapse. Each stage time is the conditional min over
+    # the user's whole partition, gated on the previous stage's time.
+    wu = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == _FUNNEL[0], F.col("ts"))
+    ).over(wu)
+    s1 = ev.select("user_id", "event_type", "ts", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == _FUNNEL[1]) & (F.col("ts") >= F.col("t1")),
+            F.col("ts"),
         )
-        counts = c if counts is None else counts.unionByName(c)
+    ).over(wu)
+    s2 = s1.select("user_id", "event_type", "ts", "t1", t2.alias("t2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == _FUNNEL[2]) & (F.col("ts") >= F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    per_user = (
+        s2.select("user_id", "t1", "t2", t3.alias("t3"))
+        .groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("u1"),
+        F.count("t2").alias("u2"),
+        F.count("t3").alias("u3"),
+    )
+    stacked = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("stage_idx"),
+                        F.lit(name).alias("stage"),
+                        F.col(f"u{i}").cast("long").alias("users"),
+                    )
+                    for i, name in enumerate(_FUNNEL, start=1)
+                ]
+            )
+        ).alias("c")
+    ).select("c.stage_idx", "c.stage", "c.users")
     w = Window.orderBy("stage_idx")
-    return counts.withColumn(
+    return stacked.withColumn(
         "conversion_from_start",
         F.col("users") / F.first("users").over(w),
     )
