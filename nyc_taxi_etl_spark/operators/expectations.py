@@ -127,8 +127,12 @@ def run_checks(df: DataFrame, checks: list) -> DataFrame:
     if row_checks or uni_checks:
         aggs = [F.count("*").alias("__n")]
         for c in row_checks:
+            # coalesce: an EMPTY table has zero violations (checks
+            # pass vacuously), not a null report
             aggs.append(
-                F.sum(c.violation.cast("long")).alias(c.name)
+                F.coalesce(
+                    F.sum(c.violation.cast("long")), F.lit(0)
+                ).alias(c.name)
             )
         for u in uni_checks:
             aggs.append(

@@ -58,6 +58,12 @@ def pagerank(
         .persist()
     )
     n_nodes = nodes.count()  # also materializes the persisted relations
+    if n_nodes == 0:
+        # empty graph: typed empty result (SURVEY §7.3 posture), and
+        # guards the 1/N terms below
+        return nodes.select(
+            "node", F.lit(0.0).alias("rank")
+        ).limit(0)
     base = (1.0 - damping) / n_nodes
     has_out = deg.select(F.col("src").alias("node"))
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))

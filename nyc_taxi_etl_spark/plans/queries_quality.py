@@ -21,22 +21,22 @@ from .queries import query, t
 _CHECK_SQL = """
     WITH base AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        CAST(COALESCE(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
           AS v_nn,
-        CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
-                           OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        CAST(COALESCE(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                           OR l_quantity > 50 THEN 1 ELSE 0 END), 0) AS BIGINT)
           AS v_qty,
-        CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0
-                           OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+        CAST(COALESCE(sum(CASE WHEN l_discount IS NULL OR l_discount < 0
+                           OR l_discount > 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT)
           AS v_disc,
-        CAST(sum(CASE WHEN l_returnflag IS NULL
+        CAST(COALESCE(sum(CASE WHEN l_returnflag IS NULL
                            OR l_returnflag NOT IN ('A', 'N', 'R')
-                      THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
-        CAST(sum(CASE WHEN l_linestatus IS NULL
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_flag,
+        CAST(COALESCE(sum(CASE WHEN l_linestatus IS NULL
                            OR NOT regexp_matches(l_linestatus, '^[OF]$')
-                      THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
-        CAST(sum(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE)
-                      THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_status,
+        CAST(COALESCE(sum(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE)
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_price,
         CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
              AS BIGINT) AS v_uniq
       FROM lineitem),

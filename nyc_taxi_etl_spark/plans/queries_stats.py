@@ -73,6 +73,7 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
              * CAST((SELECT count(*) FROM srcs) - 1 AS BIGINT) AS dof,
            CAST((SELECT n FROM n) AS BIGINT) AS n_docs
     FROM cells
+    HAVING (SELECT n FROM n) IS NOT NULL
     """,
     extra=True,
 )
@@ -114,6 +115,9 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nl))
         .crossJoin(F.broadcast(ns))
         .crossJoin(F.broadcast(n))
+        # empty corpus ⇒ no contingency table at all (empty-in →
+        # empty-out), not a degenerate all-null row
+        .filter(F.col("n").isNotNull())
         .select(
             "chi2",
             ((F.col("nl") - 1) * (F.col("ns") - 1))

@@ -29,7 +29,11 @@ QUERIES = {**_MAIN, **QUERIES_EXTRA}
 
 _STREAMING = {n for n in QUERIES if n.startswith("streaming_")}
 # global aggregates legitimately emit one (all-zero) row over no rows
-_GLOBAL_AGG = {"etl_filter_audit", "gopher_rule_funnel"}
+_GLOBAL_AGG = {"etl_filter_audit", "gopher_rule_funnel",
+               "lineitem_correlations"}
+# fixed-shape reports: one row per declared check/stage, zero-counted
+# (an empty table vacuously passes every check / converts nobody)
+_EMPTY_REPORTS = {"lineitem_quality_report": 8, "event_funnel": 3}
 # media queries synthesize their blobs (no media table in testdata) —
 # input-independent by design, so 'empty input' doesn't apply to them
 _SYNTHETIC = {n for n in QUERIES if n.startswith("media_")}
@@ -50,9 +54,18 @@ def empty_sf_dir(tmp_path_factory):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - _SYNTHETIC))
 def test_query_survives_empty_input(spark, empty_sf_dir, name):
     out = QUERIES[name](spark, empty_sf_dir)
-    rows = out.limit(5).collect()
+    rows = out.limit(10).collect()
     if name in _GLOBAL_AGG:
         assert len(rows) == 1 and all(v in (0, None) for v in rows[0])
+    elif name in _EMPTY_REPORTS:
+        assert len(rows) == _EMPTY_REPORTS[name]
+        for r in rows:
+            d = r.asDict()
+            for zero_col in ("n_rows", "n_violations", "users"):
+                if zero_col in d:
+                    assert d[zero_col] == 0, (name, r)
+            if "passed" in d:
+                assert d["passed"] == 1, (name, r)  # vacuous pass
     elif name not in _STREAMING:
         assert rows == []  # empty in → empty out
     assert len(out.schema.fields) > 0  # typed result, not a bare error
@@ -87,5 +100,8 @@ def test_catalog_plan_hygiene(spark, name):
         "mixture_source_counts",
         "ann_pq_cosine",
         "winsorized_event_values",  # 1-row p01/p99 bounds broadcast
+        "bm25_scores",  # 1-row N/avgdl broadcast into scoring
+        "lang_source_chisq",  # bounded marginal tables (langs×sources grid)
+        "lineitem_quality_report",  # 1-row n × 1-row violation combine
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name
