@@ -68,7 +68,7 @@ class _TlcReader(DataSourceReader):
             if isinstance(f, EqualTo) and f.attribute == ("cab_type",):
                 self.cabs = [c for c in self.cabs if c == f.value]
             elif isinstance(f, In) and f.attribute == ("cab_type",):
-                allowed = set(f.values)
+                allowed = set(f.value)
                 self.cabs = [c for c in self.cabs if c in allowed]
             else:
                 yield f

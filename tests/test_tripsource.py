@@ -53,10 +53,11 @@ def test_rows_are_wellformed(spark):
 
 
 def test_feeds_taxi_analytics(spark):
-    from nyc_taxi_etl_spark.plans.taxi_analytics import tip_percentage_by_cab
+    from nyc_taxi_etl_spark.plans.taxi_analytics import per_cab_summary
 
     df = _load(spark, months=2, rows_per_month=200)
-    out = {r.cab_type: r for r in tip_percentage_by_cab(df).collect()}
+    out = {r.cab_type: r for r in per_cab_summary(df).collect()}
     assert set(out) == {"yellow", "green", "fhv", "fhvhv"}
     for r in out.values():
-        assert 0 <= r.avg_tip_pct <= 100
+        assert r.trip_count == 400
+        assert r.total_fare > 0
