@@ -473,3 +473,53 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.round("sample_key", 4).alias("sample_key"),
     )
+
+
+@query(
+    "props_variant_stats",
+    """
+    WITH j AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             json_extract(props, '$.absent') AS miss
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           ROUND(avg(k), 4) AS avg_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(CASE WHEN miss IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_absent
+    FROM j GROUP BY 1
+    """,
+    extra=True,
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse_json
+    once, then typed path extraction (`variant_get('$.k', 'bigint')`)
+    and a missing-path probe (`try_variant_get` → NULL, never an
+    error) — the engine-native upgrade over P9's regex scraping
+    (props_safe_cast), with the same null-on-absence semantics.
+
+    Scale: VARIANT stores a parsed binary encoding, so each path
+    access is a tree walk, not a re-parse; here parse + both
+    extractions fuse into the scan project (zero shuffles before the
+    24-key hash-agg). At rest, write the variant column to parquet
+    once and every later query skips parsing entirely."""
+    ev = t(spark, sf_dir, "events")
+    j = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+        F.try_variant_get(F.parse_json("props"), "$.absent", "string").alias(
+            "miss"
+        ),
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.col("miss").isNull().cast("long")).alias("n_absent"),
+    )

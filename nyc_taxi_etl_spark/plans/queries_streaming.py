@@ -231,3 +231,31 @@ def streaming_purchase_error_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         purchase_error_stream_join(_events_stream(spark, sf_dir)), "append"
     )
     return out
+
+
+@query("streaming_ewma_anomalies", None, extra=True)
+def streaming_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (§2.10/§2.11 north star):
+    per-user EWMA anomaly scoring through the arbitrary-state API
+    (streaming/stateful.py — transformWithStateInPandas when protobuf
+    is present, applyInPandasWithState fallback otherwise), rolled up
+    per user. Rows-only by design: the recurrence is sequential per
+    key (not SQL-expressible); exact stream-vs-batch-replay parity
+    incl. cross-micro-batch state carry is pinned in
+    tests/test_stateful_streaming.py.
+
+    Scale: O(1) state per user (three doubles); one shuffle on
+    user_id; Arrow-batched processing per key group."""
+    from ..streaming.stateful import ewma_anomaly_stream
+
+    out = _drain(
+        ewma_anomaly_stream(_events_stream(spark, sf_dir)), "append"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum("is_anomaly").cast("long").alias("n_anomalies"),
+            F.round(F.max("deviation_sigma"), 4).alias("max_deviation"),
+        )
+    )

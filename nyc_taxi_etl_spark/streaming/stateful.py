@@ -1,0 +1,220 @@
+"""Arbitrary stateful streaming via transformWithStateInPandas
+(Spark 4.1's successor to applyInPandasWithState): a per-user EWMA
+anomaly detector whose state survives micro-batch boundaries.
+
+The operator the built-in windows can't express: each user carries an
+exponentially-weighted mean/variance of their event values; every
+incoming event is scored against the state BEFORE it updates it
+(deviation in σ units, 3σ anomaly flag after a min_periods warm-up
+— early-series EWMA variance underestimates and would false-flag),
+so the stream emits
+per-event anomaly decisions continuously — the streaming twin of a
+batch z-score pass, but with O(1) state per key instead of a window
+over history.
+
+Scale posture: state is three doubles per user in the state store
+(RocksDB provider — transformWithState requires it; the run helper
+pins the conf for the query and restores it). Events shuffle once on
+user_id; each micro-batch's rows arrive grouped per key and are
+ordered (ts, event_id) INSIDE the processor, so within-batch order is
+deterministic regardless of arrival order. Cross-batch order is the
+file/source order — the batch-replay parity test stages two ordered
+files to prove state carries correctly across batches.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["EwmaAnomalyProcessor", "ewma_anomaly_stream", "ewma_replay_pandas"]
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_str", StringType()),
+        StructField("value", DoubleType()),
+        StructField("ewma_before", DoubleType()),
+        StructField("deviation_sigma", DoubleType()),
+        StructField("is_anomaly", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("mean", DoubleType()),
+        StructField("var", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _step(mean: float, var: float, n: int, x: float, alpha: float):
+    """One EWMA update (West 1979 exponentially-weighted moments):
+    score first, then fold x into (mean, var)."""
+    if n == 0:
+        dev = 0.0
+    else:
+        sd = math.sqrt(var) if var > 0 else 0.0
+        dev = abs(x - mean) / sd if sd > 0 else 0.0
+    if n == 0:
+        new_mean, new_var = x, 0.0
+    else:
+        delta = x - mean
+        new_mean = mean + alpha * delta
+        new_var = (1.0 - alpha) * (var + alpha * delta * delta)
+    return dev, new_mean, new_var, n + 1
+
+
+class EwmaAnomalyProcessor(StatefulProcessor):
+    def __init__(self, alpha: float = 0.2, threshold: float = 3.0,
+                 min_periods: int = 5):
+        self.alpha = alpha
+        self.threshold = threshold
+        self.min_periods = min_periods
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.state = handle.getValueState("ewma", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        mean, var, n = (
+            self.state.get() if self.state.exists() else (0.0, 0.0, 0)
+        )
+        out = []
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                x = float(r.value)
+                pre_mean = x if n == 0 else mean  # what it's scored against
+                pre_n = n
+                dev, mean, var, n = _step(mean, var, n, x, self.alpha)
+                out.append(
+                    (
+                        int(key[0]),
+                        int(r.event_id),
+                        r.ts.strftime("%Y-%m-%d %H:%M:%S"),
+                        x,
+                        pre_mean,
+                        dev,
+                        1
+                        if (pre_n >= self.min_periods and dev > self.threshold)
+                        else 0,
+                    )
+                )
+        self.state.update((mean, var, n))
+        yield pd.DataFrame(out, columns=[f.name for f in _OUT_SCHEMA.fields])
+
+    def close(self) -> None:
+        pass
+
+
+def has_transform_with_state() -> bool:
+    """transformWithStateInPandas needs protobuf in the Python env
+    (its driver worker speaks a proto protocol to the JVM); absent in
+    this container, so the API is gated, not assumed."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def ewma_anomaly_stream(
+    events: DataFrame,
+    alpha: float = 0.2,
+    threshold: float = 3.0,
+    min_periods: int = 5,
+    use_transform_with_state: bool | None = None,
+) -> DataFrame:
+    """Wire the detector onto a streaming events frame (expects
+    user_id, event_id, ts, value).
+
+    Two interchangeable stateful backends, same recurrence and same
+    output schema:
+      * ``transformWithStateInPandas`` (Spark 4.1, RocksDB-backed,
+        composable state vars) — used when protobuf is available
+        (``has_transform_with_state``), or forced via the flag;
+      * ``applyInPandasWithState`` (GroupState tuple) — the
+        dependency-free fallback this container runs.
+    """
+    src = events.select("user_id", "event_id", "ts", "value")
+    if use_transform_with_state is None:
+        use_transform_with_state = has_transform_with_state()
+    if use_transform_with_state:
+        return src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=EwmaAnomalyProcessor(alpha, threshold, min_periods),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+
+    def fn(key, pdfs, state):
+        mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                x = float(r.value)
+                pre_mean = x if n == 0 else mean
+                pre_n = n
+                dev, mean, var, n = _step(mean, var, n, x, alpha)
+                out.append(
+                    (
+                        int(key[0]),
+                        int(r.event_id),
+                        r.ts.strftime("%Y-%m-%d %H:%M:%S"),
+                        x,
+                        pre_mean,
+                        dev,
+                        1
+                        if (pre_n >= min_periods and dev > threshold)
+                        else 0,
+                    )
+                )
+        state.update((mean, var, n))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in _OUT_SCHEMA.fields]
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def ewma_replay_pandas(
+    rows: list, alpha: float = 0.2, threshold: float = 3.0,
+    min_periods: int = 5,
+) -> dict:
+    """Reference replay of the same recurrence over (user_id,
+    event_id, ts, value) tuples — the parity oracle for tests."""
+    state: dict = {}
+    out = {}
+    by_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        by_user.setdefault(r[0], []).append(r)
+    for uid, evs in by_user.items():
+        mean, var, n = 0.0, 0.0, 0
+        for _, event_id, ts, value in evs:
+            pre_n = n
+            dev, mean, var, n = _step(mean, var, n, float(value), alpha)
+            out[event_id] = (
+                round(dev, 9),
+                1 if (pre_n >= min_periods and dev > threshold) else 0,
+            )
+    return out

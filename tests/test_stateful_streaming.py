@@ -1,0 +1,86 @@
+"""transformWithStateInPandas EWMA anomaly detector: multi-batch
+state carry-over must reproduce the exact batch recurrence replay."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nyc_taxi_etl_spark.streaming.stateful import (
+    ewma_anomaly_stream,
+    ewma_replay_pandas,
+)
+
+
+def _stage_two_batches(tmp_path):
+    """Two time-ordered files: a small series per user, with one
+    planted 100x outlier per user in the SECOND file (so detection
+    requires state carried from batch 1)."""
+    rows1, rows2 = [], []
+    for uid in range(5):
+        for i in range(20):
+            val = 10.0 + (i % 5) * 0.5 + uid
+            rows1.append((uid, uid * 1000 + i, 1_700_000_000 + i * 60, val))
+        for i in range(20, 40):
+            val = 10.0 + (i % 5) * 0.5 + uid
+            if i == 25:
+                val = 1000.0  # planted anomaly
+            rows2.append((uid, uid * 1000 + i, 1_700_000_000 + i * 60, val))
+
+    def write(rows, name):
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[2] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / name))
+
+    write(rows1, "batch-000.parquet")
+    write(rows2, "batch-001.parquet")
+    return [(r[0], r[1], r[2], r[3]) for r in rows1 + rows2]
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, None])
+def test_ewma_stream_matches_batch_replay(spark, tmp_path, files_per_trigger):
+    rows = _stage_two_batches(tmp_path)
+    schema = spark.read.parquet(str(tmp_path)).schema
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    sdf = reader.parquet(str(tmp_path))
+
+    out = ewma_anomaly_stream(sdf)
+    name = "ewma_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.event_id: (round(r.deviation_sigma, 9), r.is_anomaly)
+        for r in spark.table(name).collect()
+    }
+
+    want = ewma_replay_pandas(rows)
+    assert len(got) == len(want) == 200
+    mismatches = {
+        k: (got[k], want[k]) for k in want if got[k] != want[k]
+    }
+    assert not mismatches, dict(list(mismatches.items())[:5])
+    # each user's planted outlier is flagged, and only those
+    flagged = [k for k, (_, a) in got.items() if a == 1]
+    assert sorted(flagged) == [uid * 1000 + 25 for uid in range(5)]
