@@ -688,20 +688,63 @@ class VersionedTable:
         return df
 
     def delete_where(self, condition) -> int:
-        """Row-level delete: rewrite the snapshot without rows
-        matching ``condition`` (a Column or SQL string), committed as
-        the next version. Completes the CRUD surface next to
-        append/upsert.
+        """Row-level delete: remove rows matching ``condition`` (a
+        Column or SQL string), committed as the next version.
+        Completes the CRUD surface next to append/upsert.
 
-        Scale: a full rewrite here; on a partition-tracked table the
-        dynamic-partition-overwrite shape applies identically (rewrite
-        only partitions containing matches) — same protocol, smaller
-        replaced set."""
+        Scale: on a PARTITION-TRACKED table (write_partitioned) only
+        the partitions that actually contain matching rows are
+        rewritten — untouched partition directories carry into the new
+        commit by reference, so delete cost follows the affected
+        partitions, not the table (the dynamic-partition-overwrite
+        shape). Untracked tables fall back to a full rewrite."""
         base_version = self.latest_version()
         if base_version is None:
             raise FileNotFoundError(f"versioned table {self.root} is empty")
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        kept = self.read(base_version).filter(~F.coalesce(cond, F.lit(False)))
+        hit = F.coalesce(cond, F.lit(False))
+        rec = self._read_commit(base_version)
+        parts = rec.get("partitions")
+        if parts and not (set(rec["active"]) - set(parts)):
+            pcol = rec["partition_col"]
+            touched = sorted(
+                str(r[0])
+                for r in self.read(base_version)
+                .filter(hit)
+                .select(pcol)
+                .distinct()
+                .collect()
+            )
+            touched_set = set(touched)
+            carried = [d for d in rec["active"] if parts[d] not in touched_set]
+            active = list(carried)
+            new_parts = {d: parts[d] for d in carried}
+            stats = self._carry_stats(rec, carried)
+            for d in rec["active"]:
+                if parts[d] not in touched_set:
+                    continue
+                kept = self.spark.read.parquet(
+                    os.path.join(self.root, d)
+                ).filter(~hit)
+                rel = self._write_data_dir(kept)
+                active.append(rel)
+                new_parts[rel] = parts[d]
+                stats.update(self._scan_stats(rel))
+            self._publish(
+                base_version + 1,
+                {
+                    "version": base_version + 1,
+                    "operation": "delete",
+                    "partition_col": pcol,
+                    "base_version": base_version,
+                    "rewritten": touched,
+                    "active": active,
+                    "partitions": new_parts,
+                    "file_stats": stats,
+                },
+            )
+            return base_version + 1
+        kept = self.read(base_version).filter(~hit)
         rel = self._write_data_dir(kept)
         self._publish(
             base_version + 1,

@@ -121,3 +121,43 @@ def test_matview_incremental_equals_recompute(spark, tmp_path):
     # non-mergeable aggregates are rejected up front
     with pytest.raises(ValueError):
         MaterializedAgg(src, str(tmp_path / "bad"), ["grp"], {"m": ("median", "v")})
+
+
+def test_partitioned_delete_rewrites_only_touched(spark, tmp_path):
+    schema = "id long, day string, v double"
+    t = VersionedTable(spark, str(tmp_path / "pd"))
+    rows = [(i, f"d{i % 3}", float(i)) for i in range(30)]
+    t.write_partitioned(spark.createDataFrame(rows, schema), "day")
+    rec0 = t._read_commit(0)
+    d1_dirs_before = {d for d, p in rec0["partitions"].items() if p == "d1"}
+    v = t.delete_where(F.col("day") == "d0")
+    rec1 = t._read_commit(v)
+    # untouched partitions carried by reference (same directory names)
+    assert d1_dirs_before <= set(rec1["active"])
+    assert rec1["rewritten"] == ["d0"]
+    assert sorted(r.id for r in t.read().collect()) == [
+        i for i in range(30) if i % 3 != 0
+    ]
+    # partition tracking survives: a later partition-scoped upsert works
+    t.upsert_partitioned(
+        spark.createDataFrame([(100, "d1", 1.0)], schema), ["id"], "day"
+    )
+    assert t.read().filter(F.col("id") == 100).count() == 1
+
+
+def test_partitioned_delete_value_predicate(spark, tmp_path):
+    schema = "id long, day string, v double"
+    t = VersionedTable(spark, str(tmp_path / "pv"))
+    rows = [(i, f"d{i % 3}", float(i)) for i in range(30)]
+    t.write_partitioned(spark.createDataFrame(rows, schema), "day")
+    # predicate touching rows in only one partition: others carried
+    v = t.delete_where("v >= 27")  # ids 27,28,29 → days d0,d1,d2... all
+    rec = t._read_commit(v)
+    assert set(rec["rewritten"]) == {"d0", "d1", "d2"}
+    assert t.read().count() == 27
+    t2 = VersionedTable(spark, str(tmp_path / "pv2"))
+    t2.write_partitioned(spark.createDataFrame(rows, schema), "day")
+    v2 = t2.delete_where("v = 4")  # only d1
+    rec2 = t2._read_commit(v2)
+    assert rec2["rewritten"] == ["d1"]
+    assert t2.read().count() == 29
