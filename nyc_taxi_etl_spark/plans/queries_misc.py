@@ -523,3 +523,65 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.sum(F.col("miss").isNull().cast("long")).alias("n_absent"),
     )
+
+
+@query(
+    "orders_matview_monthly_revenue",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o_totalprice), 4) AS revenue,
+           ROUND(min(o_totalprice), 4) AS min_price,
+           ROUND(max(o_totalprice), 4) AS max_price
+    FROM orders GROUP BY 1
+    """,
+    extra=True,
+)
+def orders_matview_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate, driver-
+    verified end-to-end: orders arrive as three append batches into a
+    VersionedTable; after each append the MaterializedAgg refresh
+    merges ONLY that batch's partial aggregate into the stored state
+    (sources/matview.py) — and the final state must hash-match the
+    oracle's single-pass GROUP BY over everything.
+
+    Scale: this is the 100 TB dashboard-maintenance pattern — refresh
+    cost follows the append batch; the stored view is |months| rows.
+    Mergeable aggregates only (count/sum/min/max); the r4 display
+    rounding absorbs merge-order ulp on the float sum."""
+    import tempfile
+
+    from ..sources.matview import MaterializedAgg
+    from ..sources.versioned import VersionedTable
+
+    od = t(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    root = tempfile.mkdtemp(prefix="mv_src_")
+    src = VersionedTable(spark, root)
+    mv = MaterializedAgg(
+        src,
+        tempfile.mkdtemp(prefix="mv_state_"),
+        ["order_month"],
+        {
+            "n_orders": ("count", None),
+            "revenue": ("sum", "o_totalprice"),
+            "min_price": ("min", "o_totalprice"),
+            "max_price": ("max", "o_totalprice"),
+        },
+    )
+    for i in range(3):
+        batch = od.filter(F.col("o_orderkey") % 3 == i)
+        if i == 0:
+            src.write(batch, operation="append")
+        else:
+            src.append(batch)
+        mv.refresh()
+    out = mv.read()
+    return out.select(
+        "order_month",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("revenue", 4).alias("revenue"),
+        F.round("min_price", 4).alias("min_price"),
+        F.round("max_price", 4).alias("max_price"),
+    )
