@@ -585,3 +585,98 @@ def orders_matview_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("min_price", 4).alias("min_price"),
         F.round("max_price", 4).alias("max_price"),
     )
+
+
+@query(
+    "returning_customers_semi",
+    """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_mktsegment,
+           ROUND(c.c_acctbal, 4) AS c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+    """,
+    extra=True,
+)
+def returning_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join chain (the J-family member the catalog's anti-
+    join entry mirrors): customers with at least one RETURNED line
+    item — existence, not multiplicity, so the semi join never
+    duplicates customers no matter how many returns they have.
+
+    Scale: the returned-orders key set shrinks through the
+    lineitem filter BEFORE the semi probe; both joins are key-local
+    equi-joins and the semi side short-circuits on first match (no
+    row expansion, unlike inner-join-then-distinct)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    returned_orders = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey"
+    )
+    returning_cust = (
+        o.join(returned_orders, o["o_orderkey"] == returned_orders["l_orderkey"], "left_semi")
+        .select("o_custkey")
+    )
+    return (
+        c.join(returning_cust, c["c_custkey"] == returning_cust["o_custkey"], "left_semi")
+        .select(
+            F.col("c_custkey").cast("long"),
+            "c_mktsegment",
+            F.round("c_acctbal", 4).alias("c_acctbal"),
+        )
+    )
+
+
+@query(
+    "daily_purchase_error_full_outer",
+    """
+    WITH p AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_p,
+                      ROUND(sum(value), 4) AS v_p
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    e AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_e
+          FROM events WHERE event_type = 'error'
+            AND isodow(ts) <= 2 GROUP BY 1)
+    SELECT strftime(COALESCE(p.d, e.d), '%Y-%m-%d') AS day,
+           COALESCE(p.n_p, 0) AS purchases,
+           COALESCE(p.v_p, 0) AS purchase_value,
+           COALESCE(e.n_e, 0) AS errors,
+           CAST(p.d IS NULL OR e.d IS NULL AS BIGINT) AS one_sided
+    FROM p FULL OUTER JOIN e ON e.d = p.d
+    """,
+    extra=True,
+)
+def daily_purchase_error_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily series with different coverage
+    (errors restricted to Mon/Tue so one side genuinely has days the
+    other lacks): neither series loses days, absences coalesce to
+    zero, and ``one_sided`` marks them — the union-of-calendars merge
+    an inner or left join silently truncates.
+
+    Scale: both sides are bounded post-agg day tables; the full-outer
+    is one co-partitioned shuffle on the date key."""
+    ev = t(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").alias("n_p"),
+            F.round(F.sum("value"), 4).alias("v_p"),
+        )
+    )
+    e = (
+        ev.filter(
+            (F.col("event_type") == "error") & ((F.weekday("ts") + 1) <= 2)
+        )
+        .groupBy(F.to_date("ts").alias("ed"))
+        .agg(F.count("*").alias("n_e"))
+    )
+    j = p.join(e, p["d"] == e["ed"], "full_outer")
+    return j.select(
+        F.date_format(F.coalesce(p["d"], e["ed"]), "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_p", F.lit(0).cast("long")).alias("purchases"),
+        F.coalesce("v_p", F.lit(0.0)).alias("purchase_value"),
+        F.coalesce("n_e", F.lit(0).cast("long")).alias("errors"),
+        (p["d"].isNull() | e["ed"].isNull()).cast("long").alias("one_sided"),
+    )
