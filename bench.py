@@ -61,6 +61,11 @@ EXTENSION = [
     "bm25_scores",
     "distinct_users_hll_rollup",
     "streaming_purchase_error_pairs",
+    "streaming_ewma_anomalies",
+    "orders_matview_monthly_revenue",
+    "lineitem_quality_report",
+    "bigram_collocations",
+    "customer_top_orders_lateral",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the
