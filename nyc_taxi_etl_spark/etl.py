@@ -19,9 +19,10 @@ Scale posture:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from .operators.clean import CleanConfig, clean
 from .operators.normalize import unify
@@ -35,6 +36,7 @@ class EtlResult:
     rows_in: int
     rows_out: int
     curated_path: str
+    metrics: dict = field(default_factory=dict)
 
 
 def run_etl(
@@ -52,13 +54,30 @@ def run_etl(
     """
     raw = {cab: spark.read.parquet(path) for cab, path in raw_paths.items()}
     unified = unify(raw)
-    cleaned = clean(unified, cfg)
 
-    rows_in = rows_out = -1
+    # Metrics PIGGYBACK ON THE WRITE via df.observe: the in/out counts
+    # and quality tallies are computed by the same job that writes the
+    # curated table — zero extra scans (the previous form re-read the
+    # curated output for rows_out and counted each raw input
+    # separately: three additional jobs at 100 TB).
+    obs_in = obs_out = None
     if collect_metrics:
-        # one count per side; the input count reuses cached file
-        # listing, not a second full scan of the cleaned plan
-        rows_in = sum(df.count() for df in raw.values())
+        obs_in, obs_out = Observation("etl_in"), Observation("etl_out")
+        unified = unified.observe(
+            obs_in, F.count(F.lit(1)).alias("rows_in")
+        )
+    cleaned = clean(unified, cfg)
+    if collect_metrics:
+        cleaned = cleaned.observe(
+            obs_out,
+            F.count(F.lit(1)).alias("rows_out"),
+            F.sum(F.col("fare_amount").isNull().cast("long")).alias(
+                "null_fares"
+            ),
+            # DISTINCT aggregates are rejected in observed metrics;
+            # the HLL estimate is exact at this cardinality (≤4 cabs)
+            F.approx_count_distinct("cab_type").alias("cab_types_out"),
+        )
 
     writer = cleaned
     if target_files is not None:
@@ -68,9 +87,15 @@ def run_etl(
         .partitionBy("cab_type", "year", "month")
         .parquet(curated_path)
     )
-    if collect_metrics:
-        rows_out = spark.read.parquet(curated_path).count()
-    return EtlResult(rows_in=rows_in, rows_out=rows_out, curated_path=curated_path)
+    if not collect_metrics:
+        return EtlResult(rows_in=-1, rows_out=-1, curated_path=curated_path)
+    m_out = obs_out.get
+    return EtlResult(
+        rows_in=int(obs_in.get["rows_in"]),
+        rows_out=int(m_out["rows_out"]),
+        curated_path=curated_path,
+        metrics={k: int(v) for k, v in m_out.items()},
+    )
 
 
 def read_curated(spark: SparkSession, curated_path: str, cabs: tuple[str, ...] = CAB_TYPES) -> DataFrame:

@@ -206,3 +206,19 @@ def test_unify_handles_all_cabs(spark, taxi_dir):
     counts = {r["cab_type"]: r["n"] for r in u.groupBy("cab_type").agg(F.count("*").alias("n")).collect()}
     assert set(counts) == {"yellow", "green", "fhv", "fhvhv"}
     assert all(v == taxi_fixtures.N for v in counts.values())
+
+
+def test_etl_observed_metrics_match_reality(spark, curated):
+    out, res = curated
+    actual_out = spark.read.parquet(out).count()
+    assert res.rows_out == actual_out
+    assert res.metrics["rows_out"] == actual_out
+    assert res.rows_in >= res.rows_out  # cleaning only drops
+    actual_null_fares = (
+        spark.read.parquet(out).filter(F.col("fare_amount").isNull()).count()
+    )
+    assert res.metrics["null_fares"] == actual_null_fares
+    # HLL on a ≤4-value domain is exact
+    assert res.metrics["cab_types_out"] == (
+        spark.read.parquet(out).select("cab_type").distinct().count()
+    )
