@@ -178,3 +178,99 @@ def daily_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("days_present_7d"),
         r4(F.avg("revenue").over(w)).alias("avg_daily_revenue_7d"),
     )
+
+
+@query(
+    "value_psi_drift",
+    """
+    WITH ref AS (SELECT value FROM events
+                 WHERE CAST(ts AS DATE) < DATE '2024-01-16'),
+    cur AS (SELECT value FROM events
+            WHERE CAST(ts AS DATE) >= DATE '2024-01-16'),
+    bks AS (SELECT quantile_cont(value,
+              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b
+            FROM ref),
+    rbin AS (
+      SELECT 1 + len(list_filter((SELECT b FROM bks), x -> value > x))
+               AS bin
+      FROM ref),
+    cbin AS (
+      SELECT 1 + len(list_filter((SELECT b FROM bks), x -> value > x))
+               AS bin
+      FROM cur),
+    rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM rbin GROUP BY 1),
+    cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur FROM cbin GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ref) AS tr,
+                   (SELECT CAST(count(*) AS DOUBLE) FROM cur) AS tc)
+    SELECT CAST(rc.bin AS BIGINT) AS bin, rc.n_ref,
+           COALESCE(cc.n_cur, 0) AS n_cur,
+           rc.n_ref / tot.tr AS ref_share,
+           COALESCE(cc.n_cur, 0) / tot.tc AS cur_share,
+           ROUND((rc.n_ref / tot.tr - COALESCE(cc.n_cur, 0) / tot.tc)
+                 * ln((rc.n_ref / tot.tr)
+                      / (COALESCE(cc.n_cur, 0) / tot.tc)), 4) AS psi_term
+    FROM rc LEFT JOIN cc ON cc.bin = rc.bin CROSS JOIN tot
+    """,
+    extra=True,
+)
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month: decile breakpoints fit on the REFERENCE window (exact
+    percentiles), both windows binned against them, per-bin
+    PSI term (p−q)·ln(p/q) — the model-monitoring drift score beside
+    the day-over-day drift profile (>0.2 summed ⇒ investigate).
+
+    Scale: breakpoints are a 9-element array riding a 1-row broadcast
+    (the scalar-join pattern); binning is a row-local array fold
+    (``aggregate`` HOF, codegen'd); two hash-aggs on a 10-key domain.
+    Shares are exact-int divisions (unrounded); only the ln-bearing
+    psi_term is r4."""
+    ev = t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("date")
+    ref = ev.filter(F.to_date("ts") < split).select("value")
+    cur = ev.filter(F.to_date("ts") >= split).select("value")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bks = ref.agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("b")
+    )
+
+    def _binned(df):
+        return (
+            df.crossJoin(F.broadcast(bks))
+            .select(
+                (
+                    F.lit(1)
+                    + F.expr(
+                        "aggregate(b, 0, (acc, x) -> acc + "
+                        "CASE WHEN value > x THEN 1 ELSE 0 END)"
+                    )
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+        )
+
+    rc = _binned(ref).withColumnRenamed("n", "n_ref")
+    cc = _binned(cur).withColumnRenamed("n", "n_cur")
+    tot = ref.agg(F.count("*").cast("double").alias("tr")).crossJoin(
+        cur.agg(F.count("*").cast("double").alias("tc"))
+    )
+    j = (
+        rc.join(cc, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long"),
+            F.col("n_ref").cast("long"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+            (F.col("n_ref") / F.col("tr")).alias("ref_share"),
+            (F.coalesce("n_cur", F.lit(0)) / F.col("tc")).alias("cur_share"),
+        )
+    )
+    return j.withColumn(
+        "psi_term",
+        F.round(
+            (F.col("ref_share") - F.col("cur_share"))
+            * F.log(F.col("ref_share") / F.col("cur_share")),
+            4,
+        ),
+    )

@@ -103,5 +103,6 @@ def test_catalog_plan_hygiene(spark, name):
         "bm25_scores",  # 1-row N/avgdl broadcast into scoring
         "lang_source_chisq",  # bounded marginal tables (langs×sources grid)
         "lineitem_quality_report",  # 1-row n × 1-row violation combine
+        "value_psi_drift",  # 1-row breakpoint array + 1-row totals
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name
