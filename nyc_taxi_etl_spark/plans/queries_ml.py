@@ -137,3 +137,22 @@ def lda_document_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return lda_topics(docs, "text", k=5, seed=42, vocab_size=200,
                       max_iter=20, top_n=8)
+
+
+@query("media_image_patch_embeddings", None, extra=True)
+def media_image_patch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch embeddings over the synthetic media corpus:
+    real decode (PNG/BMP/PPM pure-numpy codecs) → separable bilinear
+    resize → 4×4 patchify → 48-dim mean-RGB embedding per image
+    (operators/multimodal.py::image_patch_embeddings). Rows-only by
+    design (binary media pipeline); the resample/patch math is pinned
+    against a closed-form half-black/half-white fixture in
+    tests/test_multimodal.py.
+
+    Scale: narrow Arrow-batched mapInPandas — blobs never shuffle;
+    output is one short embedding row per image, joinable straight
+    into the similarity/dedup stack."""
+    from ..operators.multimodal import image_patch_embeddings, synthesize_media
+
+    media = synthesize_media(spark, n=90, seed=42)
+    return image_patch_embeddings(media, grid=4, patch_px=8)

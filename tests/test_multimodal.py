@@ -77,3 +77,51 @@ def test_metadata_only_query_prunes_blob_column(media, spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan
     assert q.count() == 30
+
+
+def test_image_patch_embeddings_math(spark):
+    """Bilinear resize + patchify verified against a closed form: a
+    half-black half-white image must embed as black patches on one
+    side, white on the other, grays only at the seam column."""
+    import numpy as np
+
+    from nyc_taxi_etl_spark.operators.imagecodec import encode_png
+    from nyc_taxi_etl_spark.operators.multimodal import (
+        image_patch_embeddings,
+    )
+
+    img = np.zeros((64, 64, 3), dtype=np.uint8)
+    img[:, 32:, :] = 255  # right half white
+    blob = encode_png(img)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(blob), 64, 64, 0, 0)],
+        "media_id long, kind string, content binary, width int, "
+        "height int, sample_rate int, n_frames int",
+    )
+    rows = image_patch_embeddings(media, grid=4, patch_px=8).collect()
+    assert len(rows) == 1
+    emb = rows[0].embedding
+    assert len(emb) == 4 * 4 * 3
+    patches = np.array(emb).reshape(4, 4, 3)
+    # columns 0-1 black, 2-3 white (seam at exactly x=32 = patch edge)
+    assert np.allclose(patches[:, :2, :], 0.0, atol=1e-9)
+    assert np.allclose(patches[:, 2:, :], 1.0, atol=1e-9)
+    # determinism
+    again = image_patch_embeddings(media, grid=4, patch_px=8).collect()
+    assert again[0].embedding == emb
+
+
+def test_patch_embeddings_on_synthetic_corpus(spark):
+    from nyc_taxi_etl_spark.operators.multimodal import (
+        image_patch_embeddings,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=30, seed=42)
+    n_images = media.filter("kind = 'image'").count()
+    out = image_patch_embeddings(media, grid=4, patch_px=8)
+    rows = out.collect()
+    assert len(rows) == n_images
+    for r in rows:
+        assert len(r.embedding) == 48
+        assert all(0.0 <= v <= 1.0 for v in r.embedding)
