@@ -128,6 +128,12 @@ def cmd_prepare(args) -> int:
             gopher_gate=args.gopher_gate,
             c4_clean=args.c4_clean,
             passage_dedup_k=args.passage_dedup_k,
+            cap_per=(
+                (args.cap_per.split("=")[0], int(args.cap_per.split("=")[1]))
+                if args.cap_per
+                else None
+            ),
+            weighted_k=args.weighted_k,
         )
         from pyspark.sql import functions as F
 
@@ -254,6 +260,10 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--gopher-gate", action="store_true")
     pp.add_argument("--c4-clean", action="store_true")
     pp.add_argument("--passage-dedup-k", type=int, default=None)
+    pp.add_argument("--cap-per", default=None,
+                    help="per-key quota 'col=N' (e.g. source=5)")
+    pp.add_argument("--weighted-k", type=int, default=None,
+                    help="quality-weighted subsample size after curation")
     pp.add_argument(
         "--format", choices=["parquet", "jsonl"], default="parquet"
     )

@@ -73,6 +73,8 @@ def prepare_training_corpus(
     gopher_gate: bool | dict = False,
     c4_clean: bool = False,
     passage_dedup_k: int | None = None,
+    cap_per: tuple[str, int] | None = None,
+    weighted_k: int | None = None,
 ) -> DataFrame:
     """Run the full pipeline; returns the chunk-level DataFrame
     ``(id_col, chunk_ix, chunk_text, chunk_tokens, split)``. When
@@ -103,6 +105,26 @@ def prepare_training_corpus(
             .drop("n_lines", "kept_lines", "doc_kept")
             .withColumnRenamed("clean_text", text_col)
         )
+    if cap_per is not None:
+        # RefinedWeb-style per-key quota (domain/source farms must not
+        # dominate): keep the longest ``n`` docs per key — runs BEFORE
+        # the expensive dedup stages so over-quota bulk never reaches
+        # them. Hot keys are exactly the expected case here; the
+        # two-phase top-k truncates within input partitions first.
+        from pyspark.sql import Window as _W
+
+        from ..functions.skew import two_phase_topk
+        from .text import token_count
+
+        cap_col, cap_n = cap_per
+        capped = two_phase_topk(
+            docs.withColumn("__len", token_count(F.col(text_col))),
+            [cap_col],
+            "__len",
+            id_col,
+            cap_n,
+        ).drop("__len")
+        docs = capped
     curated = curate_documents(
         docs,
         id_col=id_col,
@@ -110,6 +132,15 @@ def prepare_training_corpus(
         quality_threshold=quality_threshold,
         jaccard_threshold=jaccard_threshold,
     )
+    if weighted_k is not None:
+        # quality-weighted subsample (Efraimidis-Spirakis): k docs with
+        # inclusion probability ∝ curation quality — softer than a hard
+        # quality cutoff, deterministic under the seed
+        from .sampling import weighted_sample
+
+        curated = weighted_sample(
+            curated, id_col, "quality", k=weighted_k, seed=seed
+        ).drop("sample_key")
     if passage_dedup_k is not None:
         from .passages import dedup_passages
 

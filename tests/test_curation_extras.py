@@ -506,3 +506,30 @@ def test_curation_audit_partitions_and_agrees_with_curate(spark):
     assert tw.loc[1, "fate"] == "kept"
     assert tw.loc[2, "fate"] == "dropped_exact_dup"
     assert tw.loc[2, "keeper_id"] == 1
+
+
+def test_pipeline_cap_and_weighted_stages(spark):
+    from nyc_taxi_etl_spark.operators.pipeline import prepare_training_corpus
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = prepare_training_corpus(docs, chunk_tokens=64)
+    capped = prepare_training_corpus(
+        docs, chunk_tokens=64, cap_per=("source", 3)
+    )
+    # 20 sources × cap 3 = ≤60 docs reach curation; chunks shrink
+    base_docs = base.select("doc_id").distinct().count()
+    capped_docs = capped.select("doc_id").distinct().count()
+    assert capped_docs <= 60 < base_docs
+    sampled = prepare_training_corpus(
+        docs, chunk_tokens=64, weighted_k=50, seed=3
+    )
+    assert sampled.select("doc_id").distinct().count() <= 50
+    # deterministic under the seed
+    again = prepare_training_corpus(
+        docs, chunk_tokens=64, weighted_k=50, seed=3
+    )
+    assert sorted(
+        map(tuple, sampled.select("doc_id", "chunk_ix").collect())
+    ) == sorted(map(tuple, again.select("doc_id", "chunk_ix").collect()))
