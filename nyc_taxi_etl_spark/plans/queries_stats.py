@@ -274,3 +274,43 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ),
     )
+
+
+@query(
+    "weighted_median_price",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS f, l_extendedprice AS v,
+             sum(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2),
+    t AS (SELECT f, sum(w) AS tw FROM g GROUP BY 1),
+    c AS (
+      SELECT g.f, g.v, t.tw,
+             sum(g.w) OVER (PARTITION BY g.f ORDER BY g.v) AS cw
+      FROM g JOIN t USING (f))
+    SELECT f AS l_returnflag, ROUND(min(v), 4) AS weighted_median_price
+    FROM c WHERE cw >= tw / 2.0 GROUP BY 1
+    """,
+    extra=True,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag via the
+    pandas GROUPED_AGG UDAF (functions/udaf.py::weighted_median) —
+    the §2.11 aggregate-UDAF surface, for a statistic with no Spark
+    built-in. The oracle replays the definition as a cumulative-weight
+    window (smallest value whose cum weight reaches half the total).
+
+    Scale: the raw table is FIRST compressed to distinct
+    (flag, price, Σqty) rows in Catalyst's hash agg — the UDAF sees
+    |distinct prices| rows per group, not the raw group; integer-
+    valued weights keep every cumulative sum exact in doubles, so the
+    selected element is deterministic cross-engine."""
+    from ..functions.udaf import weighted_median
+
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag"), F.col("l_extendedprice").alias("v")
+    ).agg(F.sum("l_quantity").alias("w"))
+    return g.groupBy("l_returnflag").agg(
+        r4(weighted_median("v", "w")).alias("weighted_median_price")
+    )
