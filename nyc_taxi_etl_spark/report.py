@@ -347,6 +347,45 @@ def build_report(
         + _table(cols, rows)
     )
 
+    # product-analytics page (overflow-registry entries)
+    from .plans import QUERIES_EXTRA
+
+    def run_extra(name: str) -> tuple[list[str], list[tuple]]:
+        return _collect(QUERIES_EXTRA[name](spark, sf_dir))
+
+    cols, rows = run_extra("event_funnel")
+    rows = sorted(rows)
+    sections.append(
+        "<h2>Conversion funnel</h2>"
+        + svg_bar_chart([(r[1], r[2]) for r in rows], "Funnel users")
+        + _table(cols, rows)
+    )
+
+    cols, rows = run_extra("weekly_cohort_retention")
+    rows = sorted(rows)
+    sections.append(
+        "<h2>Weekly cohort retention</h2>" + _table(cols, rows)
+    )
+
+    cols, rows = run_extra("daily_seasonality_decomposition")
+    rows = sorted(rows)
+    day = [r[0] for r in rows]
+    sections.append(
+        "<h2>Daily seasonality decomposition</h2>"
+        + svg_line_chart(
+            {
+                "total": list(zip(day, [r[2] for r in rows])),
+                "trend": [
+                    (d, v)
+                    for d, v in zip(day, [r[3] for r in rows])
+                    if v is not None
+                ],
+            },
+            "Total vs trend",
+        )
+        + _table(cols, rows[:10])
+    )
+
     doc = (
         "<!doctype html><html><head><meta charset='utf-8'>"
         f"<title>{_esc(title)}</title><style>{_CSS}</style></head><body>"

@@ -79,7 +79,7 @@ def test_report_structure(report_path):
     p = _Parser()
     p.feed(doc)
     assert p.balanced and not p.stack, "unbalanced HTML"
-    assert p.tags.count("h2") == 8  # one section per analysis
+    assert p.tags.count("h2") == 11  # one section per analysis
     assert p.tags.count("svg") == 7  # stat tiles are not charts
     # every chart section ships its data table
     assert p.tags.count("table") == 7
