@@ -80,9 +80,9 @@ def test_report_structure(report_path):
     p.feed(doc)
     assert p.balanced and not p.stack, "unbalanced HTML"
     assert p.tags.count("h2") == 11  # one section per analysis
-    assert p.tags.count("svg") == 7  # stat tiles are not charts
+    assert p.tags.count("svg") == 9  # stat tiles are not charts
     # every chart section ships its data table
-    assert p.tags.count("table") == 7
+    assert p.tags.count("table") == 10
     assert "prefers-color-scheme: dark" in doc  # selected dark mode
     assert "nan" not in doc.lower()
     # text never wears series color: labels use the lbl/text classes
