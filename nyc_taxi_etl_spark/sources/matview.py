@@ -102,10 +102,18 @@ class MaterializedAgg:
         if done is None:
             merged = self._partial(self.source.read(src_latest))
         else:
-            delta = self.source.read_changes_since(done)
-            merged = self._merge(
-                self.state.read(), self._partial(delta)
-            )
+            try:
+                delta = self.source.read_changes_since(done)
+                merged = self._merge(
+                    self.state.read(), self._partial(delta)
+                )
+            except ValueError:
+                # a non-append commit (upsert/delete/compact) landed in
+                # the range: directory-increment deltas are invalid, so
+                # fall back to a full recompute of the new snapshot —
+                # correct for ANY history, just not incremental for
+                # this one refresh
+                merged = self._partial(self.source.read(src_latest))
         rel = self.state._write_data_dir(merged)
         base = self.state.latest_version()
         version = 0 if base is None else base + 1

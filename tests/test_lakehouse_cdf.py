@@ -161,3 +161,33 @@ def test_partitioned_delete_value_predicate(spark, tmp_path):
     rec2 = t2._read_commit(v2)
     assert rec2["rewritten"] == ["d1"]
     assert t2.read().count() == 29
+
+
+def test_matview_survives_source_rewrite(spark, tmp_path):
+    """A delete/compact in the source invalidates incremental deltas;
+    refresh must fall back to full recompute, not crash — the
+    right-to-be-forgotten propagation path."""
+    schema = "id long, grp string, v double"
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.write(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)], schema
+        )
+    )
+    mv = MaterializedAgg(
+        src, str(tmp_path / "mv"), ["grp"],
+        {"n": ("count", None), "total": ("sum", "v")},
+    )
+    mv.refresh()
+    src.append(spark.createDataFrame([(4, "b", 4.0)], schema))
+    mv.refresh()
+    # user erasure: delete id=2, then more appends
+    src.delete_where(F.col("id") == 2)
+    src.append(spark.createDataFrame([(5, "c", 5.0)], schema))
+    mv.refresh()  # must not raise
+    got = {r.grp: (r.n, r.total) for r in mv.read().collect()}
+    assert got == {"a": (1, 1.0), "b": (2, 7.0), "c": (1, 5.0)}
+    # and later appends go back to incremental deltas
+    src.append(spark.createDataFrame([(6, "c", 6.0)], schema))
+    mv.refresh()
+    assert {r.grp: r.total for r in mv.read().collect()}["c"] == 11.0
