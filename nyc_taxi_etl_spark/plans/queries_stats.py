@@ -250,10 +250,12 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
         )
 
-    rc = _binned(ref).withColumnRenamed("n", "n_ref")
-    cc = _binned(cur).withColumnRenamed("n", "n_cur")
-    tot = ref.agg(F.count("*").cast("double").alias("tr")).crossJoin(
-        cur.agg(F.count("*").cast("double").alias("tc"))
+    rc = _binned(ref).withColumnRenamed("n", "n_ref").persist()
+    cc = _binned(cur).withColumnRenamed("n", "n_cur").persist()
+    # window totals derive from the 10-row bin tables (every row lands
+    # in exactly one bin) — not from two more full-window scans
+    tot = rc.agg(F.sum("n_ref").cast("double").alias("tr")).crossJoin(
+        cc.agg(F.sum("n_cur").cast("double").alias("tc"))
     )
     j = (
         rc.join(cc, "bin", "left")

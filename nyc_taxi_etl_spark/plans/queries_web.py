@@ -193,40 +193,61 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("term")
     ).filter(F.col("term") != "")
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
-    stats = dl.agg(
-        F.avg("dl").alias("avgdl")
-    ).crossJoin(docs.agg(F.count("*").cast("double").alias("n")))
-    tf = (
-        tok.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
+    # ONE corpus scan: per-doc length AND the per-query-term tfs come
+    # out of a single hash-agg (|Q| is small and known, so each term
+    # is a conditional-count column) — the dl/tf-as-separate-branches
+    # form re-explodes the corpus twice.
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("dl"),
+        *[
+            F.sum((F.col("term") == w).cast("double")).alias(f"tf_{i}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                )
-                * F.col("tf")
-                * F.lit(_K1 + 1)
-                / (
-                    F.col("tf")
-                    + F.lit(_K1)
-                    * (1 - _B + F.lit(_B) * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("score"),
-            F.count("*").alias("terms_matched"),
+    per_doc = per_doc.persist()  # shared by stats, dfreq, and scoring
+    stats = per_doc.agg(
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+        # N is the CORPUS size (incl. token-less docs, per the BM25
+        # definition) — a count-only parquet scan, no column reads
+    ).crossJoin(
+        F.broadcast(docs.agg(F.count("*").cast("double").alias("n")))
+    )
+    matched = per_doc.filter(
+        sum(
+            (F.col(f"tf_{i}") > 0).cast("int")
+            for i in range(len(_BM25_TERMS))
         )
+        > 0
+    )
+    scored = matched.crossJoin(F.broadcast(stats))
+    term_score = [
+        F.when(
+            F.col(f"tf_{i}") > 0,
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col(f"df_{i}") + 0.5)
+                / (F.col(f"df_{i}") + 0.5)
+            )
+            * F.col(f"tf_{i}")
+            * F.lit(_K1 + 1)
+            / (
+                F.col(f"tf_{i}")
+                + F.lit(_K1)
+                * (1 - _B + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+            ),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(_BM25_TERMS))
+    ]
+    n_matched = sum(
+        (F.col(f"tf_{i}") > 0).cast("long")
+        for i in range(len(_BM25_TERMS))
     )
     return scored.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("score", 4).alias("bm25"),
-        "terms_matched",
+        F.round(sum(term_score), 4).alias("bm25"),
+        n_matched.alias("terms_matched"),
     )
