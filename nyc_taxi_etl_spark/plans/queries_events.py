@@ -241,3 +241,92 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("transitions").over(wn).cast("double")
         ).alias("probability"),
     )
+
+
+@query(
+    "monthly_revenue_growth",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             ROUND(sum(o_totalprice), 4) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT strftime(mo, '%Y-%m') AS order_month, revenue,
+           ROUND(revenue - lag(revenue) OVER w, 4) AS mom_delta,
+           revenue / lag(revenue) OVER w - 1 AS mom_growth,
+           revenue / lag(revenue, 12) OVER w - 1 AS yoy_growth
+    FROM m WINDOW w AS (ORDER BY mo)
+    """,
+    extra=True,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth: lag(1) and
+    lag(12) over the bounded monthly series — the finance-dashboard
+    deltas the reference's monthly tables display side by side but
+    never derive (`scripts/analytics_summary.py:58-60`).
+
+    Portability: growth ratios divide the SAME r4-rounded monthly
+    aggregates both engines computed, so the quotients are
+    bit-identical and stay UNROUNDED; only the subtraction-of-rounded
+    delta is r4 (exact anyway). Scale: post-agg month table, bounded
+    rows — the single-partition window is the established posture."""
+    orders = t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mo")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = Window.orderBy("mo")
+    return m.select(
+        F.date_format("mo", "yyyy-MM").alias("order_month"),
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 4).alias(
+            "mom_delta"
+        ),
+        (F.col("revenue") / F.lag("revenue").over(w) - 1).alias(
+            "mom_growth"
+        ),
+        (F.col("revenue") / F.lag("revenue", 12).over(w) - 1).alias(
+            "yoy_growth"
+        ),
+    )
+
+
+@query(
+    "cumulative_new_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+      FROM events GROUP BY 1),
+    daily AS (
+      SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY 1)
+    SELECT strftime(first_day, '%Y-%m-%d') AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY first_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS total_users
+    FROM daily
+    """,
+    extra=True,
+)
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth curve: users by day of FIRST activity plus the
+    running cumulative total — the acquisition companion to the
+    retention triangle (weekly_cohort_retention shares the same
+    first-seen aggregate).
+
+    Scale: first-seen is one min-agg on user_id; everything after
+    operates on the bounded day table (running sum over post-agg
+    rows)."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day")
+    )
+    daily = firsts.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long"),
+        F.sum("new_users").over(w).cast("long").alias("total_users"),
+    )
