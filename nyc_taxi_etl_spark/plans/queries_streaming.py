@@ -259,3 +259,56 @@ def streaming_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("deviation_sigma"), 4).alias("max_deviation"),
         )
     )
+
+
+@query(
+    "streaming_static_enrichment",
+    """
+    WITH heavy AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS total_events
+      FROM events GROUP BY 1),
+    tiers AS (
+      SELECT user_id,
+             CASE WHEN total_events >= 70 THEN 'heavy' ELSE 'light' END
+               AS tier
+      FROM heavy)
+    SELECT t.tier, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(e.value), 4) AS total_value
+    FROM events e JOIN tiers t USING (user_id)
+    GROUP BY 1, 2
+    """,
+    extra=True,
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the event stream enriched per micro-batch
+    against a STATIC dimension (a batch-derived user-tier table), then
+    aggregated by tier × type — the reference-data enrichment shape
+    every production stream needs (user profiles, zone lookups), which
+    is planned per micro-batch with NO state store (the static side is
+    just re-planned — broadcast here since tiers ≪ stream).
+
+    Scale: static side is |users| rows — AQE/broadcast sizes it; the
+    stream side never waits on watermarks because a static join emits
+    immediately. Oracle = the identical batch join + agg."""
+    from ..sources.catalog import load_table
+
+    batch_events = load_table(spark, sf_dir, "events")
+    tiers = (
+        batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("total_events"))
+        .select(
+            "user_id",
+            F.when(F.col("total_events") >= 70, "heavy")
+            .otherwise("light")
+            .alias("tier"),
+        )
+    )
+    stream = _events_stream(spark, sf_dir)
+    enriched = stream.join(tiers, "user_id").groupBy(
+        "tier", "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return _drain(enriched, "complete")
