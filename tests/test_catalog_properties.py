@@ -104,5 +104,7 @@ def test_catalog_plan_hygiene(spark, name):
         "lang_source_chisq",  # bounded marginal tables (langs×sources grid)
         "lineitem_quality_report",  # 1-row n × 1-row violation combine
         "value_psi_drift",  # 1-row breakpoint array + 1-row totals
+        "mad_outlier_days",  # 1-row median + 1-row MAD broadcasts
+        "bigram_collocations",  # 1-row gram-total broadcast
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name
