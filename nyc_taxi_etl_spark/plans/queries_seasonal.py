@@ -219,3 +219,49 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 50)
         .select("w1", "w2", "c_xy", r4(F.log("lift")).alias("pmi"))
     )
+
+
+@query(
+    "doc_hashed_embeddings",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 6))::BIGINT % 64 AS dim,
+             CASE WHEN ('0x' || substr(md5(term), 7, 1))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM tok WHERE term <> ''),
+    sums AS (
+      SELECT doc_id, dim, sum(s) AS raw FROM hashed GROUP BY 1, 2),
+    norms AS (
+      SELECT doc_id, sqrt(sum(raw * raw)) AS l2 FROM sums GROUP BY 1)
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id, CAST(s.dim AS BIGINT) AS dim,
+           ROUND(s.raw / n.l2, 4) AS weight
+    FROM sums s JOIN norms n USING (doc_id)
+    WHERE n.l2 > 0
+    """,
+    extra=True,
+)
+def doc_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document embeddings by signed feature hashing
+    (operators/embed.py): tokens hash to 64 signed buckets, bucket
+    sums L2-normalize — deterministic text→vector plumbing whose
+    output drops straight into the ANN/semantic-dedup operators, and
+    (unlike a learned encoder) is bit-reproducible cross-engine, so
+    this long-form entry carries a full DuckDB oracle.
+
+    Scale: explode → (doc, bucket) hash-agg → per-doc norm — one
+    doc_id shuffle; output ≤ |docs|·dim rows (dense form via
+    hashed_ngram_embed for the vector operators)."""
+    from ..operators.embed import hashed_embed_long
+
+    docs = t(spark, sf_dir, "documents")
+    long = hashed_embed_long(docs, dim=64)
+    return long.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dim").cast("long").alias("dim"),
+        F.round("weight", 4).alias("weight"),
+    )
