@@ -680,3 +680,75 @@ def daily_purchase_error_full_outer(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce("n_e", F.lit(0).cast("long")).alias("errors"),
         (p["d"].isNull() | e["ed"].isNull()).cast("long").alias("one_sided"),
     )
+
+
+@query(
+    "cheapest_supplier_per_part",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS min_price
+      FROM lineitem GROUP BY 1, 2),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, min_price,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY min_price, l_suppkey) AS rk,
+             CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT)
+               AS n_suppliers
+      FROM ps)
+    SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_brand,
+           CAST(r.l_suppkey AS BIGINT) AS best_suppkey, s.s_name,
+           r.min_price AS best_unit_price, r.n_suppliers
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rk = 1
+    """,
+    extra=True,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape on this schema: the minimum-cost supplier per
+    part (per-(part,supplier) minimum unit price, then the per-part
+    argmin with a supplier tiebreak), enriched with part brand and
+    supplier name — the correlated-min-subquery class, expressed as
+    one window over the pre-aggregated (part, supplier) table.
+
+    Determinism: min-of-divisions picks an ELEMENT (each per-row
+    division is bit-identical cross-engine), so ranking and the
+    displayed price are exact and deliberately UNROUNDED — an avg
+    here hit a .57875 midpoint where Spark HALF_UP and DuckDB
+    diverge.
+    Scale: the argmin runs on the post-agg |part × supplier-pairs|
+    table, not raw lineitem; part/supplier enrichment joins are
+    AQE-sized (dimension-like growth)."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "min_price"
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("l_partkey").orderBy("min_price", "l_suppkey")
+    wc = W.partitionBy("l_partkey")
+    ranked = ps.select(
+        "l_partkey",
+        "l_suppkey",
+        "min_price",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wc).cast("long").alias("n_suppliers"),
+    ).filter(F.col("rk") == 1)
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        ranked.join(part, ranked["l_partkey"] == part["p_partkey"])
+        .join(supp, ranked["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("p_partkey").cast("long"),
+            "p_brand",
+            F.col("l_suppkey").cast("long").alias("best_suppkey"),
+            "s_name",
+            F.col("min_price").alias("best_unit_price"),
+            "n_suppliers",
+        )
+    )
