@@ -752,3 +752,146 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_suppliers",
         )
     )
+
+
+@query(
+    "part_basket_affinity",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n
+                 FROM items),
+    isup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_a
+             FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS together
+      FROM items a JOIN items b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 3)
+    SELECT p.part_a, p.part_b, p.together,
+           ua.n_a AS orders_a, ub.n_a AS orders_b,
+           p.together * (SELECT n FROM n_orders) / (ua.n_a * ub.n_a)
+             AS lift
+    FROM pairs p
+    JOIN isup ua ON ua.l_partkey = p.part_a
+    JOIN isup ub ON ub.l_partkey = p.part_b
+    """,
+    extra=True,
+)
+def part_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-purchased in the same
+    order with support count and lift (together·N/(nₐ·n_b)) — the
+    association-rules shape over the order⇄part bipartite relation,
+    with a support floor pruning the pair tail.
+
+    Determinism: lift is an exact-int rational (counts only) —
+    bit-identical, unrounded. Scale: the self-join is keyed on
+    l_orderkey whose per-order item count is bounded (~7), so pair
+    expansion is |orders|·k² — linear in data, never all-pairs across
+    orders; marginals broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = items.persist()  # shared by pairs, marginals, and N
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n")
+    )
+    isup = items.groupBy("l_partkey").agg(F.count("*").alias("n_a"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("together"))
+        .filter(F.col("together") >= 3)
+    )
+    return (
+        pairs.join(
+            F.broadcast(isup.withColumnRenamed("l_partkey", "part_a")
+                        .withColumnRenamed("n_a", "orders_a")), "part_a")
+        .join(
+            F.broadcast(isup.withColumnRenamed("l_partkey", "part_b")
+                        .withColumnRenamed("n_a", "orders_b")), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("together").cast("long"),
+            F.col("orders_a").cast("long"),
+            F.col("orders_b").cast("long"),
+            (
+                F.col("together") * F.col("n")
+                / (F.col("orders_a") * F.col("orders_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             ROUND(sum(o_totalprice), 4) AS monetary
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT o_custkey, last_order, frequency, monetary,
+             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM rfm)
+    SELECT CAST(r AS BIGINT) AS r_quartile, CAST(f AS BIGINT) AS f_quartile,
+           CAST(m AS BIGINT) AS m_quartile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           ROUND(sum(monetary), 4) AS segment_revenue
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    extra=True,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quartiles per
+    customer (ntile with deterministic custkey tiebreaks), rolled up
+    to the 4³ segment grid with headcount and revenue — the classic
+    customer-value matrix.
+
+    Scale note — the honest caveat: global ntile serializes the
+    per-customer table through one partition; that table is already
+    ONE ROW PER CUSTOMER (post-agg), which buys headroom but is not
+    bounded. At true 100 TB swap each ntile for a two-pass
+    range-partitioned rank or percentile-threshold buckets (the
+    winsorization entry's pattern); monetary ranks on the r4'd
+    aggregate so both engines order identical values."""
+    orders = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = rfm.select(
+        "monetary",
+        F.ntile(4).over(wr).alias("r"),
+        F.ntile(4).over(wf).alias("f"),
+        F.ntile(4).over(wm).alias("m"),
+    )
+    return scored.groupBy(
+        F.col("r").cast("long").alias("r_quartile"),
+        F.col("f").cast("long").alias("f_quartile"),
+        F.col("m").cast("long").alias("m_quartile"),
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("monetary"), 4).alias("segment_revenue"),
+    )

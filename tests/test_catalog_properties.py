@@ -106,5 +106,6 @@ def test_catalog_plan_hygiene(spark, name):
         "value_psi_drift",  # 1-row breakpoint array + 1-row totals
         "mad_outlier_days",  # 1-row median + 1-row MAD broadcasts
         "bigram_collocations",  # 1-row gram-total broadcast
+        "part_basket_affinity",  # 1-row order-count broadcast
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name
