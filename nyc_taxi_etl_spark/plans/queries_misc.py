@@ -895,3 +895,104 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.sum("monetary"), 4).alias("segment_revenue"),
     )
+
+
+@query(
+    "shipping_delay_by_priority",
+    """
+    WITH d AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS delay_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           ROUND(avg(delay_days), 4) AS avg_delay,
+           ROUND(quantile_cont(delay_days, 0.5), 4) AS p50_delay,
+           ROUND(quantile_cont(delay_days, 0.9), 4) AS p90_delay,
+           CAST(max(delay_days) AS BIGINT) AS max_delay
+    FROM d GROUP BY 1
+    """,
+    extra=True,
+)
+def shipping_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority (count /
+    mean / exact p50 / p90 / max of datediff) — the SLA dashboard: is
+    URGENT actually shipping faster? The latency-percentile shape the
+    reference's notebooks compute for trip durations, on the orders
+    side of the schema.
+
+    Scale: the join is key-local on orderkey; delays are small ints so
+    the exact percentile's per-group sort is cheap — at hypertable
+    scale swap approx_percentile (documented trade of the quantile
+    entries)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    d = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("delay_days"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.avg("delay_days"), 4).alias("avg_delay"),
+        F.round(F.percentile("delay_days", F.lit(0.5)).cast("double"), 4).alias("p50_delay"),
+        F.round(F.percentile("delay_days", F.lit(0.9)).cast("double"), 4).alias("p90_delay"),
+        F.max("delay_days").cast("long").alias("max_delay"),
+    )
+
+
+@query(
+    "brand_revenue_share",
+    """
+    WITH b AS (
+      SELECT p.p_brand,
+             ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1)
+    SELECT p_brand, revenue,
+           revenue / sum(revenue) OVER () AS revenue_share,
+           CAST(rank() OVER (ORDER BY revenue DESC, p_brand) AS BIGINT)
+             AS revenue_rank
+    FROM b
+    """,
+    extra=True,
+)
+def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue with share-of-total (ratio_to_report — each
+    brand's discounted revenue over the grand total via an
+    unpartitioned window over the bounded post-agg brand table) and a
+    deterministic revenue rank.
+
+    Portability: shares divide the same r4-rounded aggregates both
+    engines computed — quotients identical, deliberately unrounded;
+    the rank orders those exact values with a brand tiebreak. Scale:
+    part enrichment joins before one brand-key hash-agg; the window
+    runs over |brands| rows."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    b = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    return b.select(
+        "p_brand",
+        "revenue",
+        (F.col("revenue") / F.sum("revenue").over(W.partitionBy())).alias(
+            "revenue_share"
+        ),
+        F.rank()
+        .over(W.orderBy(F.col("revenue").desc(), F.col("p_brand")))
+        .cast("long")
+        .alias("revenue_rank"),
+    )
