@@ -82,6 +82,26 @@ def cmd_query(args) -> int:
         spark.stop()
 
 
+def cmd_explain(args) -> int:
+    """Print a catalog query's physical plan — the plan-inspection
+    loop (`.explain("formatted")`) as an operational command, so scale
+    review (pushed filters, exchange count, codegen spans, broadcast
+    choices) doesn't need a notebook."""
+    from .plans import QUERIES, QUERIES_EXTRA
+
+    catalog = {**QUERIES, **QUERIES_EXTRA}
+    if args.name not in catalog:
+        print(f"unknown query {args.name!r}; see `queries`", file=sys.stderr)
+        return 1
+    spark = _session(f"explain-{args.name}")
+    try:
+        df = catalog[args.name](spark, args.sf_dir)
+        df.explain(args.mode)
+        return 0
+    finally:
+        spark.stop()
+
+
 def cmd_queries(_args) -> int:
     from .plans import ORACLE, ORACLE_EXTRA, QUERIES, QUERIES_EXTRA
 
@@ -237,6 +257,13 @@ def main(argv: list[str] | None = None) -> int:
 
     pl = sub.add_parser("queries", help="list the catalog")
     pl.set_defaults(fn=cmd_queries)
+
+    px = sub.add_parser("explain", help="print a catalog query's plan")
+    px.add_argument("name")
+    px.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    px.add_argument("--mode", default="formatted",
+                    choices=["simple", "extended", "formatted", "cost"])
+    px.set_defaults(fn=cmd_explain)
 
     pr = sub.add_parser("report", help="render the HTML dashboard")
     pr.add_argument("--sf-dir", default="/root/testdata/sf0.01")

@@ -172,3 +172,19 @@ def test_cli_table_cdf_delete_and_bloom(spark, tmp_path):
     assert json.loads(run("delete", "--where", "v > 50")[-1]) == {
         "deleted_to_version": 2}
     assert sorted(r.k for r in t.read().collect()) == [1, 4]
+
+
+def test_cli_explain(tmp_path):
+    r = subprocess.run(
+        [sys.executable, "-m", "nyc_taxi_etl_spark", "explain",
+         "region_order_revenue", "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "Physical Plan" in r.stdout
+    assert "PushedFilters" in r.stdout or "Scan parquet" in r.stdout
+    bad = subprocess.run(
+        [sys.executable, "-m", "nyc_taxi_etl_spark", "explain", "nope"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert bad.returncode == 1
