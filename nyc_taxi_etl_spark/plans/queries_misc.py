@@ -996,3 +996,56 @@ def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_rank"),
     )
+
+
+@query(
+    "nation_account_balances",
+    """
+    WITH sides AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey, 'customer' AS side,
+             c_acctbal AS bal
+      FROM customer
+      UNION ALL
+      SELECT CAST(s_nationkey AS BIGINT), 'supplier', s_acctbal
+      FROM supplier)
+    SELECT n.n_name, s.side,
+           CAST(count(*) AS BIGINT) AS n_accounts,
+           ROUND(sum(s.bal), 4) AS total_balance,
+           ROUND(avg(s.bal), 4) AS avg_balance,
+           CAST(sum(CASE WHEN s.bal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM sides s JOIN nation n ON n.n_nationkey = s.nationkey
+    GROUP BY 1, 2
+    """,
+    extra=True,
+)
+def nation_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer vs supplier account-balance book per nation: the
+    two-fact union rollup (both acctbal columns had no catalog
+    exercise) with negative-balance counts — the AR/AP health table.
+
+    Scale: union of two narrow projections → one hash-agg on the
+    bounded (nation × side) domain; nation enrichment is a true
+    fixed-cardinality broadcast (25 rows)."""
+    cu = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.lit("customer").alias("side"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    su = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.lit("supplier").alias("side"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    na = t(spark, sf_dir, "nation")
+    sides = cu.unionByName(su)
+    return (
+        sides.join(F.broadcast(na), sides["nationkey"] == na["n_nationkey"])
+        .groupBy("n_name", "side")
+        .agg(
+            F.count("*").alias("n_accounts"),
+            F.round(F.sum("bal"), 4).alias("total_balance"),
+            F.round(F.avg("bal"), 4).alias("avg_balance"),
+            F.sum((F.col("bal") < 0).cast("long")).alias("n_negative"),
+        )
+    )
