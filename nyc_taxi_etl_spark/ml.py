@@ -25,11 +25,12 @@ Spark-first mapping:
     random-split trees on a subsample, anomaly score
     ``2^(-E[h(x)]/c(n))``.
 
-Scale posture: the per-group UDF assumes one GROUP fits in one
-executor's memory — the same contract as the reference's per-cab
-sampled fit. For unbounded groups, ``sample_per_group`` caps the fit
-set (reference used 5 000 rows); scoring remains full-table via a
-second vectorized pass.
+Scale posture: grouped maps materialize one GROUP per Arrow batch, so
+the group must be bounded BEFORE ``applyInPandas`` runs —
+``presample_per_group`` applies a deterministic Catalyst-side hash
+gate capping every group at ~``max_rows_per_group`` rows (the same
+contract as the reference's per-cab 5 000-row sampled fit), keeping
+executor memory bounded no matter the table size.
 """
 
 from __future__ import annotations
@@ -46,6 +47,7 @@ __all__ = [
     "kmeans_assign",
     "kmeans_cluster_profile",
     "isolation_forest_by_group",
+    "presample_per_group",
 ]
 
 
@@ -224,6 +226,68 @@ def isolation_forest_scores(
     return np.power(2.0, -avg_depth / c)
 
 
+#: ppm granularity for the deterministic per-group pre-sample filter.
+_PPM = 1_000_000
+#: binomial-fluctuation slack on the ppm threshold: the Catalyst-side
+#: filter keeps ~1.25 × cap rows; the in-UDF hash-ordered cut finalizes
+#: at exactly ≤ cap.
+_PRESAMPLE_SLACK = 1.25
+
+
+def presample_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    seed: int = 42,
+    sample_col: str = "_sample_ppm",
+) -> DataFrame:
+    """Deterministic per-group row-count cap that runs BEFORE any
+    grouped-map materialization — a Catalyst filter, not a pandas one.
+
+    ``applyInPandas`` loads the ENTIRE group into a single Arrow batch
+    before user code runs, so an in-UDF ``iloc[:cap]`` bounds nothing:
+    a terabyte group still materializes on one executor first. This
+    helper bounds the group *upstream*: a per-group count (one hash
+    agg over the group domain — a bounded aggregate, legitimately
+    broadcast), joined back, gates each row on
+    ``xxhash64(all cols, seed) mod 1e6 < ceil(cap/count · 1e6 · slack)``.
+    Groups already within ``cap`` pass through whole. Expected kept
+    rows ≈ ``slack × cap``; the caller trims to exactly ``cap`` by
+    sorting on the retained ``sample_col`` (hash order = deterministic,
+    shuffle-order independent).
+
+    Matches the reference's 5 000-row sampled iForest fit
+    (``notebooks/comprehensive_trip_analysis_part2.ipynb:926``), made
+    distribution-safe.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_grp_n"))
+    thr = (
+        F.when(F.col("_grp_n") <= cap, F.lit(_PPM))
+        .otherwise(
+            F.least(
+                F.lit(_PPM).cast("long"),
+                F.ceil(
+                    F.lit(float(cap) * _PRESAMPLE_SLACK * _PPM)
+                    / F.col("_grp_n")
+                ),
+            )
+        )
+        .cast("long")
+        .alias("_keep_ppm")
+    )
+    gate = counts.select(group_col, thr)
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)),
+        F.lit(_PPM),
+    ).cast("long")
+    return (
+        df.withColumn(sample_col, bucket)
+        .join(F.broadcast(gate), on=group_col, how="inner")
+        .where(F.col(sample_col) < F.col("_keep_ppm"))
+        .drop("_keep_ppm")
+    )
+
+
 def isolation_forest_by_group(
     df: DataFrame,
     group_col: str,
@@ -241,11 +305,19 @@ def isolation_forest_by_group(
     (1.0 for the top ``contamination`` fraction by score within the
     group, matching sklearn's contamination threshold semantics).
 
-    Scale: the shuffle partitions by ``group_col``; each group must fit
-    one executor (the reference capped fits at 5 000 sampled rows —
-    ``max_rows_per_group`` applies the same cap deterministically by
-    hashing, not RNG, so re-runs agree).
+    Scale: groups are bounded BEFORE the grouped map —
+    :func:`presample_per_group` filters each group to ~1.25 ×
+    ``max_rows_per_group`` rows Catalyst-side (per-group hash gate),
+    so the Arrow batch ``applyInPandas`` materializes is capped no
+    matter the table size; the in-UDF hash-ordered cut then trims to
+    exactly ≤ ``max_rows_per_group``. Mirrors the reference's
+    5 000-row sampled fit (``part2:926``). No explicit repartition:
+    the grouped map plans its own hash distribution on ``group_col``.
     """
+    sample_col = "_sample_ppm"
+    sampled = presample_per_group(
+        df, group_col, max_rows_per_group, seed=seed, sample_col=sample_col
+    )
     out_schema = StructType(
         df.schema.fields
         + [
@@ -257,7 +329,9 @@ def isolation_forest_by_group(
 
     def fit_score(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > max_rows_per_group:
-            pdf = pdf.iloc[:max_rows_per_group]
+            pdf = pdf.sort_values(sample_col, kind="mergesort").iloc[
+                :max_rows_per_group
+            ]
         if len(pdf) < 2:
             pdf = pdf.copy()
             pdf["anomaly_score"] = 0.0
@@ -272,7 +346,7 @@ def isolation_forest_by_group(
         pdf["is_outlier"] = (scores >= thr).astype(np.float64)
         return pdf[in_cols + ["anomaly_score", "is_outlier"]]
 
-    return df.repartition(group_col).groupBy(group_col).applyInPandas(fit_score, out_schema)
+    return sampled.groupBy(group_col).applyInPandas(fit_score, out_schema)
 
 
 def lda_topics(

@@ -270,13 +270,15 @@ def decode_png(blob: bytes) -> np.ndarray:
 
 
 def sniff_format(blob: bytes) -> str | None:
-    """'png' | 'bmp' | 'ppm' by magic bytes, else None."""
+    """'png' | 'bmp' | 'ppm' | 'jpeg' by magic bytes, else None."""
     if blob[: len(_PNG_SIG)] == _PNG_SIG:
         return "png"
     if blob[:2] == b"BM":
         return "bmp"
     if blob[:2] == b"P6":
         return "ppm"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -288,4 +290,10 @@ def sniff_and_decode(blob: bytes) -> np.ndarray:
         return decode_bmp(blob)
     if fmt == "ppm":
         return decode_ppm(blob)
-    raise ValueError("unrecognized image container (no PNG/BMP/PPM magic)")
+    if fmt == "jpeg":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(blob)
+    raise ValueError(
+        "unrecognized image container (no PNG/BMP/PPM/JPEG magic)"
+    )

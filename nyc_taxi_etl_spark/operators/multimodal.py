@@ -79,12 +79,14 @@ def synthesize_media(spark: SparkSession, n: int = 90, seed: int = 42) -> DataFr
     """Deterministic media table: n rows cycling image/audio/video.
 
     Audio blobs are genuine PCM16 sine-ish waves; image blobs cycle
-    REAL encoded containers (PNG → BMP → PPM → raw RGB, via
-    ``imagecodec.py``) so the actual codecs — zlib inflate + PNG
-    defilter, BMP bottom-up BGR rows, PPM header grammar — run inside
+    REAL encoded containers (PNG → BMP → PPM → baseline JPEG → raw
+    RGB, via ``imagecodec.py`` / ``jpegcodec.py``) so the actual
+    codecs — zlib inflate + PNG defilter, BMP bottom-up BGR rows, PPM
+    header grammar, JPEG Huffman entropy decode + IDCT — run inside
     the catalog query, not just in unit tests; video blobs are
     ``n_frames`` concatenated fixed-size frames."""
     from .imagecodec import encode_bmp, encode_png, encode_ppm
+    from .jpegcodec import encode_jpeg
 
     rows = []
     rng = np.random.default_rng(seed)
@@ -94,7 +96,9 @@ def synthesize_media(spark: SparkSession, n: int = 90, seed: int = 42) -> DataFr
         if kind == "image":
             w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
             pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            codec = (encode_png, encode_bmp, encode_ppm, None)[img_count % 4]
+            codec = (encode_png, encode_bmp, encode_ppm, encode_jpeg, None)[
+                img_count % 5
+            ]
             blob = pixels.tobytes() if codec is None else codec(pixels)
             img_count += 1
             rows.append((i, kind, bytearray(blob), w, h, None, None))
@@ -120,13 +124,14 @@ def synthesize_media(spark: SparkSession, n: int = 90, seed: int = 42) -> DataFr
 def _decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
     """Decode an image blob to HxWx3 uint8.
 
-    Decode order: (1) PNG / BMP / PPM containers via the REAL
-    pure-numpy codecs in ``imagecodec.py`` (magic-byte sniff, CRC
-    checks, full PNG defilter); (2) raw RGB buffer of the declared
-    size (as produced by a decode-at-ingest stage); (3) Pillow if
-    importable, for formats beyond the built-in three (JPEG etc. —
-    not present in this container). Unknown bytes raise instead of
-    fabricating pixels."""
+    Decode order: (1) PNG / BMP / PPM / baseline-JPEG containers via
+    the REAL pure-numpy codecs in ``imagecodec.py`` + ``jpegcodec.py``
+    (magic-byte sniff, CRC checks, full PNG defilter, JPEG Huffman +
+    IDCT + chroma upsample); (2) raw RGB buffer of the declared size
+    (as produced by a decode-at-ingest stage); (3) Pillow if
+    importable, for formats beyond the built-in four (progressive
+    JPEG etc. — not present in this container). Unknown bytes raise
+    instead of fabricating pixels."""
     from .imagecodec import sniff_and_decode, sniff_format
 
     if sniff_format(blob) is not None:
@@ -142,8 +147,8 @@ def _decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
     except ImportError as exc:
         raise ValueError(
-            f"undecodable image blob ({len(blob)} bytes; no PNG/BMP/PPM "
-            f"magic, not raw {width}x{height}x3)"
+            f"undecodable image blob ({len(blob)} bytes; no PNG/BMP/PPM/"
+            f"JPEG magic, not raw {width}x{height}x3)"
         ) from exc
 
 

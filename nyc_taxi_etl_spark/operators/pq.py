@@ -90,6 +90,26 @@ def train_pq(
     return books
 
 
+def _codebook_frame(spark, codebooks):
+    """The trained codebooks as a 1-row frame ``(_books, _norms)`` —
+    broadcast-joined wherever an encode/ADC expression needs the
+    centroid constants (scalar-join pattern; keeps the plan tree small,
+    see the expression-shape note on :func:`pq_encode`)."""
+    m, k, _ = codebooks.shape
+    nested = [
+        [[float(x) for x in codebooks[j, c]] for c in range(k)]
+        for j in range(m)
+    ]
+    norms = [
+        [float((codebooks[j, c] ** 2).sum()) for c in range(k)]
+        for j in range(m)
+    ]
+    return spark.createDataFrame(
+        [(nested, norms)],
+        "_books array<array<array<double>>>, _norms array<array<double>>",
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks,
@@ -109,19 +129,7 @@ def pq_encode(
     built an expression tree Catalyst spent ~50 s analyzing at 500
     rows; this shape is ~25× faster to plan and identical row-wise."""
     m, k, dsub = codebooks.shape
-    spark = corpus.sparkSession
-    nested = [
-        [[float(x) for x in codebooks[j, c]] for c in range(k)]
-        for j in range(m)
-    ]
-    norms = [
-        [float((codebooks[j, c] ** 2).sum()) for c in range(k)]
-        for j in range(m)
-    ]
-    aux = spark.createDataFrame(
-        [(nested, norms)],
-        "_books array<array<array<double>>>, _norms array<array<double>>",
-    )
+    aux = _codebook_frame(corpus.sparkSession, codebooks)
     base = corpus.select(
         F.col(id_col), _normalize(F.col(vec_col)).alias("_nv")
     ).crossJoin(F.broadcast(aux))
@@ -159,18 +167,24 @@ def pq_knn(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     fit_sample: int = 20_000,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Approximate cosine top-k via the compressed-domain ADC scan +
     exact re-rank of the top ``rerank·k`` candidates per query:
     ``(query_id, neighbor_id, cosine_sim, rank)``.
 
-    The bounded query set's m×k inner-product tables are computed
-    driver-side (numpy, same bounded-collect posture as the broadcast
-    query pattern in ``brute_force_knn``) and broadcast; the corpus
-    side is scanned ONCE in code space.
+    Each query's flattened m×k inner-product table is computed
+    DISTRIBUTIVELY — one Catalyst pass over the query table against
+    the 1-row broadcast codebook frame (no driver-side collect of
+    query vectors) — then the small ``(query_id, tbl)`` frame is
+    broadcast against the encoded corpus. The broadcast is the one
+    bounded-size assumption, so ``max_queries`` enforces it with a
+    clear error instead of a silent executor/driver OOM: a query
+    batch of q rows broadcasts q·m·k doubles (4096·16·16·8 B ≈ 8 MB
+    at the defaults). For query sets beyond the cap, batch the calls
+    or use the shuffle-join ANN paths (LSH/IVF) whose candidate join
+    does not broadcast the query side.
     """
-    import numpy as np
-
     books = train_pq(corpus, vec_col, m, n_codes, seed, fit_sample)
     if books is None:
         from .similarity import brute_force_knn
@@ -180,25 +194,41 @@ def pq_knn(
             query_id_col=query_id_col,
         )
     mm, kk, dsub = books.shape
-    qrows = queries.select(query_id_col, vec_col).toPandas()
-    Q = np.asarray(qrows[vec_col].tolist(), dtype=np.float64)
-    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    # per-query flattened m×k table of subspace inner products
-    tables = [
-        [
-            float(Q[i, j * dsub : (j + 1) * dsub] @ books[j, c])
-            for j in range(mm)
-            for c in range(kk)
-        ]
-        for i in range(len(qrows))
-    ]
-    spark = corpus.sparkSession
-    tbl = spark.createDataFrame(
-        [
-            (int(qid), t)
-            for qid, t in zip(qrows[query_id_col].tolist(), tables)
-        ],
-        f"query_id long, tbl array<double>",
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"pq_knn query set exceeds max_queries={max_queries} "
+            "(the per-query ADC tables are broadcast, so the query "
+            "batch must be bounded); batch the queries or raise "
+            "max_queries deliberately"
+        )
+    aux = _codebook_frame(corpus.sparkSession, books)
+    # per-query flattened m×k table of subspace inner products —
+    # Catalyst-side: transform over subspaces × centroids, dot-fold each
+    adc = F.flatten(
+        F.transform(
+            F.col("_books"),
+            lambda bookj, j: F.transform(
+                bookj,
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("_qv"), j * dsub + 1, dsub),
+                        c,
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        )
+    )
+    tbl = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _normalize(F.col(vec_col)).alias("_qv"),
+        )
+        .crossJoin(F.broadcast(aux))
+        .select("query_id", adc.alias("tbl"))
     )
     codes = pq_encode(corpus, books, id_col, vec_col)
     # compressed scan: approx = Σ_j tbl[j·k + code_j] — m lookups/pair

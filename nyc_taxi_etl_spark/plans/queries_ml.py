@@ -45,8 +45,11 @@ def isolation_outliers_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged at contamination=0.02.
 
     Scale: one Arrow batch per group via applyInPandas; groups are the
-    shuffle key. The in-UDF fit caps rows per group, so executor memory
-    is bounded no matter the table size."""
+    shuffle key. Each group is pre-sampled to ≤ max_rows_per_group by a
+    Catalyst-side hash gate BEFORE the grouped map (ml.presample_per_group),
+    so the Arrow batch — and executor memory — is bounded no matter the
+    table size (an in-UDF cap alone would not be: the whole group
+    materializes before UDF code runs)."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )

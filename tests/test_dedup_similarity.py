@@ -481,3 +481,40 @@ def test_pq_encode_codes_shape_and_reconstruction(spark):
         [books[j, (c + 1) % 16] for j, c in enumerate(r0["codes"])]
     )
     assert np.linalg.norm(x - recon) <= np.linalg.norm(x - worse)
+
+
+def test_pq_knn_rejects_unbounded_query_set(spark):
+    """The per-query ADC tables are broadcast, so the query batch must
+    be bounded — an over-cap query table raises instead of silently
+    OOMing the broadcast."""
+    import pytest as _pytest
+
+    from nyc_taxi_etl_spark.operators.pq import pq_knn
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with _pytest.raises(ValueError, match="max_queries"):
+        pq_knn(emb, queries, k=5, m=16, n_codes=16, seed=42, max_queries=5)
+
+
+def test_pq_knn_adc_tables_built_distributively(spark):
+    """The query→ADC-table stage is a Catalyst plan over the query
+    frame joined to the 1-row broadcast codebook frame — no driver-side
+    collect of query vectors (plan shows the broadcast codebook join,
+    not a LocalTableScan of per-query tables)."""
+    from nyc_taxi_etl_spark.operators.pq import pq_knn
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_knn(emb, queries, k=3, m=16, n_codes=16, seed=42)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the codebook constants ride the 1-row aux frame (_books) on BOTH
+    # the encode side and the ADC-table side
+    assert plan.count("_books") >= 2, plan.count("_books")
+    assert out.count() == 9

@@ -132,3 +132,54 @@ def test_lda_empty_input(spark):
     out = lda_topics(empty, "text")
     assert out.count() == 0
     assert out.columns == ["topic", "term_rank", "term", "weight"]
+
+
+def test_iforest_presample_caps_group_before_grouped_map(spark):
+    """The scale contract: groups larger than max_rows_per_group are cut
+    down by a Catalyst-side hash filter BEFORE applyInPandas (the grouped
+    map materializes the whole group as one Arrow batch, so an in-UDF cap
+    alone bounds nothing)."""
+    from nyc_taxi_etl_spark.ml import presample_per_group
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "g": ["big"] * 5000 + ["small"] * 50,
+            "v1": rng.normal(0, 1, 5050),
+            "v2": rng.normal(0, 1, 5050),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cap = 500
+    sampled = presample_per_group(df, "g", cap, seed=42)
+    counts = {
+        r["g"]: r["n"]
+        for r in sampled.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    # small group passes through whole; big group lands near the cap
+    # (ppm gate keeps ~1.25x cap; never the full group)
+    assert counts["small"] == 50
+    assert cap * 0.7 <= counts["big"] <= cap * 1.6, counts["big"]
+    # determinism: the same call keeps the same rows
+    again = {
+        r["g"]: r["n"]
+        for r in presample_per_group(df, "g", cap, seed=42)
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == again
+
+    # plan shape: the sampling filter sits BELOW the grouped map
+    scored = isolation_forest_by_group(
+        df, "g", ["v1", "v2"], max_rows_per_group=cap, n_trees=10
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    # the pre-sample gate appears as a filter on the hash bucket column
+    assert "_sample_ppm" in plan and "_keep_ppm" in plan
+    # and the map sees at most ~cap rows per group: final count reflects it
+    n_big = scored.where(F.col("g") == "big").count()
+    assert n_big <= cap
+    n_small = scored.where(F.col("g") == "small").count()
+    assert n_small == 50
