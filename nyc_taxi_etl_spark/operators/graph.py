@@ -38,23 +38,43 @@ def pagerank(
     Ranks sum to 1 every round — dangling redistribution is what
     preserves that invariant.
 
-    Scale: per round, ONE shuffle — the contribution join/agg on the
-    node key (edges are pre-joined with out-degrees once and
-    persisted, so each round reuses the partitioned edge relation);
-    the dangling mass is a 1-row aggregate broadcast back (the scalar
-    cross-join pattern, never a driver round-trip of node state). A
-    fixed iteration count (‖Δ‖ ≈ d^k) replaces convergence polling so
-    the driver loop does no data reads at all. Skewed in-degree
+    Scale: per round, ONE exchange — the contribution hash-agg on the
+    destination key. Everything else is exchange-free by
+    CO-PARTITIONING: the edge⋈degree relation and the node list are
+    hash-repartitioned ONCE on their join keys (src / node, same
+    partition count) and persisted, and each round's rank relation
+    comes out of a join whose streamed side is the co-partitioned node
+    list — ``localCheckpoint`` preserves that physical partitioning,
+    so the next round's edge join lines up again without moving the
+    edges. The dangling-node term needs no anti-join at all: ranks sum
+    to 1 every round, so the undistributed mass is ``1 − Σ new_raw``
+    (new_raw = base + d·inc), recovered as a 1-row aggregate over the
+    already-checkpointed ranks and broadcast back (scalar cross-join
+    pattern, never a driver round-trip of node state). A fixed
+    iteration count (‖Δ‖ ≈ d^k) replaces convergence polling so the
+    driver loop does no data reads at all. Skewed in-degree
     (celebrity nodes) degrades only the final agg — salting composes
     if needed (functions/skew.py)."""
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     deg = e.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
-    # edges ⋈ out-degree once; every iteration reuses this relation
-    ed = e.join(deg, "src").persist()
+    # edges ⋈ out-degree once, laid out on the per-round join key AND
+    # sorted within partitions on it: every iteration's sort-merge join
+    # then reuses both the partitioning and the ordering from the cache
+    # — no exchange and no re-sort of the (large) edge side per round
+    ed = (
+        e.join(deg, "src")
+        .repartition(n_part, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition(n_part, "node")
+        .sortWithinPartitions("node")
         .persist()
     )
     n_nodes = nodes.count()  # also materializes the persisted relations
@@ -65,40 +85,36 @@ def pagerank(
             "node", F.lit(0.0).alias("rank")
         ).limit(0)
     base = (1.0 - damping) / n_nodes
-    has_out = deg.select(F.col("src").alias("node"))
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
-        dangling = (
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inc"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("inc"), F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n_nodes))
-                    )
-                ).alias("rank"),
-            )
+        raw = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("inc"), F.lit(0.0))
+            ).alias("rank"),
         )
-        # each round's ranks feed BOTH the next dangling agg and the
-        # next contribution join: an unpersisted subtree would
-        # re-execute per reference (2^k plan blowup), and even a
-        # persisted one accretes a plan deep enough to overflow plan
-        # rendering. localCheckpoint truncates lineage every round —
-        # constant plan depth, each round computed exactly once (the
-        # connected-components posture, dedup.py).
-        ranks = ranks.localCheckpoint(eager=True)
+        # raw feeds BOTH the deficit agg and the final per-node add:
+        # localCheckpoint materializes it once, truncates lineage
+        # (constant plan depth across rounds — the connected-components
+        # posture, dedup.py) and PRESERVES the hash(node) partitioning
+        # the next round's edge join needs.
+        raw = raw.localCheckpoint(eager=True)
+        # Σ ranks = 1 invariant ⇒ the dangling mass d·dm is exactly the
+        # deficit 1 − Σ raw; redistribute it uniformly
+        deficit = raw.agg((F.lit(1.0) - F.sum("rank")).alias("_deficit"))
+        ranks = raw.crossJoin(F.broadcast(deficit)).select(
+            "node",
+            (F.col("rank") + F.col("_deficit") / F.lit(float(n_nodes))).alias(
+                "rank"
+            ),
+        )
     return ranks

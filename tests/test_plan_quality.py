@@ -176,3 +176,82 @@ def test_training_split_one_agg_shuffle(spark):
     plan = _plan(spark, "training_split_counts")
     assert plan.count("hashpartitioning(") == 1
     assert "partial_count" in plan
+
+
+def test_pagerank_round_is_single_exchange_when_copartitioned(spark):
+    """PageRank's per-round contract at scale: with the edge⋈degree
+    relation and node list hash-repartitioned once on their join keys
+    (operators/graph.py::pagerank), a power-iteration round needs
+    exactly ONE shuffle exchange — the contribution agg on dst. The
+    probe mirrors the loop body with AQE + auto-broadcast off (the
+    large-table regime where co-partitioning is what saves the
+    exchanges; with them on, tiny test relations all broadcast)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        edges = spark.createDataFrame(
+            [(f"c{i % 50}", f"s{(i * 7) % 20}") for i in range(500)],
+            "src string, dst string",
+        )
+        e = edges.distinct()
+        deg = e.groupBy("src").agg(
+            F.count("*").cast("double").alias("outdeg")
+        )
+        ed = e.join(deg, "src").repartition(n_part, "src").persist()
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .repartition(n_part, "node")
+            .persist()
+        )
+        n = nodes.count()
+        ranks = nodes.select(
+            "node", F.lit(1.0 / n).alias("rank")
+        ).localCheckpoint(eager=True)
+        # one loop-body round (graph.py::pagerank)
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        raw = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (F.lit(0.1) + F.lit(0.85) * F.coalesce("inc", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        raw.collect()
+
+        # walk the executed plan; children() naturally stops at
+        # InMemoryTableScan (cached build plans are not children), so
+        # only THIS round's exchanges are counted
+        shuffles = []
+        def walk(jnode):
+            name = jnode.getClass().getSimpleName()
+            if name == "ShuffleExchangeExec":
+                shuffles.append(jnode.outputPartitioning().toString())
+            for i in range(jnode.children().size()):
+                walk(jnode.children().apply(i))
+
+        walk(raw._jdf.queryExecution().executedPlan())
+        assert len(shuffles) == 1, shuffles
+        assert "dst" in shuffles[0], shuffles  # the contribution agg
+        ed.unpersist()
+        nodes.unpersist()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
