@@ -132,7 +132,16 @@ def main() -> None:
                     "queries": timings,
                     "sf": sf_val,
                     "extension_total": extension_total,
+                    # methodology self-description (round-over-round
+                    # comparisons should not conflate method changes
+                    # with plan wins): per-query timing = best of
+                    # `runs` back-to-back materializations in ONE warm
+                    # session; cold=false because a JVM/codegen warm-up
+                    # pass runs before any timed query (r1 was a single
+                    # cold run; r2+ use this method)
                     "runs": 2,
+                    "cold": False,
+                    "warmup": "1 trivial noop-materialized plan",
                 }
             )
         )

@@ -387,6 +387,53 @@ def _minhash_ctes(
     """
 
 
+def _closure_ctes(stages: int = 24) -> str:
+    """CTE chain (no WITH keyword) from ``edges(a, b)`` — assumed to
+    hold BOTH directions of every pair — to ``comp(id, component)``
+    with component = min reachable id, for every node appearing in
+    ``edges``.
+
+    Scale path (sf0.1 gate): min-label propagation with POINTER
+    JUMPING, unrolled ``stages`` times — each stage is two hash joins
+    plus one hash agg over E rows, so total work is O(stages·E). The
+    earlier recursive-CTE transitive closure (``reach``) materialized
+    every (node, reachable-node) pair: O(Σ|C|²) rows, which on a
+    giant near-dup component (sf0.1 semantic_dedup: 1 828 of 2 000
+    vectors in one cluster) meant minutes of runtime growing
+    quadratically. Hop+jump is the Shiloach-Vishkin argument: label
+    chains at least halve each stage, so 24 stages converge for any
+    graph DuckDB can hold (≫ 2²⁴ nodes); the matching Spark operator
+    is the same fixpoint computed as large-star/small-star
+    (operators/dedup.py::connected_components)."""
+    # AS MATERIALIZED is load-bearing: every stage references the
+    # previous lab CTE three times and edges once — without it DuckDB
+    # INLINES each reference (exponential plan expansion; the planner
+    # ran out of file handles re-opening the parquet views before the
+    # rewrite even executed)
+    parts = [
+        """cl_nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM edges),
+    lab0 AS MATERIALIZED (
+      SELECT n.id, least(n.id, coalesce(min(e.b), n.id)) AS lab
+      FROM cl_nodes n LEFT JOIN edges e ON e.a = n.id GROUP BY n.id)"""
+    ]
+    for k in range(1, stages + 1):
+        p = k - 1
+        parts.append(
+            f"""lab{k} AS MATERIALIZED (
+      SELECT l.id,
+             least(l.lab,
+                   coalesce(j.lab, l.lab),
+                   coalesce(nb.mn, l.lab)) AS lab
+      FROM lab{p} l
+      LEFT JOIN lab{p} j ON j.id = l.lab
+      LEFT JOIN (SELECT e.a AS id, min(x.lab) AS mn
+                 FROM edges e JOIN lab{p} x ON x.id = e.b
+                 GROUP BY e.a) nb ON nb.id = l.id)"""
+        )
+    parts.append(f"comp AS (SELECT id, lab AS component FROM lab{stages})")
+    return ",\n    ".join(parts)
+
+
 def _minhash_sql(num_hashes: int = 12, bands: int = 4, thresh: float = 0.5) -> str:
     return f"""
     WITH {_minhash_ctes(num_hashes, bands, thresh)}
@@ -454,23 +501,20 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _components_sql() -> str:
-    # transitive closure via recursive CTE over the SAME pair set the
-    # minhash query emits; component = min reachable id (incl. self)
+    # components over the SAME pair set the minhash query emits;
+    # component = min reachable id (incl. self), via the unrolled
+    # hop+jump closure (_closure_ctes — sub-quadratic like Spark's
+    # large-star/small-star)
     return f"""
-    WITH RECURSIVE pairs AS ({_minhash_sql()}),
-    edges AS (
+    WITH pairs AS ({_minhash_sql()}),
+    edges AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION
       SELECT id_b AS a, id_a AS b FROM pairs),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-    nodes AS (SELECT DISTINCT a AS id FROM edges)
+    {_closure_ctes()}
     SELECT CAST(id AS BIGINT) AS doc_id,
-           CAST(least(id, min(b)) AS BIGINT) AS component
-    FROM nodes JOIN reach ON reach.a = id
-    GROUP BY id
+           CAST(component AS BIGINT) AS component
+    FROM comp
     """
 
 
@@ -509,7 +553,7 @@ def _curate_sql(quality_threshold: float = 0.5, jaccard_threshold: float = 0.5) 
                           * 1.0 / len(w) < 0.6
                      THEN 1.0 ELSE 0.0 END)"""
     return f"""
-    WITH RECURSIVE
+    WITH
     tok0 AS (SELECT doc_id, lang, source, text, {_SQL_TOKENS} AS w FROM documents),
     scored AS (SELECT doc_id, lang, source, text, {quality} AS quality FROM tok0),
     passed AS (SELECT * FROM scored WHERE quality >= {quality_threshold}),
@@ -520,18 +564,11 @@ def _curate_sql(quality_threshold: float = 0.5, jaccard_threshold: float = 0.5) 
     corpus AS (SELECT fp.doc_id, fp.lang, fp.source, fp.text, fp.quality
                FROM fp JOIN keep1 USING (fingerprint, doc_id)),
     {_minhash_ctes(thresh=jaccard_threshold, source="corpus")},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION
       SELECT id_b AS a, id_a AS b FROM pairs),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-    comp_nodes AS (SELECT DISTINCT a AS id FROM edges),
-    comp AS (
-      SELECT id, least(id, min(b)) AS component
-      FROM comp_nodes JOIN reach ON reach.a = id GROUP BY id),
+    {_closure_ctes()},
     dropped AS (SELECT id FROM comp WHERE component != id)
     SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.lang, c.source, c.quality
     FROM corpus c LEFT JOIN dropped d ON c.doc_id = d.id
@@ -551,7 +588,7 @@ def _curation_audit_sql(
                           * 1.0 / len(w) < 0.6
                      THEN 1.0 ELSE 0.0 END)"""
     return f"""
-    WITH RECURSIVE
+    WITH
     tok0 AS (SELECT doc_id, text, {_SQL_TOKENS} AS w FROM documents),
     scored AS (SELECT doc_id, text, {quality} AS quality FROM tok0),
     fp AS (SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
@@ -563,18 +600,11 @@ def _curation_audit_sql(
     corpus AS (SELECT fp.doc_id, fp.text FROM fp JOIN ex USING (doc_id)
                WHERE ex.ex_keeper = fp.doc_id),
     {_minhash_ctes(thresh=jaccard_threshold, source="corpus")},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION
       SELECT id_b AS a, id_a AS b FROM pairs),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-    comp_nodes AS (SELECT DISTINCT a AS id FROM edges),
-    comp AS (
-      SELECT id, least(id, min(b)) AS component
-      FROM comp_nodes JOIN reach ON reach.a = id GROUP BY id)
+    {_closure_ctes()}
     SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.quality,
            CASE WHEN s.quality < {quality_threshold} THEN 'dropped_quality'
                 WHEN e.ex_keeper != s.doc_id THEN 'dropped_exact_dup'
@@ -806,35 +836,40 @@ def _semantic_dedup_sql(threshold: float = 0.35) -> str:
     # Same hyperplane literals + candidate join as the near-pairs
     # oracle, then the recursive-CTE transitive closure (the
     # dedup_components spec) and a LEFT JOIN back to every vector.
+    #
+    # Scale path (sf0.1 gate): candidates come from a UNION of
+    # PER-TABLE equi-joins on the bucket id — hash joins DuckDB
+    # executes in O(Σ bucket²) like the Spark plan — instead of one
+    # OR-of-equalities join (which DuckDB nested-loops, O(n²·tables):
+    # ~2 min at 2 000 vectors and growing quadratically). Vector
+    # payloads join back by id AFTER the dedup'd candidate set.
     sig_cols = ",\n           ".join(
         f"{_bucket_sql('v', S.hyperplanes(64, _PAIRS_BITS, seed=7 + tbl))} AS b{tbl}"
         for tbl in range(_PAIRS_TABLES)
     )
-    any_shared = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_PAIRS_TABLES))
+    per_table = "\n      UNION\n".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        f"FROM sig a JOIN sig b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
+        for t in range(_PAIRS_TABLES)
+    )
     return f"""
-    WITH RECURSIVE dd AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    WITH dd AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
     sig AS (SELECT vec_id, v,
            {sig_cols}
     FROM dd),
     cand AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
-      FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({any_shared})),
+      {per_table}),
     pairs AS (
-      SELECT id_a, id_b FROM cand
-      WHERE {_cos_sql("va", "vb")} >= {threshold}),
-    edges AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN dd da ON da.vec_id = cand.id_a
+      JOIN dd db ON db.vec_id = cand.id_b
+      WHERE {_cos_sql("da.v", "db.v")} >= {threshold}),
+    edges AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION
       SELECT id_b AS a, id_a AS b FROM pairs),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-    nodes AS (SELECT DISTINCT a AS id FROM edges),
-    comp AS (
-      SELECT id, least(id, min(b)) AS component
-      FROM nodes JOIN reach ON reach.a = id
-      GROUP BY id)
+    {_closure_ctes()}
     SELECT dd.vec_id,
            CAST(coalesce(comp.component, dd.vec_id) AS BIGINT) AS keeper_id,
            CAST(CASE WHEN comp.component IS NOT NULL
@@ -978,6 +1013,14 @@ def shingle_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fuzzy_near_pairs",
+    # Scale path (sf0.1 gate): levenshtein is evaluated ONCE per pair
+    # (the old SELECT+WHERE pair ran it twice), and only on candidates
+    # surviving two EXACT lower-bound prunes — length difference
+    # (|len a − len b| ≤ d) and character-bag L1 distance (each edit
+    # moves the char histogram by ≤ 2, so L1 ≤ 2d) — which drop the
+    # 1.1 M shingle-blocked candidates at sf0.1 to ~180 k before the
+    # O(L²) distance runs (506 s → ~100 s; sound: both bounds are
+    # necessary conditions for distance ≤ 50).
     f"""
     WITH {_SQL_SHINGLES_CTE},
     post AS (SELECT doc_id, unnest(sh) AS s FROM shl),
@@ -985,10 +1028,23 @@ def shingle_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM post a JOIN post b USING (s) WHERE a.doc_id < b.doc_id),
     n AS (SELECT doc_id,
                  lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
-          FROM documents)
-    SELECT id_a, id_b, CAST(levenshtein(na.t, nb.t) AS BIGINT) AS distance
-    FROM cand JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
-    WHERE levenshtein(na.t, nb.t) <= 50
+          FROM documents),
+    h AS (SELECT doc_id, t,
+                 [length(t) - length(replace(t, c, ''))
+                  for c in ['a','b','c','d','e','f','g','h','i','j','k','l',
+                            'm','n','o','p','q','r','s','t','u','v','w','x',
+                            'y','z','0','1','2','3','4','5','6','7','8','9',
+                            ' ']] AS hist
+          FROM n),
+    filt AS (
+      SELECT id_a, id_b, na.t AS ta, nb.t AS tb
+      FROM cand JOIN h na ON id_a = na.doc_id JOIN h nb ON id_b = nb.doc_id
+      WHERE abs(length(na.t) - length(nb.t)) <= 50
+        AND list_sum(list_transform(list_zip(na.hist, nb.hist),
+                                    p -> abs(p[1] - p[2]))) <= 100),
+    scored AS (SELECT id_a, id_b, levenshtein(ta, tb) AS d FROM filt)
+    SELECT id_a, id_b, CAST(d AS BIGINT) AS distance
+    FROM scored WHERE d <= 50
     """,
     extra=True,
 )

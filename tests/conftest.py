@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -7,6 +9,14 @@ from nyc_taxi_etl_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
 SF_DIR_MED = "/root/testdata/sf0.01"
+# The ORACLE gate (tests/test_oracle.py) can be pointed at a larger
+# scale factor, e.g. `SPARK_GRAFT_SF=sf0.1 pytest tests/test_oracle.py`
+# — the DuckDB oracles are written on their scale paths (bucketed
+# candidate joins, materialized hop+jump closures) precisely so this
+# sweep finishes in bounded time. Other suites stay at sf0.001: they
+# pin dataset-specific values (exact counts, tie-free top-k prefixes).
+_ORACLE_SF = os.environ.get("SPARK_GRAFT_SF")
+ORACLE_SF_DIR = f"/root/testdata/{_ORACLE_SF}" if _ORACLE_SF else SF_DIR
 TABLES = (
     "region",
     "nation",
@@ -39,6 +49,16 @@ def _register(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
 def duck():
     con = duckdb.connect()
     _register(con, SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def duck_oracle():
+    """DuckDB views at the oracle-gate scale factor (SPARK_GRAFT_SF
+    env override; defaults to the sf0.001 of every other suite)."""
+    con = duckdb.connect()
+    _register(con, ORACLE_SF_DIR)
     yield con
     con.close()
 

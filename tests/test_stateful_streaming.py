@@ -84,3 +84,26 @@ def test_ewma_stream_matches_batch_replay(spark, tmp_path, files_per_trigger):
     # each user's planted outlier is flagged, and only those
     flagged = [k for k, (_, a) in got.items() if a == 1]
     assert sorted(flagged) == [uid * 1000 + 25 for uid in range(5)]
+
+
+def test_stateful_backend_gate_reports_active_path(capsys):
+    """The EWMA detector has two interchangeable stateful backends;
+    which one the parity test above just exercised is decided by the
+    protobuf gate. Record it so a green run SAYS which path it proved
+    (transformWithStateInPandas needs protobuf for its JVM protocol;
+    flip happens automatically when the environment gains it)."""
+    from nyc_taxi_etl_spark.streaming.stateful import has_transform_with_state
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        expected = True
+    except ImportError:
+        expected = False
+    assert has_transform_with_state() is expected
+    active = (
+        "transformWithStateInPandas (RocksDB)"
+        if expected
+        else "applyInPandasWithState (GroupState fallback)"
+    )
+    print(f"stateful parity ran on: {active}")
