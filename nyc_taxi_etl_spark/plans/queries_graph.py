@@ -29,27 +29,34 @@ _DAMPING = 0.85
 
 
 def _pagerank_sql(iterations: int = _ITERATIONS, d: float = _DAMPING) -> str:
+    # AS MATERIALIZED throughout is load-bearing: every r{i} references
+    # r{i-1} twice (dangling agg + contribution join) and edges/deg/nn
+    # repeat per iteration — DuckDB inlines un-materialized CTEs, which
+    # is 2^iterations expansion (at sf0.1 the inlined plan spilled the
+    # temp directory to disk-full before producing a row).
     ctes = [
-        """edges AS (
+        """edges AS MATERIALIZED (
           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                           's' || CAST(l_suppkey AS VARCHAR) AS dst
           FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
-        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-        """deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        """deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
                    FROM edges GROUP BY 1)""",
-        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS r"
+        " FROM nodes)",
     ]
     for i in range(1, iterations + 1):
         p = i - 1
         ctes.append(
-            f"""dang{i} AS (
+            f"""dang{i} AS MATERIALIZED (
               SELECT COALESCE(sum(r), 0) AS dm
               FROM r{p} LEFT JOIN deg ON deg.src = r{p}.node
               WHERE deg.src IS NULL)"""
         )
         ctes.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
               SELECT nodes.node,
                      (1 - {d}) / (SELECT n FROM nn)
                      + {d} * (COALESCE(inc.s, 0)

@@ -195,7 +195,8 @@ def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE u.o_orderkey IS NULL)
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
-           ROUND(sum(o_totalprice), 4) AS total_price
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total_price
     FROM merged GROUP BY 1
     """,
 )
@@ -205,7 +206,18 @@ def orders_upsert_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-latest over the base table, then rolled up per status. The
     oracle replays the merge as updates + anti-joined base — same
     result, different plan: merge_upsert does it in ONE shuffle via
-    window row_number instead of shuffling base twice."""
+    window row_number instead of shuffling base twice.
+
+    The price total sums as INTEGER CENTS: a double sum over ~10⁵ rows
+    accumulates order-dependent error past any post-hoc ROUND at this
+    magnitude (first seen at sf0.1: Σ ≈ 1.3e10 diverged in the 4th
+    decimal between engines), and per-row double→DECIMAL casts diverge
+    at half-cent ties (Spark rounds the double's shortest string repr,
+    DuckDB its binary value). ``round(x·100) :: long`` is nearest-
+    integer on the SAME IEEE double in both engines (exact .5 ties are
+    measure-zero for *1.1-scaled prices), integer addition is exact,
+    and /100 of an exact integer is deterministic — identical totals
+    at every scale."""
     from ..operators.merge import merge_upsert
 
     od = t(spark, sf_dir, "orders")
@@ -215,7 +227,11 @@ def orders_upsert_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_upsert(od, updates, keys=["o_orderkey"])
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("double")
+            / 100
+        ).alias("total_price"),
     )
 
 

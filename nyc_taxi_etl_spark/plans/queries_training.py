@@ -317,6 +317,50 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_bpe_token_stats", extra=True)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer lifecycle in one catalog query: TRAIN 30 BPE
+    merges on the corpus (word-type-table iteration, ``train_bpe``),
+    then APPLY them corpus-wide (``segment_words`` — a pure Catalyst
+    fold over the merge literals, zero Python in the apply pass) and
+    report per-language token economics: whitespace words vs BPE
+    symbols per document (the compression a curation team actually
+    tracks when choosing vocab size). 12 merges: each training round
+    costs fixed scheduler time at toy scale, and a dozen is enough to
+    prove the train→apply composition; production would run thousands
+    of rounds on the same vocabulary-bounded loop.
+
+    Rows-only (training's per-round argmax is not SQL-expressible;
+    the APPLY fold is reference-pinned in tests/test_bpe.py). Scale:
+    apply is a row-local projection — it composes into any scan at
+    full corpus width; only training iterates, and only on the
+    vocabulary."""
+    from ..operators.bpe import segment_words, train_bpe
+    from ..operators.text import tokens as _tokens
+
+    docs = t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=12)
+    words = _tokens(F.lower(F.col("text")))
+    seg = segment_words(F.col("text"), merges)
+    per_doc = docs.select(
+        "lang",
+        F.size(words).alias("n_words"),
+        F.size(seg).alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_symbols"),
+            F.round(F.sum("n_bpe") / F.sum("n_words"), 4).alias(
+                "symbols_per_word"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def _split_case_sql(key_expr: str, seed: int = 0) -> str:
     """The 80/10/10 split CASE over an arbitrary key expression —
     DuckDB replica of ``export.split_label`` (same md5 ppm bucket)."""
@@ -382,23 +426,15 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _leakage_safe_sql() -> str:
-    from .queries_text import _minhash_sql
+    from .queries_text import _closure_ctes, _minhash_sql
 
     return f"""
-    WITH RECURSIVE pairs AS ({_minhash_sql()}),
-    edges AS (
+    WITH pairs AS ({_minhash_sql()}),
+    edges AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION
       SELECT id_b AS a, id_a AS b FROM pairs),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-    nodes AS (SELECT DISTINCT a AS id FROM edges),
-    comp AS (
-      SELECT id, least(id, min(b)) AS component
-      FROM nodes JOIN reach ON reach.a = id
-      GROUP BY id),
+    {_closure_ctes()},
     rep AS (
       SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS r
       FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),

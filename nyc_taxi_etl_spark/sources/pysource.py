@@ -1,0 +1,280 @@
+"""Custom Spark 4 Python Data Sources (``pyspark.sql.datasource``):
+a deterministic synthetic-corpus batch source and a synthetic event
+stream — the modern extension point for connectors Spark has no
+built-in reader for, exercised here end-to-end (register → format() →
+partition-parallel read → filter pushdown → streaming offsets).
+
+Why a GENERATOR source in a data engine: load-testing the pipeline at
+any scale with zero input files. ``corpussynth`` emits a
+documents-shaped corpus (same columns as the testdata table, so every
+text/dedup/curation operator runs on it unchanged) where row content
+is a pure function of ``(seed, doc_id)`` — no RNG state, no driver
+data, each of the ``partitions()`` generates its own id-range
+independently. A 1000-executor cluster materializes a synthetic
+100 TB corpus at aggregate NVMe speed; nothing is shuffled or listed.
+
+Determinism contract (and the reason this non-file source still gets
+a FULL DuckDB oracle): every random choice is the integer value of an
+md5 prefix — ``h(seed, doc_id, tag) = int(md5(f"{seed}:{doc_id}:{tag}"
+).hexdigest()[:8], 16)`` — the same portable-hash trick the MinHash
+oracles use, so SQL can rebuild the corpus byte-for-byte:
+``('0x' || substr(md5(seed || ':' || d || ':' || tag), 1, 8))::BIGINT``.
+
+Filter pushdown: ``doc_id`` range predicates (=, <, <=, >, >=) narrow
+the generated id range BEFORE partition planning — the generator-source
+equivalent of parquet row-group pruning; handled filters are consumed
+(not re-evaluated by Spark), everything else is yielded back as
+residual.
+
+Streaming (``eventsynth``): a SimpleDataSourceStreamReader emitting
+deterministic micro-batches of events-shaped rows; offsets are row
+indices, so ``readBetweenOffsets`` replay (checkpoint recovery) is
+exact re-generation — the at-least-once path costs nothing because
+the source IS its own log.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Sequence, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "SynthCorpusDataSource",
+    "SynthEventsDataSource",
+    "register_python_sources",
+    "VOCAB",
+    "LANGS",
+    "SOURCES",
+]
+
+#: 64-word vocabulary — embedded verbatim in the SQL oracle.
+VOCAB = [
+    "data", "spark", "query", "table", "join", "shuffle", "filter",
+    "column", "row", "batch", "stream", "window", "group", "order",
+    "index", "cache", "merge", "split", "union", "count", "value",
+    "token", "model", "train", "corpus", "text", "word", "hash",
+    "bucket", "range", "scan", "write", "read", "plan", "stage",
+    "task", "node", "edge", "graph", "rank", "score", "label",
+    "vector", "cosine", "sample", "sketch", "digest", "quantile",
+    "median", "total", "delta", "commit", "version", "schema",
+    "struct", "array", "string", "double", "bigint", "boolean",
+    "partition", "cluster", "executor", "driver",
+]
+LANGS = ["en", "de", "fr", "es"]
+SOURCES = ["web", "books", "code"]
+MIN_WORDS, WORD_RANGE = 20, 81  # n_words in [20, 100]
+
+
+def _h(seed: int, doc_id: int, tag: str) -> int:
+    return int(
+        hashlib.md5(f"{seed}:{doc_id}:{tag}".encode()).hexdigest()[:8], 16
+    )
+
+
+def synth_doc(seed: int, doc_id: int) -> Tuple[int, str, str, str, int]:
+    """The (doc_id, text, lang, source, n_chars) row — pure function,
+    shared by the reader and the test-side replay."""
+    n_words = MIN_WORDS + _h(seed, doc_id, "len") % WORD_RANGE
+    words = [
+        VOCAB[_h(seed, doc_id, str(i)) % len(VOCAB)] for i in range(n_words)
+    ]
+    text = " ".join(words)
+    lang = LANGS[_h(seed, doc_id, "lang") % len(LANGS)]
+    source = SOURCES[_h(seed, doc_id, "src") % len(SOURCES)]
+    return (doc_id, text, lang, source, len(text))
+
+
+def synth_corpus_oracle_sql(seed: int, n_docs: int) -> str:
+    """DuckDB SQL regenerating the exact corpus — the oracle half of
+    the determinism contract (md5-prefix hashing is engine-portable)."""
+    vocab = "[" + ",".join(f"'{w}'" for w in VOCAB) + "]"
+    langs = "[" + ",".join(f"'{l}'" for l in LANGS) + "]"
+    sources = "[" + ",".join(f"'{s}'" for s in SOURCES) + "]"
+    hh = (
+        f"('0x' || substr(md5({seed} || ':' || d || ':' || {{tag}}), 1, 8))"
+        "::BIGINT"
+    )
+    return f"""
+    WITH ids AS (SELECT unnest(generate_series(0, {n_docs - 1})) AS d),
+    sized AS (SELECT d,
+                     {MIN_WORDS} + {hh.format(tag="'len'")} % {WORD_RANGE}
+                       AS n_words
+              FROM ids),
+    texts AS (
+      SELECT d, n_words,
+             array_to_string(
+               [({vocab})[1 + {hh.format(tag="CAST(i - 1 AS VARCHAR)")}
+                          % {len(VOCAB)}]
+                for i in generate_series(1, n_words)], ' ') AS text
+      FROM sized)
+    SELECT CAST(d AS BIGINT) AS doc_id,
+           text,
+           ({langs})[1 + {hh.format(tag="'lang'")} % {len(LANGS)}] AS lang,
+           ({sources})[1 + {hh.format(tag="'src'")} % {len(SOURCES)}]
+             AS source,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM texts
+    """
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class _SynthCorpusReader(DataSourceReader):
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_parts = int(options.get("n_parts", 8))
+        # id range narrowed by pushed filters; [lo, hi) over doc ids
+        self.lo, self.hi = 0, self.n_docs
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        """Consume doc_id range predicates — the generator equivalent
+        of partition pruning; everything else is residual."""
+        range_types = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+        for f in filters:
+            handled = False
+            if (
+                isinstance(f, range_types)
+                and getattr(f, "attribute", None) == ("doc_id",)
+                and isinstance(f.value, int)
+            ):
+                v = f.value
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, v)
+                    self.hi = min(self.hi, v + 1)
+                    handled = True
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                    handled = True
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                    handled = True
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                    handled = True
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, v + 1)
+                    handled = True
+            if not handled:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = hi - lo
+        if n <= 0:
+            return [_RangePartition(lo, lo)]
+        k = min(self.n_parts, n)
+        step = -(-n // k)
+        return [
+            _RangePartition(lo + i * step, min(lo + (i + 1) * step, hi))
+            for i in range(k)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[Tuple]:
+        for d in range(partition.start, partition.end):
+            yield synth_doc(self.seed, d)
+
+
+class SynthCorpusDataSource(DataSource):
+    """``spark.read.format("corpussynth").option("n_docs", N)...`` —
+    documents-shaped deterministic corpus, partition-parallel."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "corpussynth"
+
+    def schema(self) -> str:
+        return (
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _SynthCorpusReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming: deterministic synthetic event stream
+# ---------------------------------------------------------------------------
+
+
+def synth_event(seed: int, i: int) -> Tuple[int, int, str, float]:
+    """(event_id, user_id, event_type, value) — pure function of index."""
+    user = _h(seed, i, "user") % 50
+    etype = ("click", "view", "purchase", "error")[_h(seed, i, "type") % 4]
+    value = round((_h(seed, i, "val") % 10_000) / 100.0, 2)
+    return (i, user, etype, value)
+
+
+class _SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.max_rows = int(options.get("max_rows", 500))
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"i": 0}
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        lo = start["i"]
+        hi = min(lo + self.batch_rows, self.max_rows)
+        return iter(
+            [synth_event(self.seed, i) for i in range(lo, hi)]
+        ), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        # checkpoint-recovery replay IS re-generation (pure function)
+        return iter(
+            [synth_event(self.seed, i) for i in range(start["i"], end["i"])]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SynthEventsDataSource(DataSource):
+    """``spark.readStream.format("eventsynth")`` — bounded
+    deterministic event micro-batches (offset = row index)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "eventsynth"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, event_type string, value double"
+
+    def simpleStreamReader(self, schema: StructType):  # noqa: N802
+        return _SynthEventsStreamReader(self.options)
+
+
+def register_python_sources(spark) -> None:
+    """Idempotent registration of both sources on a session; enables
+    Python-source filter pushdown (off by default in Spark 4.1, and a
+    reader implementing ``pushFilters`` REQUIRES it — runtime session
+    conf, same posture as ``catalog.load_table``'s nanos handling so a
+    vanilla driver-built session works)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthCorpusDataSource)
+    spark.dataSource.register(SynthEventsDataSource)

@@ -34,9 +34,12 @@ _GLOBAL_AGG = {"etl_filter_audit", "gopher_rule_funnel",
 # fixed-shape reports: one row per declared check/stage, zero-counted
 # (an empty table vacuously passes every check / converts nobody)
 _EMPTY_REPORTS = {"lineitem_quality_report": 8, "event_funnel": 3}
-# media queries synthesize their blobs (no media table in testdata) —
-# input-independent by design, so 'empty input' doesn't apply to them
-_SYNTHETIC = {n for n in QUERIES if n.startswith("media_")}
+# media queries synthesize their blobs (no media table in testdata),
+# and the Python-data-source entry GENERATES its corpus — input-
+# independent by design, so 'empty input' doesn't apply to them
+_SYNTHETIC = {n for n in QUERIES if n.startswith("media_")} | {
+    "synth_corpus_lang_profile"
+}
 
 
 @pytest.fixture(scope="module")
@@ -107,5 +110,6 @@ def test_catalog_plan_hygiene(spark, name):
         "mad_outlier_days",  # 1-row median + 1-row MAD broadcasts
         "bigram_collocations",  # 1-row gram-total broadcast
         "part_basket_affinity",  # 1-row order-count broadcast
+        "purchase_graph_pagerank",  # 1-row dangling-deficit broadcast/round
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name

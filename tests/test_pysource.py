@@ -1,0 +1,151 @@
+"""Spark 4 Python Data Source API tests (sources/pysource.py):
+partition-parallel deterministic generation, doc_id-range filter
+pushdown (generator-side partition pruning), DuckDB byte-parity of
+the generated corpus, and the streaming source's offset/replay
+semantics."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import duckdb
+import pandas as pd
+import pytest
+
+from nyc_taxi_etl_spark.sources.pysource import (
+    register_python_sources,
+    synth_corpus_oracle_sql,
+    synth_doc,
+    synth_event,
+)
+
+
+@pytest.fixture(scope="module")
+def pysrc_spark(spark):
+    register_python_sources(spark)
+    return spark
+
+
+def _read(spark, **opts):
+    r = spark.read.format("corpussynth")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_corpus_partition_parallel_and_deterministic(pysrc_spark):
+    df = _read(pysrc_spark, n_docs=200, n_parts=4, seed=42)
+    assert df.rdd.getNumPartitions() == 4
+    a = df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        _read(pysrc_spark, n_docs=200, n_parts=2, seed=42)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # content independent of the partition layout
+    pd.testing.assert_frame_equal(a, b)
+    # row content is the pure function the module exports
+    assert tuple(a.iloc[7]) == synth_doc(42, 7)
+    # different seed → different corpus
+    c = _read(pysrc_spark, n_docs=200, n_parts=4, seed=7).toPandas()
+    assert set(c["text"]) != set(a["text"])
+
+
+def test_corpus_matches_duckdb_regeneration(pysrc_spark):
+    """The determinism contract: SQL rebuilds the identical corpus
+    from the md5-prefix hashes (full byte parity, all columns)."""
+    got = (
+        _read(pysrc_spark, n_docs=300, n_parts=8, seed=42)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(synth_corpus_oracle_sql(42, 300))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_corpus_filter_pushdown_prunes_partitions(pysrc_spark):
+    """doc_id range predicates reach pushFilters and narrow the
+    generated range BEFORE partition planning — the filtered read
+    plans one partition per surviving doc, not n_parts full ranges."""
+    f = _read(pysrc_spark, n_docs=100_000, n_parts=8).filter(
+        "doc_id >= 99990 AND doc_id < 99995"
+    )
+    assert f.rdd.getNumPartitions() == 5  # 5 surviving ids, 1 doc each
+    rows = f.collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(99990, 99995))
+    # equality predicate → single-id range
+    e = _read(pysrc_spark, n_docs=100_000, n_parts=8).filter("doc_id = 12345")
+    assert e.rdd.getNumPartitions() == 1
+    assert [r["doc_id"] for r in e.collect()] == [12345]
+    # unsupported predicates stay residual and still evaluate correctly
+    g = _read(pysrc_spark, n_docs=100, n_parts=4).filter(
+        "doc_id < 10 AND lang = 'en'"
+    )
+    got = {(r["doc_id"], r["lang"]) for r in g.collect()}
+    want = {
+        (d, synth_doc(42, d)[2])
+        for d in range(10)
+        if synth_doc(42, d)[2] == "en"
+    }
+    assert got == want
+
+
+def test_corpus_feeds_document_operators(pysrc_spark):
+    """documents-shaped schema: the text operators run unchanged on a
+    generated corpus (the load-test path)."""
+    from nyc_taxi_etl_spark.operators.text import text_stats
+
+    corpus = _read(pysrc_spark, n_docs=100, n_parts=4)
+    prof = text_stats(corpus).toPandas()
+    assert len(prof) == 100
+    assert (prof["n_tokens"] >= 20).all() and (prof["n_tokens"] <= 100).all()
+
+
+def test_event_stream_batches_and_replay(pysrc_spark):
+    sdf = (
+        pysrc_spark.readStream.format("eventsynth")
+        .option("batch_rows", 100)
+        .option("max_rows", 300)
+        .load()
+    )
+    name = "es_" + uuid.uuid4().hex[:8]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        pysrc_spark.table(name)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 300  # max_rows caps the stream
+    # every row is the pure function of its index (replay-exact)
+    for i in (0, 99, 100, 299):
+        assert tuple(got.iloc[i]) == synth_event(42, i)
+
+
+def test_event_stream_read_between_offsets_is_regeneration():
+    from nyc_taxi_etl_spark.sources.pysource import _SynthEventsStreamReader
+
+    r = _SynthEventsStreamReader({"batch_rows": 50, "max_rows": 200})
+    first, nxt = r.read({"i": 0})
+    assert nxt == {"i": 50}
+    replay = list(r.readBetweenOffsets({"i": 0}, {"i": 50}))
+    assert list(first) == replay  # checkpoint recovery = regeneration
+    # stream drains at max_rows: offset stops advancing
+    _, end = r.read({"i": 200})
+    assert end == {"i": 200}
