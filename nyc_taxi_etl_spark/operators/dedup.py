@@ -516,13 +516,6 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    def _checksum(e: DataFrame) -> tuple[int, int]:
-        row = e.select(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
-        ).first()
-        return (row["n"], row["h"])
-
     def _large_star(e: DataFrame) -> DataFrame:
         # symmetric neighborhoods; for each u: m = min(Γ(u) ∪ {u});
         # connect every strictly larger neighbor v directly to m
@@ -552,10 +545,21 @@ def connected_components(
         hubs = mins.select(F.col("a"), F.col("m").alias("b"))
         return moved.union(hubs).distinct()
 
-    prev = _checksum(edges)
-    for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        cur = _checksum(edges)
+    # convergence checksum rides the checkpoint job itself via
+    # df.observe (CollectMetrics fires when localCheckpoint
+    # materializes) — one job per round instead of checkpoint+checksum
+    from pyspark.sql import Observation
+
+    prev: tuple[int, int] | None = None
+    for i in range(max_iterations):
+        obs = Observation(f"cc_round_{i}")
+        stepped = _small_star(_large_star(edges)).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        )
+        edges = stepped.localCheckpoint(eager=True)
+        cur = (obs.get["n"], obs.get["h"])
         if cur == prev:
             break
         prev = cur

@@ -48,11 +48,11 @@ def pagerank(
     so the next round's edge join lines up again without moving the
     edges. The dangling-node term needs no anti-join at all: ranks sum
     to 1 every round, so the undistributed mass is ``1 − Σ new_raw``
-    (new_raw = base + d·inc), recovered as a 1-row aggregate over the
-    already-checkpointed ranks and broadcast back (scalar cross-join
-    pattern, never a driver round-trip of node state). A fixed
-    iteration count (‖Δ‖ ≈ d^k) replaces convergence polling so the
-    driver loop does no data reads at all. Skewed in-degree
+    (new_raw = base + d·inc), recovered as an OBSERVED metric on the
+    checkpoint job itself (``df.observe`` / CollectMetrics — zero
+    extra jobs, one scalar per round to the driver, never node
+    state). A fixed iteration count (‖Δ‖ ≈ d^k) replaces convergence
+    polling so the driver loop does no data reads. Skewed in-degree
     (celebrity nodes) degrades only the final agg — salting composes
     if needed (functions/skew.py)."""
     spark = edges.sparkSession
@@ -86,7 +86,7 @@ def pagerank(
         ).limit(0)
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
@@ -102,19 +102,25 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("inc"), F.lit(0.0))
             ).alias("rank"),
         )
-        # raw feeds BOTH the deficit agg and the final per-node add:
+        # raw feeds BOTH the deficit sum and the final per-node add:
         # localCheckpoint materializes it once, truncates lineage
         # (constant plan depth across rounds — the connected-components
         # posture, dedup.py) and PRESERVES the hash(node) partitioning
-        # the next round's edge join needs.
-        raw = raw.localCheckpoint(eager=True)
+        # the next round's edge join needs. The Σ rank needed for the
+        # dangling deficit rides the SAME checkpoint job via
+        # df.observe (CollectMetrics fires on materialization) — zero
+        # extra jobs, one scalar to the driver per round.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"pr_mass_{it}")
+        raw = raw.observe(obs, F.sum("rank").alias("mass")).localCheckpoint(
+            eager=True
+        )
         # Σ ranks = 1 invariant ⇒ the dangling mass d·dm is exactly the
         # deficit 1 − Σ raw; redistribute it uniformly
-        deficit = raw.agg((F.lit(1.0) - F.sum("rank")).alias("_deficit"))
-        ranks = raw.crossJoin(F.broadcast(deficit)).select(
+        deficit = 1.0 - obs.get["mass"]
+        ranks = raw.select(
             "node",
-            (F.col("rank") + F.col("_deficit") / F.lit(float(n_nodes))).alias(
-                "rank"
-            ),
+            (F.col("rank") + F.lit(deficit / float(n_nodes))).alias("rank"),
         )
     return ranks
