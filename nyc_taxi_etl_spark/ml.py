@@ -240,6 +240,7 @@ def presample_per_group(
     cap: int,
     seed: int = 42,
     sample_col: str = "_sample_ppm",
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """Deterministic per-group row-count cap that runs BEFORE any
     grouped-map materialization — a Catalyst filter, not a pandas one.
@@ -248,13 +249,24 @@ def presample_per_group(
     before user code runs, so an in-UDF ``iloc[:cap]`` bounds nothing:
     a terabyte group still materializes on one executor first. This
     helper bounds the group *upstream*: a per-group count (one hash
-    agg over the group domain — a bounded aggregate, legitimately
-    broadcast), joined back, gates each row on
-    ``xxhash64(all cols, seed) mod 1e6 < ceil(cap/count · 1e6 · slack)``.
+    agg over the group domain), joined back, gates each row on
+    ``pmod(xxhash64(all cols, seed), 1e6) < ceil(cap/count·1e6·slack)``.
     Groups already within ``cap`` pass through whole. Expected kept
     rows ≈ ``slack × cap``; the caller trims to exactly ``cap`` by
-    sorting on the retained ``sample_col`` (hash order = deterministic,
-    shuffle-order independent).
+    sorting on the retained ``sample_col``, which carries the FULL
+    64-bit xxhash64 value (only the gate uses the mod-1e6 bucket), so
+    the trim's sort key is effectively tie-free — deterministic and
+    shuffle-order independent regardless of Arrow batch row order.
+
+    Broadcast contract: the counts frame is one row per distinct
+    group. It is force-broadcast only when the group cardinality is
+    known ≤ ``max_groups`` (the counts frame is persisted and probed
+    with ``limit(max_groups+1).count()`` — one bounded action against
+    an already-small aggregate, not a second scan of ``df``); above
+    the cap the join degrades to a plain equi-join and lets
+    AQE/sort-merge handle it instead of shipping an unbounded
+    broadcast. Mirrors the ``max_queries`` contract in
+    ``operators/pq.py``.
 
     Matches the reference's 5 000-row sampled iForest fit
     (``notebooks/comprehensive_trip_analysis_part2.ipynb:926``), made
@@ -275,15 +287,21 @@ def presample_per_group(
         .cast("long")
         .alias("_keep_ppm")
     )
-    gate = counts.select(group_col, thr)
-    bucket = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)),
-        F.lit(_PPM),
-    ).cast("long")
+    # Persist so the cardinality probe and the gate join share one
+    # computation of the (small) aggregate; bounded memory: at most
+    # max_groups+1 rows are ever pulled by the probe, and the frame
+    # itself is one short row per group.
+    gate = counts.select(group_col, thr).persist()
+    n_groups = gate.limit(max_groups + 1).count()
+    gate_side = F.broadcast(gate) if n_groups <= max_groups else gate
+    full_hash = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
     return (
-        df.withColumn(sample_col, bucket)
-        .join(F.broadcast(gate), on=group_col, how="inner")
-        .where(F.col(sample_col) < F.col("_keep_ppm"))
+        df.withColumn(sample_col, full_hash)
+        .join(gate_side, on=group_col, how="inner")
+        .where(
+            F.pmod(F.col(sample_col), F.lit(_PPM)).cast("long")
+            < F.col("_keep_ppm")
+        )
         .drop("_keep_ppm")
     )
 

@@ -282,7 +282,40 @@ def sniff_format(blob: bytes) -> str | None:
     return None
 
 
+#: Injectable production decoder (``bytes -> HxWx3 uint8 ndarray``)
+#: for streams the builtin codecs reject — progressive/SOF2 or
+#: arithmetic-coded JPEG, exotic sampling ratios. Real corpora contain
+#: these; a deployment with Pillow/libjpeg/turbojpeg available plugs it
+#: in here ONCE and every media operator (features/resize/audit) picks
+#: it up. ``None`` (default) → lazy Pillow probe, then re-raise.
+_FALLBACK_DECODER = None
+
+
+def register_fallback_decoder(fn) -> None:
+    """Install (or clear, with ``None``) the production image-decoder
+    hook used when a sniffed container fails the builtin decode."""
+    global _FALLBACK_DECODER
+    _FALLBACK_DECODER = fn
+
+
+def _fallback_decode(blob: bytes, err: ValueError) -> np.ndarray:
+    if _FALLBACK_DECODER is not None:
+        return np.asarray(_FALLBACK_DECODER(blob), dtype=np.uint8)
+    try:  # pragma: no cover - Pillow not installed in this container
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+    except ImportError:
+        raise err from None
+
+
 def sniff_and_decode(blob: bytes) -> np.ndarray:
+    """Decode by magic-byte sniff. JPEG features beyond the builtin
+    baseline codec (progressive etc.) fall through to the registered
+    fallback decoder / Pillow instead of failing the task outright;
+    with neither available the builtin's clear ValueError surfaces."""
     fmt = sniff_format(blob)
     if fmt == "png":
         return decode_png(blob)
@@ -293,7 +326,10 @@ def sniff_and_decode(blob: bytes) -> np.ndarray:
     if fmt == "jpeg":
         from .jpegcodec import decode_jpeg
 
-        return decode_jpeg(blob)
+        try:
+            return decode_jpeg(blob)
+        except ValueError as exc:
+            return _fallback_decode(blob, exc)
     raise ValueError(
         "unrecognized image container (no PNG/BMP/PPM/JPEG magic)"
     )

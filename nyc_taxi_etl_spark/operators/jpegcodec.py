@@ -10,8 +10,9 @@ dependency beyond numpy:
   DHT, SOS, DRI/RSTn, APPn/COM skip), entropy decode (canonical
   Huffman per Annex C, byte unstuffing, restart-interval DC reset),
   dequantize + zigzag, 8×8 inverse DCT (orthonormal separable matrix
-  form), chroma upsample for any h/v sampling factors ≤ 4 (covers
-  4:4:4 / 4:2:2 / 4:2:0), YCbCr→RGB per the JFIF matrix. Grayscale
+  form), chroma upsample for h/v sampling factors ≤ 4 with integer
+  max/factor ratios (covers 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1;
+  non-integer ratios raise), YCbCr→RGB per the JFIF matrix. Grayscale
   scans decode to HxWx3 by channel replication (the media pipeline's
   image contract). Progressive (SOF2) and arithmetic-coded streams
   raise with a clear message — baseline only, like the first
@@ -203,8 +204,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated JPEG entropy-coded data")
         b = self.buf[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("truncated JPEG entropy-coded data")
             nxt = self.buf[self.pos + 1]
             if nxt == 0x00:  # stuffed literal FF
                 self.pos += 2
@@ -239,6 +244,8 @@ class _BitReader:
         next two bytes."""
         self.acc = 0
         self.nbits = 0
+        if self.pos + 1 >= len(self.buf):
+            raise ValueError("truncated JPEG at restart-interval boundary")
         if self.buf[self.pos] != 0xFF or not (
             0xD0 <= self.buf[self.pos + 1] <= 0xD7
         ):
@@ -311,13 +318,27 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         if blob[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip them so the byte AFTER the run is the marker
+        # code, never misread as a segment header
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(blob):
+            raise ValueError("truncated JPEG (dangling 0xFF at end)")
         marker = blob[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(blob):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+        if pos + 2 + seglen > len(blob):
+            raise ValueError(
+                f"truncated JPEG segment FF{marker:02X} "
+                f"(declares {seglen} bytes past end of stream)"
+            )
         seg = blob[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
             i = 0
@@ -383,6 +404,16 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     scomps, data_start = scan
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    # integer replication upsample needs hmax/vmax to be exact
+    # multiples of each component's factors (covers every
+    # 4:4:4/4:2:2/4:2:0/4:1:1 file; non-integer ratios like 3:2 are
+    # legal but vanishingly rare and would need fractional resampling)
+    for cid, hf, vf, _ in comps:
+        if hmax % hf or vmax % vf:
+            raise ValueError(
+                f"unsupported JPEG sampling ratio (component {cid} "
+                f"{hf}x{vf} vs max {hmax}x{vmax}: non-integer upsample)"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     # per-component coefficient planes, MCU-padded
@@ -437,6 +468,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
             mcu_count += 1
     # upsample each component to full MCU-grid resolution and crop
+    # (sampling ratios validated above, before entropy decode)
     full = {}
     for cid, hf, vf, _ in comps:
         p = planes[cid] + 128.0
@@ -448,7 +480,12 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         return np.stack([y, y, y], axis=2)
     if len(comps) != 3:
         raise ValueError(f"unsupported component count {len(comps)}")
-    yy, cb, cr = (full[c[0]] for c in comps)
+    # Y/Cb/Cr by JFIF component ID (1/2/3) when present — SOF may list
+    # components in any order; fall back to SOF order for nonstandard
+    # IDs (e.g. Adobe 'RGB'-tagged streams)
+    cids = [c[0] for c in comps]
+    order = [1, 2, 3] if sorted(cids) == [1, 2, 3] else cids
+    yy, cb, cr = (full[cid] for cid in order)
     r = yy + 1.402 * (cr - 128.0)
     g = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = yy + 1.772 * (cb - 128.0)

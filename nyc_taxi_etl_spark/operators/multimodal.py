@@ -127,16 +127,27 @@ def _decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
     Decode order: (1) PNG / BMP / PPM / baseline-JPEG containers via
     the REAL pure-numpy codecs in ``imagecodec.py`` + ``jpegcodec.py``
     (magic-byte sniff, CRC checks, full PNG defilter, JPEG Huffman +
-    IDCT + chroma upsample); (2) raw RGB buffer of the declared size
-    (as produced by a decode-at-ingest stage); (3) Pillow if
-    importable, for formats beyond the built-in four (progressive
-    JPEG etc. — not present in this container). Unknown bytes raise
-    instead of fabricating pixels."""
+    IDCT + chroma upsample) — JPEG features beyond the builtin codec
+    (progressive/SOF2 etc.) route through imagecodec's registered
+    fallback decoder / Pillow before failing; (2) raw RGB buffer of
+    the declared size (as produced by a decode-at-ingest stage);
+    (3) Pillow if importable, for formats beyond the built-in four.
+    Undecodable bytes raise ValueError instead of fabricating
+    pixels."""
     from .imagecodec import sniff_and_decode, sniff_format
 
-    if sniff_format(blob) is not None:
-        return sniff_and_decode(blob)
     expect = width * height * 3
+    if sniff_format(blob) is not None:
+        try:
+            return sniff_and_decode(blob)
+        except ValueError:
+            # sniffed container the codecs (and any fallback) reject:
+            # last resort is the declared-size raw buffer
+            if len(blob) == expect:
+                return np.frombuffer(blob, dtype=np.uint8).reshape(
+                    height, width, 3
+                )
+            raise
     if len(blob) == expect:
         return np.frombuffer(blob, dtype=np.uint8).reshape(height, width, 3)
     try:  # pragma: no cover - Pillow not installed in this container
@@ -164,16 +175,33 @@ _IMG_FEAT_SCHEMA = StructType(
 )
 
 
-def image_features(media: DataFrame) -> DataFrame:
+def image_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Per-image features via mapInPandas: intensity stats + an
     8x8 average-hash fingerprint (near-dup signal for images, the
-    visual twin of SimHash)."""
+    visual twin of SimHash).
+
+    ``on_error``: ``"raise"`` (default — a corrupt blob fails the
+    task, the posture for trusted pipelines) or ``"skip"`` — rows the
+    decoder rejects (e.g. progressive JPEG with no fallback decoder
+    registered) are dropped instead of poisoning the whole task; pair
+    with :func:`image_decode_audit` to count and inspect what was
+    skipped. At 100 TB a one-in-a-billion malformed blob must not
+    kill the job."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                img = _decode_image(bytes(r.content), int(r.width), int(r.height))
+                try:
+                    img = _decode_image(
+                        bytes(r.content), int(r.width), int(r.height)
+                    )
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 gray = img.mean(axis=2)
                 # 8x8 average hash: downsample by block-mean, threshold
                 ys = np.array_split(np.arange(gray.shape[0]), 8)
@@ -196,6 +224,43 @@ def image_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in _IMG_FEAT_SCHEMA.fields])
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, _IMG_FEAT_SCHEMA)
+
+
+_DECODE_AUDIT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("decode_ok", IntegerType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def image_decode_audit(media: DataFrame) -> DataFrame:
+    """Per-image decodability audit: (media_id, decode_ok, error) —
+    the 'counted skip' companion to ``image_features(on_error='skip')``.
+    A curation run over a crawled corpus groups this by error to see
+    exactly which blobs the decode stage dropped (progressive JPEG,
+    truncation, bad magic) instead of inferring it from row-count
+    deltas. Same Arrow-batched mapInPandas shape as the feature
+    extractors; the decoded pixels are discarded, only the verdict
+    row flows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    _decode_image(bytes(r.content), int(r.width), int(r.height))
+                    out.append((r.media_id, 1, None))
+                except ValueError as exc:
+                    out.append((r.media_id, 0, str(exc)[:200]))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in _DECODE_AUDIT_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, _DECODE_AUDIT_SCHEMA
+    )
 
 
 _RESIZE_SCHEMA = StructType(

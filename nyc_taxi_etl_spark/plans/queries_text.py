@@ -481,10 +481,12 @@ def minhash_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY hamming, id_a, id_b LIMIT 20000
     """,
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 of 32).
+    """SimHash near-dup pairs (Hamming ≤ 3 of 32), closest-first
+    top-20k by (hamming, id_a, id_b).
 
     Spark plan uses pigeonhole block-joins (sub-quadratic, the
     Manku/Jain/Sarma web-dedup shape); the oracle brute-forces all
@@ -494,10 +496,23 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so per-document SimHash signatures are hash-verified transitively
     by this row (operators/dedup.py::simhash also has a dedicated
     DuckDB parity test in tests).
-    """
-    return D.simhash_near_pairs(
-        t(spark, sf_dir, "documents"), bits=32, max_hamming=3, blocks=4
-    ).select("id_a", "id_b", "hamming")
+
+    The operator itself (``D.simhash_near_pairs``) is uncapped; the
+    CATALOG entry bounds its result with a deterministic top-N — at
+    32-bit signatures the Hamming≤3 pair count grows superlinearly
+    with corpus size (sf0.1 emits 1.57 M pairs), and a result surface
+    should be a ranked report, not an unbounded dump. 20 000 exceeds
+    every pair count at sf≤0.01 (15 351 at sf0.01), so smaller-SF
+    results are byte-identical to the uncapped entry; Spark plans it
+    as TakeOrdered (no full sort)."""
+    return (
+        D.simhash_near_pairs(
+            t(spark, sf_dir, "documents"), bits=32, max_hamming=3, blocks=4
+        )
+        .select("id_a", "id_b", "hamming")
+        .orderBy("hamming", "id_a", "id_b")
+        .limit(20000)
+    )
 
 
 def _components_sql() -> str:
@@ -1011,17 +1026,26 @@ def shingle_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(agg, ["shingle"], "df", 100)
 
 
-@query(
-    "fuzzy_near_pairs",
-    # Scale path (sf0.1 gate): levenshtein is evaluated ONCE per pair
-    # (the old SELECT+WHERE pair ran it twice), and only on candidates
-    # surviving two EXACT lower-bound prunes — length difference
-    # (|len a − len b| ≤ d) and character-bag L1 distance (each edit
-    # moves the char histogram by ≤ 2, so L1 ≤ 2d) — which drop the
-    # 1.1 M shingle-blocked candidates at sf0.1 to ~180 k before the
-    # O(L²) distance runs (506 s → ~100 s; sound: both bounds are
-    # necessary conditions for distance ≤ 50).
-    f"""
+def fuzzy_candidates_sql() -> str:
+    """The blocking + exact-lower-bound stage of the fuzzy oracle:
+    shingle-inverted-index candidates pruned by length difference
+    (|len a − len b| ≤ d) and character-bag L1 distance (each edit
+    moves the char histogram by ≤ 2, so L1 ≤ 2d). Both bounds are
+    necessary conditions for distance ≤ 50, so this drops the 1.1 M
+    shingle-blocked candidates at sf0.1 to ~183 k with zero recall
+    loss. Exposed separately so the sf0.1 gate can verify distances
+    with the proven-equivalent banded engine (tests/fastlev.py).
+
+    A hashed-bigram-histogram q-gram prune (L1 ≤ 4d; 64 buckets) was
+    measured here and removed only 0.7 % of the survivors for +5 s of
+    histogram work: this corpus draws documents from a shared 64-word
+    vocabulary, so surviving candidates are near-word-permutations
+    whose bigram multisets differ by ~2 per reordered word — well
+    inside the 4·d = 200 slack at d = 50. Any q-gram bound is
+    mathematically vacuous against permutation-shaped near-misses at
+    this threshold; the fix is a faster exact distance, not a looser
+    filter."""
+    return f"""
     WITH {_SQL_SHINGLES_CTE},
     post AS (SELECT doc_id, unnest(sh) AS s FROM shl),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1035,17 +1059,29 @@ def shingle_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
                             'm','n','o','p','q','r','s','t','u','v','w','x',
                             'y','z','0','1','2','3','4','5','6','7','8','9',
                             ' ']] AS hist
-          FROM n),
-    filt AS (
-      SELECT id_a, id_b, na.t AS ta, nb.t AS tb
-      FROM cand JOIN h na ON id_a = na.doc_id JOIN h nb ON id_b = nb.doc_id
-      WHERE abs(length(na.t) - length(nb.t)) <= 50
-        AND list_sum(list_transform(list_zip(na.hist, nb.hist),
-                                    p -> abs(p[1] - p[2]))) <= 100),
-    scored AS (SELECT id_a, id_b, levenshtein(ta, tb) AS d FROM filt)
+          FROM n)
+    SELECT id_a, id_b, na.t AS ta, nb.t AS tb
+    FROM cand JOIN h na ON id_a = na.doc_id JOIN h nb ON id_b = nb.doc_id
+    WHERE abs(length(na.t) - length(nb.t)) <= 50
+      AND list_sum(list_transform(list_zip(na.hist, nb.hist),
+                                  p -> abs(p[1] - p[2]))) <= 100
+    """
+
+
+def fuzzy_oracle_sql() -> str:
+    """Full pure-SQL fuzzy oracle: candidates + levenshtein verify,
+    evaluated ONCE per pair via the scored CTE."""
+    return f"""
+    WITH cands AS ({fuzzy_candidates_sql()}),
+    scored AS (SELECT id_a, id_b, levenshtein(ta, tb) AS d FROM cands)
     SELECT id_a, id_b, CAST(d AS BIGINT) AS distance
     FROM scored WHERE d <= 50
-    """,
+    """
+
+
+@query(
+    "fuzzy_near_pairs",
+    fuzzy_oracle_sql(),
     extra=True,
 )
 def fuzzy_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:

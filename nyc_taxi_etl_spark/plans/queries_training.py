@@ -319,7 +319,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("doc_bpe_token_stats", extra=True)
 def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full tokenizer lifecycle in one catalog query: TRAIN 30 BPE
+    """The full tokenizer lifecycle in one catalog query: TRAIN 12 BPE
     merges on the corpus (word-type-table iteration, ``train_bpe``),
     then APPLY them corpus-wide (``segment_words`` — a pure Catalyst
     fold over the merge literals, zero Python in the apply pass) and

@@ -1,0 +1,148 @@
+"""Batch banded Levenshtein — the oracle-side distance engine for the
+sf0.1 fuzzy-dedup gate.
+
+Why this exists: the pure-SQL ``fuzzy_near_pairs`` oracle is exact and
+stays the driver-facing spec (sf0.01: fine), but at sf0.1 its final
+stage hands DuckDB ~183 k candidate pairs of ~300-char strings and
+``levenshtein`` there is an unbanded O(L²) full-matrix per call
+(~120 s measured). Every *sound* q-gram prune was measured to be
+vacuous on this corpus: documents are drawn from a shared 64-word
+vocabulary, so the surviving candidates are near-word-permutations
+whose char-bag AND bigram-multiset L1 distances sit inside the 4·d
+lower-bound slack at d=50 (a hashed-bigram-histogram prune removed
+0.7 % of pairs for +5 s of histogram work). The honest fix is a
+faster *exact* algorithm, not a looser filter.
+
+This module implements the Ukkonen banded DP (cells limited to
+|j − i| ≤ d — any alignment path costing ≤ d stays inside the band,
+so values ≤ d are EXACT and values > d are clamped to d+1, which is
+all a threshold verify needs), vectorized with numpy across a batch
+of pairs. The in-row left-neighbor dependency dp[i][j] =
+min(…, dp[i][j−1]+1) is resolved without a serial scan via the
+min-plus prefix trick: dp[i][j] = min_{k≤j}(base[k] + (j−k)) =
+j + running_min(base[k] − k).
+
+Equivalence to DuckDB's ``levenshtein`` is pinned by
+tests/test_fastlev.py on random strings and on the real corpus
+candidate pairs at small SFs. ASCII-only by design (the normalized
+corpus text is lowercased ASCII); non-ASCII input raises rather than
+silently diverging from char-level distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_INF = np.int32(1 << 20)
+_INF16 = np.int16(30000)
+
+
+def banded_levenshtein_batch(
+    a_list: list[str], b_list: list[str], d: int, chunk: int = 16384
+) -> np.ndarray:
+    """Exact Levenshtein distance per pair where it is ≤ ``d``;
+    pairs with true distance > ``d`` report ``d + 1``.
+
+    O(L·(2d+1)) cells per pair instead of O(L²), computed as ~6 numpy
+    ops per DP row across the whole chunk of pairs at once.
+    """
+    n = len(a_list)
+    if len(b_list) != n:
+        raise ValueError("a_list/b_list length mismatch")
+    out = np.full(n, d + 1, dtype=np.int32)
+    if n == 0:
+        return out
+    # process in chunks sorted by length so the padded row count per
+    # chunk tracks the actual strings, not the global max
+    order = np.argsort(
+        [max(len(a_list[i]), len(b_list[i])) for i in range(n)],
+        kind="stable",
+    )
+    for c0 in range(0, n, chunk):
+        idx = order[c0 : c0 + chunk]
+        out[idx] = _chunk(
+            [a_list[i] for i in idx], [b_list[i] for i in idx], d
+        )
+    return out
+
+
+def _encode(strs: list[str], width: int, left_pad: int) -> np.ndarray:
+    # 0 is the pad byte; real text bytes are >= 1 so pad never matches
+    m = np.zeros((len(strs), left_pad + width), dtype=np.uint8)
+    for r, s in enumerate(strs):
+        b = s.encode("ascii")  # raises on non-ASCII: see module doc
+        if 0 in b:
+            raise ValueError("NUL byte in input string")
+        m[r, left_pad : left_pad + len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return m
+
+
+def _chunk(A: list[str], B: list[str], d: int) -> np.ndarray:
+    m = len(A)
+    la = np.array([len(s) for s in A], dtype=np.int32)
+    lb = np.array([len(s) for s in B], dtype=np.int32)
+    res = np.full(m, d + 1, dtype=np.int32)
+    # |len difference| > d can never verify; also resolves empty sides
+    feasible = np.abs(la - lb) <= d
+    res[feasible & (la == 0)] = lb[feasible & (la == 0)]
+    La = int(la.max(initial=0))
+    if La == 0:
+        return res
+    W = 2 * d + 1
+    karr = np.arange(W, dtype=np.int32)
+    Am = _encode(A, La, 0)
+    # Bpad[:, i + k] must be B[j-1] with j = i + k - d  ->  left pad d+1;
+    # width covers the slice [i, i+W) up to i = La even for infeasible
+    # pairs where La > lb.max() + d
+    Bm = _encode(B, max(int(lb.max(initial=0)), La) + W, d + 1)
+    # Monotonicity makes per-pair bounds masking unnecessary: a cell at
+    # band position k (column j) only ever reads cells at column <= j
+    # (diag j-1, up j, left j-1), so garbage values in columns j > lb
+    # (where Bm holds pad bytes that never match -> cost 1) can never
+    # flow into the j <= lb region we read results from. Only the
+    # uniform j < 0 / j == 0 boundary needs handling, and that is a
+    # scalar column index per row. This keeps the inner loop to ~6
+    # allocation-light vector ops on (m, W) arrays.
+    # int16 halves memory traffic on this bandwidth-bound loop (1.4x
+    # measured); cell values stay <= INF + La + W, so it is safe while
+    # strings are shorter than ~2000 chars — longer chunks fall back
+    # to int32
+    if La + W + 2 < np.iinfo(np.int16).max - int(_INF16):
+        dtype, inf = np.int16, _INF16
+    else:
+        dtype, inf = np.int32, _INF
+    karr = karr.astype(dtype)
+    # row 0: dp[0][j] = j for j in [0, d] (k = j + d), else INF
+    dp = np.where(karr >= d, karr - d, inf).astype(dtype)
+    dp = np.broadcast_to(dp, (m, W)).copy()
+    up = np.empty((m, W), dtype=dtype)
+    one = dtype(1)
+    for i in range(1, La + 1):
+        # diag: dp + substitution cost (bool upcasts to dtype)
+        diag = dp + (Am[:, i - 1 : i] != Bm[:, i : i + W])
+        # up-neighbor (i-1, j) lives at band k+1 of the previous row
+        up[:, : W - 1] = dp[:, 1:]
+        up[:, W - 1] = inf
+        up += one
+        np.minimum(diag, up, out=diag)
+        # boundary: j == 0 at k = d - i -> dp[i][0] = i; cells k < d - i
+        # (j < 0) must not feed the prefix scan
+        c0 = d - i
+        if c0 >= 0:
+            diag[:, c0] = i
+            if c0 > 0:
+                diag[:, :c0] = inf
+        # left-neighbor via min-plus prefix scan:
+        # dp[k] = min_{k'<=k}(base[k'] + (k - k'))
+        diag -= karr
+        np.minimum.accumulate(diag, axis=1, out=diag)
+        diag += karr
+        dp = diag
+        # pairs whose a ends at this row: read dp at j = lb
+        done = feasible & (la == i)
+        if np.any(done):
+            rows = np.nonzero(done)[0]
+            kf = lb[rows] - i + d  # in [0, W) because |la-lb| <= d
+            vals = dp[rows, kf]
+            res[rows] = np.minimum(vals, d + 1)
+    return res

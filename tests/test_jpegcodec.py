@@ -286,6 +286,98 @@ def test_progressive_rejected_with_clear_error():
         decode_jpeg(open(p, "rb").read())
 
 
+def _progressive_stub() -> bytes:
+    """Minimal progressive (SOF2) stream: SOI + SOF2 header. Enough to
+    drive the unsupported-process path without a real entropy stream."""
+    import struct
+
+    sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 0x11, 0])
+    return (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">H", len(sof2) + 2)
+        + sof2
+        + b"\xff\xd9"
+    )
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 allows any number of 0xFF pad bytes before a
+    marker; they must not be misread as a segment header."""
+    img = np.full((8, 8, 3), 100, np.uint8)
+    img[2:5, 3:7] = 30
+    blob = encode_jpeg(img, 90)
+    ref = decode_jpeg(blob)
+    # pad every metadata marker after SOI with extra 0xFF fill bytes
+    i = blob.index(b"\xff\xdb")
+    padded = blob[:i] + b"\xff\xff\xff" + blob[i:]
+    j = padded.index(b"\xff\xc0")
+    padded = padded[:j] + b"\xff" + padded[j:]
+    assert np.array_equal(decode_jpeg(padded), ref)
+
+
+def test_truncated_streams_raise_value_error():
+    """Truncation anywhere — segment header, segment body, entropy
+    data — surfaces as ValueError, never IndexError/struct.error."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    blob = encode_jpeg(img, 85)
+    for cut in (4, 10, len(blob) // 4, len(blob) // 2, len(blob) - 10):
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[:cut])
+    # dangling 0xFF at end of stream
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff")
+
+
+def test_non_integer_sampling_ratio_raises_clearly():
+    """hmax=3 with hf=2 (legal per T.81, unsupported here) raises the
+    explicit sampling-ratio error before entropy decode, not a numpy
+    shape crash."""
+    import struct
+
+    sof = (
+        bytes([8])
+        + struct.pack(">HH", 16, 16)
+        + bytes([3])
+        + bytes([1, 0x31, 0])  # Y: 3x1
+        + bytes([2, 0x21, 1])  # Cb: 2x1 -> 3 % 2 != 0
+        + bytes([3, 0x11, 1])
+    )
+    blob = (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + struct.pack(">H", len(sof) + 2)
+        + sof
+        + b"\xff\xda"
+        + struct.pack(">H", 12)
+        + bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    with pytest.raises(ValueError, match="sampling ratio"):
+        decode_jpeg(blob)
+
+
+def test_progressive_stub_and_fallback_seam():
+    """Progressive JPEG: builtin decode raises; with a production
+    decoder registered via imagecodec.register_fallback_decoder the
+    same bytes decode through the seam (how a Pillow/libjpeg deploy
+    plugs in)."""
+    from nyc_taxi_etl_spark.operators import imagecodec
+
+    blob = _progressive_stub()
+    with pytest.raises(ValueError, match="SOF|process"):
+        decode_jpeg(blob)
+    # no fallback registered (and no Pillow here): error surfaces
+    with pytest.raises(ValueError, match="SOF|process"):
+        imagecodec.sniff_and_decode(blob)
+    fake = np.full((8, 8, 3), 42, np.uint8)
+    imagecodec.register_fallback_decoder(lambda b: fake)
+    try:
+        assert np.array_equal(imagecodec.sniff_and_decode(blob), fake)
+    finally:
+        imagecodec.register_fallback_decoder(None)
+
+
 def test_sniff_integration_and_media_pipeline():
     """sniff_and_decode dispatches JPEG; synthesize_media now cycles a
     real JPEG container through the mapInPandas feature pass."""

@@ -183,3 +183,51 @@ def test_iforest_presample_caps_group_before_grouped_map(spark):
     assert n_big <= cap
     n_small = scored.where(F.col("g") == "small").count()
     assert n_small == 50
+
+
+def test_presample_sample_col_is_full_hash(spark):
+    """The retained sample column carries the FULL 64-bit xxhash64 (not
+    the mod-1e6 gate bucket), so the caller's exact-cap trim sorts on an
+    effectively tie-free key — the cut cannot depend on Arrow batch row
+    order."""
+    from nyc_taxi_etl_spark.ml import presample_per_group
+
+    pdf = pd.DataFrame({"g": ["a"] * 2000, "v": np.arange(2000.0)})
+    df = spark.createDataFrame(pdf)
+    sampled = presample_per_group(df, "g", 100, seed=42).collect()
+    vals = [r["_sample_ppm"] for r in sampled]
+    # full 64-bit hashes on distinct rows: all distinct, and far outside
+    # the [0, 1e6) bucket range a mod-valued column would be confined to
+    assert len(set(vals)) == len(vals)
+    assert any(abs(v) >= 1_000_000 for v in vals)
+
+
+def test_presample_max_groups_guard(spark):
+    """Broadcast contract (mirrors pq.py max_queries): the per-group
+    counts frame is force-broadcast only when its cardinality is known
+    <= max_groups; above the cap the gate join degrades to a plain
+    equi-join (AQE/sort-merge), never an unbounded forced broadcast."""
+    from nyc_taxi_etl_spark.ml import presample_per_group
+
+    pdf = pd.DataFrame({"g": [f"g{i % 3}" for i in range(300)], "v": np.arange(300.0)})
+    df = spark.createDataFrame(pdf)
+    conf = spark.conf
+    old_thr = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # under the cap: hint forces a broadcast join even with
+        # auto-broadcast disabled
+        under = presample_per_group(df, "g", 50, seed=1, max_groups=10)
+        plan_under = under._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_under
+        # over the cap: no forced hint -> sort-merge under threshold=-1
+        over = presample_per_group(df, "g", 50, seed=1, max_groups=2)
+        plan_over = over._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_over
+        # and the result set is identical either way (the guard changes
+        # only the join strategy, never the kept rows)
+        assert sorted(map(tuple, under.collect())) == sorted(
+            map(tuple, over.collect())
+        )
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)

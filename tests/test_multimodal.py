@@ -125,3 +125,38 @@ def test_patch_embeddings_on_synthetic_corpus(spark):
     for r in rows:
         assert len(r.embedding) == 48
         assert all(0.0 <= v <= 1.0 for v in r.embedding)
+
+
+def test_image_features_on_error_skip_and_audit(spark):
+    """The counted-skip seam: a progressive JPEG (no fallback decoder
+    registered, no Pillow in this container) fails decode; with
+    on_error='skip' it drops instead of failing the task, and
+    image_decode_audit reports exactly which row failed and why."""
+    import struct
+
+    from nyc_taxi_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_decode_audit,
+    )
+
+    sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 0x11, 0])
+    progressive = (
+        b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2 + b"\xff\xd9"
+    )
+    good = np.full(4 * 4 * 3, 200, np.uint8).tobytes()  # raw RGB path
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(progressive), 4, 4, None, None),
+            (2, "image", bytearray(good), 4, 4, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="SOF|process"):
+        image_features(df).collect()
+    kept = image_features(df, on_error="skip").collect()
+    assert [r["media_id"] for r in kept] == [2]
+    audit = {r["media_id"]: r for r in image_decode_audit(df).collect()}
+    assert audit[1]["decode_ok"] == 0 and "SOF" in audit[1]["error"]
+    assert audit[2]["decode_ok"] == 1 and audit[2]["error"] is None
+    with pytest.raises(ValueError, match="on_error"):
+        image_features(df, on_error="bogus")

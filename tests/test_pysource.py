@@ -138,14 +138,62 @@ def test_event_stream_batches_and_replay(pysrc_spark):
         assert tuple(got.iloc[i]) == synth_event(42, i)
 
 
-def test_event_stream_read_between_offsets_is_regeneration():
+def test_event_stream_partitioned_reader_contract():
+    """The partitioned DataSourceStreamReader: offsets advance one
+    micro-batch per trigger, each micro-batch splits into >1
+    executor-read InputPartitions, and reading any offset range is
+    exact regeneration (replay = checkpoint recovery)."""
     from nyc_taxi_etl_spark.sources.pysource import _SynthEventsStreamReader
 
-    r = _SynthEventsStreamReader({"batch_rows": 50, "max_rows": 200})
-    first, nxt = r.read({"i": 0})
-    assert nxt == {"i": 50}
-    replay = list(r.readBetweenOffsets({"i": 0}, {"i": 50}))
-    assert list(first) == replay  # checkpoint recovery = regeneration
+    r = _SynthEventsStreamReader(
+        {"batch_rows": 50, "max_rows": 200, "n_parts": 4}
+    )
+    assert r.initialOffset() == {"i": 0}
+    assert r.latestOffset() == {"i": 50}
+    parts = r.partitions({"i": 0}, {"i": 50})
+    assert len(parts) == 4  # executor-parallel micro-batch
+    rows = [row for p in parts for row in r.read(p)]
+    assert rows == [synth_event(42, i) for i in range(50)]
+    # replay of an arbitrary committed range is regeneration
+    replay = [
+        row for p in r.partitions({"i": 10}, {"i": 30}) for row in r.read(p)
+    ]
+    assert replay == [synth_event(42, i) for i in range(10, 30)]
     # stream drains at max_rows: offset stops advancing
-    _, end = r.read({"i": 200})
+    for _ in range(10):
+        end = r.latestOffset()
     assert end == {"i": 200}
+    # commit fast-forwards a fresh reader past a checkpointed offset
+    r2 = _SynthEventsStreamReader({"batch_rows": 50, "max_rows": 200})
+    r2.commit({"i": 150})
+    assert r2.latestOffset() == {"i": 200}
+    # tiny batch never plans more partitions than rows
+    assert len(r.partitions({"i": 0}, {"i": 2})) == 2
+    assert r.partitions({"i": 5, }, {"i": 5})[0].start == 5
+
+
+def test_event_stream_microbatch_has_parallel_partitions(pysrc_spark):
+    """End-to-end: the number of tasks per micro-batch equals the
+    planned InputPartitions — reads execute on executors, not the
+    driver (the r3 Simple reader's weakness)."""
+    sdf = (
+        pysrc_spark.readStream.format("eventsynth")
+        .option("batch_rows", 120)
+        .option("max_rows", 120)
+        .option("n_parts", 6)
+        .load()
+    )
+    name = "es_" + uuid.uuid4().hex[:8]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = pysrc_spark.table(name).toPandas()
+    assert len(got) == 120
+    assert got["event_id"].max() == 119
+    # the memory sink preserves within-partition batches; partition
+    # parallelism is asserted at the planner level above (len(parts))
