@@ -283,11 +283,11 @@ def sniff_format(blob: bytes) -> str | None:
 
 
 #: Injectable production decoder (``bytes -> HxWx3 uint8 ndarray``)
-#: for streams the builtin codecs reject — progressive/SOF2 or
-#: arithmetic-coded JPEG, exotic sampling ratios. Real corpora contain
-#: these; a deployment with Pillow/libjpeg/turbojpeg available plugs it
-#: in here ONCE and every media operator (features/resize/audit) picks
-#: it up. ``None`` (default) → lazy Pillow probe, then re-raise.
+#: for streams the builtin codecs reject — arithmetic-coded JPEG or
+#: non-integer sampling ratios (baseline AND progressive Huffman
+#: decode natively). A deployment with Pillow/libjpeg/turbojpeg plugs
+#: it in here ONCE and every media operator (features/resize/audit)
+#: picks it up. ``None`` (default) → lazy Pillow probe, then re-raise.
 _FALLBACK_DECODER = None
 
 
@@ -313,9 +313,10 @@ def _fallback_decode(blob: bytes, err: ValueError) -> np.ndarray:
 
 def sniff_and_decode(blob: bytes) -> np.ndarray:
     """Decode by magic-byte sniff. JPEG features beyond the builtin
-    baseline codec (progressive etc.) fall through to the registered
-    fallback decoder / Pillow instead of failing the task outright;
-    with neither available the builtin's clear ValueError surfaces."""
+    codec (arithmetic coding; baseline and progressive Huffman decode
+    natively) fall through to the registered fallback decoder / Pillow
+    instead of failing the task outright; with neither available the
+    builtin's clear ValueError surfaces."""
     fmt = sniff_format(blob)
     if fmt == "png":
         return decode_png(blob)

@@ -6,29 +6,44 @@ the media pipeline must read it. This module implements the baseline
 sequential DCT process of ITU-T T.81 (ISO/IEC 10918-1) with no
 dependency beyond numpy:
 
-* **Decoder** (``decode_jpeg``): marker parse (DQT 8/16-bit, SOF0,
-  DHT, SOS, DRI/RSTn, APPn/COM skip), entropy decode (canonical
-  Huffman per Annex C, byte unstuffing, restart-interval DC reset),
-  dequantize + zigzag, 8×8 inverse DCT (orthonormal separable matrix
-  form), chroma upsample for h/v sampling factors ≤ 4 with integer
+* **Decoder** (``decode_jpeg``): marker parse (DQT 8/16-bit, SOF,
+  DHT, SOS, DRI/RSTn, 0xFF fill bytes, APPn/COM skip), entropy decode
+  (canonical Huffman per Annex C, byte unstuffing, restart-interval
+  DC reset), dequantize + zigzag, batched 8×8 inverse DCT
+  (orthonormal separable matrix form over all blocks of a component
+  at once), chroma upsample for h/v sampling factors ≤ 4 with integer
   max/factor ratios (covers 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1;
   non-integer ratios raise), YCbCr→RGB per the JFIF matrix. Grayscale
   scans decode to HxWx3 by channel replication (the media pipeline's
-  image contract). Progressive (SOF2) and arithmetic-coded streams
-  raise with a clear message — baseline only, like the first
-  generation of every hardware decoder.
-* **Encoder** (``encode_jpeg``): 4:4:4 baseline with the Annex K
+  image contract). BOTH Huffman processes are decoded: baseline
+  sequential (SOF0/SOF1) and progressive (SOF2, Annex G — spectral
+  selection, successive approximation with DC/AC refinement scans and
+  EOB runs, interleaved and single-component scans). Arithmetic-coded
+  streams raise with a clear message (patent-era rarity; the
+  imagecodec fallback-decoder seam covers them in deployments with
+  a system codec).
+* **Encoders**: ``encode_jpeg`` — 4:4:4 baseline with the Annex K
   reference quantization tables scaled by the libjpeg quality curve
   (``5000/Q`` below 50, ``200−2Q`` above) and the Annex K "typical"
   Huffman tables (Tables K.3-K.6) — the same defaults virtually every
   camera writes, so any conforming decoder reads our output.
+  ``encode_jpeg_progressive`` — the same quantized coefficients
+  emitted as an SOF2 scan script (DC first + refinement, spectral AC
+  bands, two successive-approximation levels for luma), used both as
+  a progressive writer and as the roundtrip pin for the progressive
+  decoder.
 
-Validation posture: the decoder is pinned two independent ways —
+Validation posture: the decoder is pinned three independent ways —
 (1) an ANALYTIC fixture test hand-assembles a JPEG byte-by-byte in the
 test file (its own spelling of headers + Huffman tables) whose DC-only
 blocks have closed-form decoded values; (2) encode→decode roundtrips
 at PSNR tolerance (JPEG is lossy; Annex K at q85 keeps a smooth
-gradient within a few counts/pixel).
+gradient within a few counts/pixel); (3) progressive↔baseline
+equivalence — entropy coding is lossless over quantized coefficients,
+so decoding ``encode_jpeg_progressive``'s stream must be
+BIT-IDENTICAL to decoding ``encode_jpeg``'s stream of the same image,
+and real-world SOF2 files (non-interleaved DC, Ah=1 refinements)
+decode with pinned statistics.
 
 Scale posture: identical to the other codecs — this runs inside
 Arrow-batched ``mapInPandas`` media tasks (operators/multimodal.py),
@@ -44,7 +59,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = ["encode_jpeg", "encode_jpeg_progressive", "decode_jpeg"]
 
 
 # ---------------------------------------------------------------------------
@@ -303,8 +318,16 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Decode a baseline-sequential JFIF/JPEG byte string to an HxWx3
-    uint8 RGB array (grayscale replicates into 3 channels)."""
+    """Decode a JFIF/JPEG byte string to an HxWx3 uint8 RGB array
+    (grayscale replicates into 3 channels).
+
+    Handles baseline sequential (SOF0/SOF1) and progressive (SOF2)
+    Huffman processes — progressive covers spectral selection,
+    successive approximation (DC + AC refinement scans, EOB runs per
+    T.81 Annex G), interleaved and single-component scans, and
+    restart intervals. Entropy decode accumulates quantized
+    coefficients per component; dequantize + batched IDCT + upsample
+    + color run once at the end, shared by both processes."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -312,8 +335,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     restart_interval = 0
+    progressive = False
     frame = None  # (h, w, [(cid, hf, vf, tq)])
-    scan = None  # ([(cid, td, ta)], data_start)
+    scan = None  # ([(cid, td, ta)], data_start) — baseline only
+    state: dict | None = None  # progressive accumulation state
     while pos < len(blob):
         if blob[pos] != 0xFF:
             pos += 1
@@ -326,7 +351,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         if pos + 1 >= len(blob):
             raise ValueError("truncated JPEG (dangling 0xFF at end)")
         marker = blob[pos + 1]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+        if marker in (0xD8, 0x01, 0x00) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker == 0xD9:  # EOI
@@ -367,7 +392,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     bits, vals
                 )
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline-compatible
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -379,11 +404,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+            if progressive:
+                state = _progressive_state(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF marker FF{marker:02X}); "
-                "only baseline sequential Huffman (SOF0/SOF1) is decoded"
+                "baseline (SOF0/SOF1) and progressive (SOF2) Huffman "
+                "are decoded"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -394,14 +423,95 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 cid = seg[1 + 2 * s]
                 tt = seg[2 + 2 * s]
                 scomps.append((cid, tt >> 4, tt & 0x0F))
-            scan = (scomps, pos + 2 + seglen)
-            pos += 2 + seglen
-            break
+            if not progressive:
+                scan = (scomps, pos + 2 + seglen)
+                pos += 2 + seglen
+                break
+            # progressive: decode this scan now (tables may be
+            # redefined between scans) and continue the marker loop
+            # from wherever its entropy data ends
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            reader = _BitReader(blob, pos + 2 + seglen)
+            _progressive_scan(
+                reader,
+                state,
+                scomps,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 0x0F,
+                dc_tables,
+                ac_tables,
+                restart_interval,
+            )
+            state["nscans"] = state.get("nscans", 0) + 1
+            pos = reader.pos
+            continue
         pos += 2 + seglen
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0 or SOS")
+    if frame is None or (not progressive and scan is None):
+        raise ValueError("JPEG missing SOF or SOS")
+    if progressive and not state.get("nscans"):
+        raise ValueError("progressive JPEG with no SOS scans")
     h, w, comps = frame
-    scomps, data_start = scan
+    if progressive:
+        coefs = state["coef"]
+    else:
+        hmax, vmax, mcux, mcuy = _geometry(h, w, comps)
+        coefs = {
+            cid: np.zeros((mcuy * vf, mcux * hf, 64), dtype=np.int64)
+            for cid, hf, vf, _ in comps
+        }
+        scomps, data_start = scan
+        cinfo = {cid: (hf, vf, tq) for cid, hf, vf, tq in comps}
+        reader = _BitReader(blob, data_start)
+        pred = {cid: 0 for cid, _, _ in scomps}
+        mcu_count = 0
+
+        def decode_block(dc_tbl, ac_tbl) -> np.ndarray:
+            zz = np.zeros(64, dtype=np.int64)
+            s = _huff_decode(reader, dc_tbl)
+            diff = _extend(reader.read_bits(s), s) if s else 0
+            zz[0] = diff  # caller adds predictor
+            k = 1
+            while k < 64:
+                rs = _huff_decode(reader, ac_tbl)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                zz[k] = _extend(reader.read_bits(s), s)
+                k += 1
+            return zz
+
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    reader.byte_align_past_restart()
+                    pred = {cid: 0 for cid in pred}
+                for cid, td, ta in scomps:
+                    hf, vf, _tq = cinfo[cid]
+                    for by in range(vf):
+                        for bx in range(hf):
+                            zz = decode_block(dc_tables[td], ac_tables[ta])
+                            pred[cid] += int(zz[0])
+                            zz[0] = pred[cid]
+                            coefs[cid][my * vf + by, mx * hf + bx] = zz
+                mcu_count += 1
+    return _finish(h, w, comps, coefs, qtables)
+
+
+def _geometry(h: int, w: int, comps) -> tuple[int, int, int, int]:
+    """(hmax, vmax, mcux, mcuy) with sampling-ratio validation."""
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     # integer replication upsample needs hmax/vmax to be exact
@@ -414,64 +524,24 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 f"unsupported JPEG sampling ratio (component {cid} "
                 f"{hf}x{vf} vs max {hmax}x{vmax}: non-integer upsample)"
             )
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # per-component coefficient planes, MCU-padded
-    planes = {
-        cid: np.zeros((mcuy * vf * 8, mcux * hf * 8), dtype=np.float64)
-        for cid, hf, vf, _ in comps
-    }
-    cinfo = {cid: (hf, vf, tq) for cid, hf, vf, tq in comps}
-    reader = _BitReader(blob, data_start)
-    pred = {cid: 0 for cid, _, _ in scomps}
-    mcu_count = 0
-    dct_t = _DCT.T
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
-    def decode_block(dc_tbl, ac_tbl) -> np.ndarray:
-        zz = np.zeros(64, dtype=np.int64)
-        s = _huff_decode(reader, dc_tbl)
-        diff = _extend(reader.read_bits(s), s) if s else 0
-        zz[0] = diff  # caller adds predictor
-        k = 1
-        while k < 64:
-            rs = _huff_decode(reader, ac_tbl)
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:  # ZRL
-                    k += 16
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("AC run past end of block")
-            zz[k] = _extend(reader.read_bits(s), s)
-            k += 1
-        return zz
 
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.byte_align_past_restart()
-                pred = {cid: 0 for cid in pred}
-            for cid, td, ta in scomps:
-                hf, vf, tq = cinfo[cid]
-                for by in range(vf):
-                    for bx in range(hf):
-                        zz = decode_block(dc_tables[td], ac_tables[ta])
-                        pred[cid] += int(zz[0])
-                        zz[0] = pred[cid]
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz * qtables[tq]
-                        blk = dct_t @ coef.reshape(8, 8) @ _DCT
-                        y0 = (my * vf + by) * 8
-                        x0 = (mx * hf + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
-            mcu_count += 1
-    # upsample each component to full MCU-grid resolution and crop
-    # (sampling ratios validated above, before entropy decode)
+def _finish(h, w, comps, coefs, qtables) -> np.ndarray:
+    """Shared decode tail: dequantize the accumulated zigzag
+    coefficients, batched IDCT over every block of a component at
+    once, upsample, crop, color-convert."""
+    hmax, vmax, _, _ = _geometry(h, w, comps)
     full = {}
-    for cid, hf, vf, _ in comps:
-        p = planes[cid] + 128.0
+    for cid, hf, vf, tq in comps:
+        zz = coefs[cid]  # (bh, bw, 64) zigzag-ordered
+        natural = np.zeros(zz.shape, dtype=np.float64)
+        natural[:, :, ZIGZAG] = zz * qtables[tq]
+        bh, bw = natural.shape[:2]
+        blocks = natural.reshape(bh, bw, 8, 8)
+        # idct: D.T @ X @ D for all blocks at once
+        px = np.einsum("ij,xyjk,kl->xyil", _DCT.T, blocks, _DCT)
+        p = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
         if hf < hmax or vf < vmax:
             p = np.repeat(np.repeat(p, vmax // vf, axis=0), hmax // hf, axis=1)
         full[cid] = p[:h, :w]
@@ -480,7 +550,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         return np.stack([y, y, y], axis=2)
     if len(comps) != 3:
         raise ValueError(f"unsupported component count {len(comps)}")
-    # Y/Cb/Cr by JFIF component ID (1/2/3) when present — SOF may list
+    # Y/Cb/Cr by JFIF component ID (1/2/3) when present -- SOF may list
     # components in any order; fall back to SOF order for nonstandard
     # IDs (e.g. Adobe 'RGB'-tagged streams)
     cids = [c[0] for c in comps]
@@ -492,6 +562,180 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(
         np.uint8
     )
+
+
+# ---------------------------------------------------------------------------
+# Progressive scans (T.81 Annex G)
+# ---------------------------------------------------------------------------
+
+
+def _progressive_state(frame) -> dict:
+    """Coefficient accumulators + per-component geometry for a SOF2
+    frame. Arrays are MCU-padded (covers interleaved DC scans);
+    non-interleaved scans iterate only the component's own block grid
+    (``nbw``/``nbh`` -- ceil of the component's true dimensions), per
+    G.2: trailing MCU-pad blocks exist only in interleaved scans."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = _geometry(h, w, comps)
+    state = {"h": h, "w": w, "comps": comps, "mcux": mcux, "mcuy": mcuy,
+             "coef": {}, "geom": {}}
+    for cid, hf, vf, tq in comps:
+        cw = -(-w * hf // hmax)  # ceil(w * hf / hmax)
+        ch = -(-h * vf // vmax)
+        state["coef"][cid] = np.zeros(
+            (mcuy * vf, mcux * hf, 64), dtype=np.int64
+        )
+        state["geom"][cid] = (hf, vf, tq, -(-cw // 8), -(-ch // 8))
+    return state
+
+
+def _progressive_scan(
+    reader: _BitReader,
+    state: dict,
+    scomps,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_tables: dict,
+    ac_tables: dict,
+    restart_interval: int,
+) -> None:
+    """Decode one progressive scan into the coefficient accumulators.
+
+    DC scans (Ss=0): interleaved (MCU order) or single-component;
+    first pass codes diffs of coef/2^Al, refinements append one bit.
+    AC scans (Ss>=1): single component, spectral band [Ss, Se], with
+    EOB-run coding; refinement passes emit correction bits for
+    already-nonzero coefficients (G.1.2.3 / the libjpeg
+    decode_mcu_AC_refine protocol)."""
+    coef = state["coef"]
+    geom = state["geom"]
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        pred = {cid: 0 for cid, _, _ in scomps}
+        interleaved = len(scomps) > 1
+        if interleaved:
+            units = state["mcuy"] * state["mcux"]
+        else:
+            cid0 = scomps[0][0]
+            _, _, _, nbw0, nbh0 = geom[cid0]
+            units = nbw0 * nbh0
+        mcux = state["mcux"]
+        count = 0
+        for u in range(units):
+            if restart_interval and count and count % restart_interval == 0:
+                reader.byte_align_past_restart()
+                pred = {cid: 0 for cid in pred}
+            for cid, td, _ta in scomps:
+                hf, vf, _tq, nbw, _nbh = geom[cid]
+                if interleaved:
+                    my, mx = divmod(u, mcux)
+                    blocks = [
+                        (my * vf + by, mx * hf + bx)
+                        for by in range(vf)
+                        for bx in range(hf)
+                    ]
+                else:
+                    blocks = [divmod(u, nbw)]
+                for by, bx in blocks:
+                    if ah == 0:
+                        s = _huff_decode(reader, dc_tables[td])
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        pred[cid] += diff
+                        coef[cid][by, bx, 0] = pred[cid] << al
+                    else:
+                        if reader.read_bit():
+                            coef[cid][by, bx, 0] |= 1 << al
+            count += 1
+        return
+    # AC scan: exactly one component (G.2)
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, _td, ta = scomps[0]
+    _hf, _vf, _tq, nbw, nbh = geom[cid]
+    tbl = ac_tables[ta]
+    carr = coef[cid]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    count = 0
+    for u in range(nbw * nbh):
+        if restart_interval and count and count % restart_interval == 0:
+            reader.byte_align_past_restart()
+            eobrun = 0
+        by, bx = divmod(u, nbw)
+        zz = carr[by, bx]
+        if ah == 0:  # first pass for this band
+            if eobrun:
+                eobrun -= 1
+            else:
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(reader, tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past end of band")
+                    zz[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+        else:  # refinement pass (G.1.2.3)
+            if eobrun:
+                eobrun -= 1
+                # EOB region: only correction bits for nonzero coefs
+                for k in range(ss, se + 1):
+                    if zz[k]:
+                        if reader.read_bit() and not (abs(int(zz[k])) & p1):
+                            zz[k] += p1 if zz[k] > 0 else m1
+            else:
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(reader, tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break  # rest of band refined below
+                        # r == 15: ZRL -- pass 16 zero-history coefs
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid magnitude in AC refinement scan"
+                            )
+                        newval = p1 if reader.read_bit() else m1
+                    # advance past r zero-history coefs, emitting
+                    # correction bits for nonzero ones along the way
+                    while k <= se:
+                        if zz[k]:
+                            if reader.read_bit() and not (
+                                abs(int(zz[k])) & p1
+                            ):
+                                zz[k] += p1 if zz[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        zz[k] = newval
+                    k += 1
+                # EOB reached mid-block: refine the rest of the band
+                for kk in range(k, se + 1):
+                    if zz[kk]:
+                        if reader.read_bit() and not (abs(int(zz[kk])) & p1):
+                            zz[kk] += p1 if zz[kk] > 0 else m1
+        count += 1
 
 
 # ---------------------------------------------------------------------------
@@ -614,5 +858,279 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     )
     out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+
+def _quantize_rgb(img: np.ndarray, quality: int):
+    """Shared front half of encoding: color transform, pad, batched
+    DCT, zigzag quantize. Returns (h, w, qy, qc, coefs) with
+    ``coefs[ci]`` shaped (bh, bw, 64) int64 zigzag-ordered."""
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8 image, got shape {a.shape}")
+    h, w = a.shape[:2]
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    qy = _quality_scale(QUANT_LUMA[ZIGZAG], quality)
+    qc = _quality_scale(QUANT_CHROMA[ZIGZAG], quality)
+    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    bh, bw = hp // 8, wp // 8
+    coefs = []
+    for p, qt in ((yy, qy), (cb, qc), (cr, qc)):
+        pp = np.pad(p, ((0, hp - h), (0, wp - w)), mode="edge") - 128.0
+        blocks = pp.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        fr = np.einsum("ij,xyjk,kl->xyil", _DCT, blocks, _DCT.T)
+        zz = np.round(fr.reshape(bh, bw, 64)[:, :, ZIGZAG] / qt)
+        coefs.append(zz.astype(np.int64))
+    return h, w, qy, qc, coefs
+
+
+def _emit_sym(writer: _BitWriter, tbl: dict, sym: int) -> None:
+    ln, code = tbl[sym]
+    writer.write(code, ln)
+
+
+def _encode_dc_scan(coefs, dc_tbls, ah: int, al: int) -> bytes:
+    """Interleaved DC scan over all components (4:4:4 -> MCU =
+    one block per component). Ah=0: diff-code coef0 >> Al (arithmetic
+    shift, G.1.2.1); Ah>0: one appended magnitude bit per block."""
+    writer = _BitWriter()
+    bh, bw = coefs[0].shape[:2]
+    preds = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                v0 = int(coefs[ci][by, bx, 0])
+                if ah == 0:
+                    v = v0 >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = _category(diff)
+                    _emit_sym(writer, dc_tbls[ci], s)
+                    if s:
+                        writer.write(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                        )
+                else:
+                    writer.write((v0 >> al) & 1, 1)
+    return writer.flush()
+
+
+def _encode_ac_first_scan(carr, tbl, ss: int, se: int, al: int) -> bytes:
+    """AC first pass for band [ss, se] at precision Al: runs, ZRL and
+    EOB-run coding of the point-transformed (sign-magnitude >> Al)
+    coefficients — the encoder mirror of the decoder's Ah=0 branch."""
+    writer = _BitWriter()
+    bh, bw = carr.shape[:2]
+    eobrun = 0
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            _emit_sym(writer, tbl, nbits << 4)
+            if nbits:
+                writer.write(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bw):
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(carr[by, bx, k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eobrun()
+                while r > 15:
+                    _emit_sym(writer, tbl, 0xF0)  # ZRL
+                    r -= 16
+                s = t.bit_length()
+                _emit_sym(writer, tbl, (r << 4) | s)
+                val = t if v > 0 else -t
+                writer.write(val if val >= 0 else val + (1 << s) - 1, s)
+                r = 0
+            if r > 0:  # trailing zeros (or all-zero band): EOB block
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+    flush_eobrun()
+    return writer.flush()
+
+
+def _encode_ac_refine_scan(carr, tbl, ss: int, se: int, al: int) -> bytes:
+    """AC refinement pass (Ah = Al+1): correction bits for
+    already-nonzero coefficients, (r,1) symbols + sign bit for newly
+    nonzero ones, EOB-runs carrying buffered correction bits — the
+    encoder mirror of the decoder's G.1.2.3 branch.
+
+    Two correction-bit buffers, as in every conforming implementation:
+    ``eob_bits`` holds bits belonging to blocks already inside the
+    pending EOB run (emitted right after the EOB symbol, where the
+    decoder's EOB-region sweep reads them) and ``cur_bits`` holds the
+    CURRENT block's bits (emitted after this block's next ZRL/(r,1)
+    symbol, where the decoder's advance loop reads them)."""
+    writer = _BitWriter()
+    bh, bw = carr.shape[:2]
+    eobrun = 0
+    eob_bits: list[int] = []
+
+    def flush_eobrun():
+        nonlocal eobrun, eob_bits
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            _emit_sym(writer, tbl, nbits << 4)
+            if nbits:
+                writer.write(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+            for bit in eob_bits:
+                writer.write(bit, 1)
+            eob_bits = []
+
+    for by in range(bh):
+        for bx in range(bw):
+            absvals = [
+                abs(int(carr[by, bx, k])) >> al for k in range(ss, se + 1)
+            ]
+            eob = ss - 1  # index of last NEWLY nonzero coef, if any
+            for k in range(ss, se + 1):
+                if absvals[k - ss] == 1:
+                    eob = k
+            r = 0
+            cur_bits: list[int] = []
+            for k in range(ss, se + 1):
+                t = absvals[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    flush_eobrun()
+                    _emit_sym(writer, tbl, 0xF0)
+                    r -= 16
+                    for bit in cur_bits:
+                        writer.write(bit, 1)
+                    cur_bits = []
+                if t > 1:
+                    # already nonzero at coarser precision: buffer the
+                    # correction bit until this block's next symbol
+                    cur_bits.append(t & 1)
+                    continue
+                # newly nonzero at this precision
+                flush_eobrun()
+                _emit_sym(writer, tbl, (r << 4) | 1)
+                writer.write(1 if int(carr[by, bx, k]) > 0 else 0, 1)
+                for bit in cur_bits:
+                    writer.write(bit, 1)
+                cur_bits = []
+                r = 0
+            if r > 0 or cur_bits:
+                eobrun += 1
+                eob_bits.extend(cur_bits)
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+    flush_eobrun()
+    return writer.flush()
+
+
+#: Progressive AC scans need EOBn symbols (0x10..0xE0) that the Annex K
+#: baseline tables do not define (baseline has only EOB0 + ZRL). Real
+#: progressive encoders build optimized tables in a 2nd pass; for the
+#: reference encoder a FLAT canonical table (every symbol 8 bits: 16
+#: runs x 14 magnitudes + EOB0..EOB14 + ZRL = 240 codes <= 256) is
+#: valid Huffman and keeps the coder simple — compression optimality
+#: is not the point of this encoder, spec coverage is.
+_PROG_AC_SYMS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 15)}
+    | {r << 4 for r in range(15)}
+    | {0xF0}
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a progressive (SOF2) 4:4:4
+    JFIF JPEG with the Annex K tables.
+
+    Scan script exercises the full Annex G surface: interleaved DC
+    first + refinement, per-component spectral AC bands, and two
+    levels of AC successive approximation for luma (Al=2 -> 1 -> 0).
+    All precision is restored by the final scans, so decoding this
+    stream yields BIT-IDENTICAL pixels to decoding ``encode_jpeg``'s
+    baseline stream of the same image — the roundtrip test pins the
+    progressive entropy coder and decoder against the baseline pair."""
+    h, w, qy, qc, coefs = _quantize_rgb(img, quality)
+    dc_y = _encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_c = _encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_y = ac_c = _encode_table(_PROG_AC_BITS, _PROG_AC_SYMS)
+    dc_tbls = [dc_y, dc_c, dc_c]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+
+    def sos(scomps: list[tuple[int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(scomps)])
+        for cid, tt in scomps:
+            body += bytes([cid, tt])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += seg(0xDB, bytes([0x00]) + bytes(qy.astype(np.uint8)))
+    out += seg(0xDB, bytes([0x01]) + bytes(qc.astype(np.uint8)))
+    out += seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3])
+        + bytes([1, 0x11, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    out += seg(0xC4, dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += seg(0xC4, dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    out += seg(0xC4, dht(1, 0, _PROG_AC_BITS, _PROG_AC_SYMS))
+    out += seg(0xC4, dht(1, 1, _PROG_AC_BITS, _PROG_AC_SYMS))
+    # scan 1: DC first, interleaved, Al=1
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
+    out += _encode_dc_scan(coefs, dc_tbls, 0, 1)
+    # spectral AC first passes
+    out += sos([(1, 0x00)], 1, 5, 0, 2)
+    out += _encode_ac_first_scan(coefs[0], ac_y, 1, 5, 2)
+    out += sos([(2, 0x01)], 1, 63, 0, 1)
+    out += _encode_ac_first_scan(coefs[1], ac_c, 1, 63, 1)
+    out += sos([(3, 0x01)], 1, 63, 0, 1)
+    out += _encode_ac_first_scan(coefs[2], ac_c, 1, 63, 1)
+    out += sos([(1, 0x00)], 6, 63, 0, 2)
+    out += _encode_ac_first_scan(coefs[0], ac_y, 6, 63, 2)
+    # DC refinement restores the low DC bit
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 1, 0)
+    out += _encode_dc_scan(coefs, dc_tbls, 1, 0)
+    # AC successive-approximation refinements (luma: two levels)
+    out += sos([(1, 0x00)], 1, 5, 2, 1)
+    out += _encode_ac_refine_scan(coefs[0], ac_y, 1, 5, 1)
+    out += sos([(1, 0x00)], 6, 63, 2, 1)
+    out += _encode_ac_refine_scan(coefs[0], ac_y, 6, 63, 1)
+    out += sos([(1, 0x00)], 1, 5, 1, 0)
+    out += _encode_ac_refine_scan(coefs[0], ac_y, 1, 5, 0)
+    out += sos([(1, 0x00)], 6, 63, 1, 0)
+    out += _encode_ac_refine_scan(coefs[0], ac_y, 6, 63, 0)
+    out += sos([(2, 0x01)], 1, 63, 1, 0)
+    out += _encode_ac_refine_scan(coefs[1], ac_c, 1, 63, 0)
+    out += sos([(3, 0x01)], 1, 63, 1, 0)
+    out += _encode_ac_refine_scan(coefs[2], ac_c, 1, 63, 0)
     out += b"\xff\xd9"
     return bytes(out)

@@ -13,11 +13,13 @@ codec layer is swappable:
     (no external codec needed), then duration / RMS / zero-crossing
     features.
   * image: REAL decode for PNG (zlib inflate + full scanline
-    defilter), BMP (24-bit BGR bottom-up) and PPM (P6) via the
-    pure-numpy codecs in ``imagecodec.py``; raw RGB buffers of the
-    declared size pass through; Pillow is tried for anything beyond
-    those (JPEG — not in this container); unknown bytes RAISE rather
-    than fabricate pixels.
+    defilter), BMP (24-bit BGR bottom-up), PPM (P6) and JPEG —
+    baseline AND progressive Huffman — via the pure-numpy codecs in
+    ``imagecodec.py`` / ``jpegcodec.py``; raw RGB buffers of the
+    declared size pass through; an injectable fallback decoder /
+    Pillow is tried for anything beyond those (arithmetic-coded
+    JPEG); unknown bytes RAISE rather than fabricate pixels, or are
+    counted-skipped under ``on_error='skip'`` + ``image_decode_audit``.
   * video: frame sampling over a length-prefixed frame container
     (deterministic synthetic layout) — every-Nth-frame selection, one
     output row per kept frame.
@@ -52,6 +54,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "synthesize_media",
     "image_features",
+    "image_decode_audit",
     "resize_images",
     "audio_features",
     "sample_video_frames",
@@ -127,9 +130,10 @@ def _decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
     Decode order: (1) PNG / BMP / PPM / baseline-JPEG containers via
     the REAL pure-numpy codecs in ``imagecodec.py`` + ``jpegcodec.py``
     (magic-byte sniff, CRC checks, full PNG defilter, JPEG Huffman +
-    IDCT + chroma upsample) — JPEG features beyond the builtin codec
-    (progressive/SOF2 etc.) route through imagecodec's registered
-    fallback decoder / Pillow before failing; (2) raw RGB buffer of
+    IDCT + chroma upsample; baseline AND progressive/SOF2) — JPEG
+    features beyond the builtin codec (arithmetic coding, exotic
+    sampling) route through imagecodec's registered fallback decoder
+    / Pillow before failing; (2) raw RGB buffer of
     the declared size (as produced by a decode-at-ingest stage);
     (3) Pillow if importable, for formats beyond the built-in four.
     Undecodable bytes raise ValueError instead of fabricating
@@ -182,8 +186,8 @@ def image_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
 
     ``on_error``: ``"raise"`` (default — a corrupt blob fails the
     task, the posture for trusted pipelines) or ``"skip"`` — rows the
-    decoder rejects (e.g. progressive JPEG with no fallback decoder
-    registered) are dropped instead of poisoning the whole task; pair
+    decoder rejects (e.g. arithmetic-coded JPEG with no fallback
+    decoder registered) are dropped instead of poisoning the whole task; pair
     with :func:`image_decode_audit` to count and inspect what was
     skipped. At 100 TB a one-in-a-billion malformed blob must not
     kill the job."""

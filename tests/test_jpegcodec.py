@@ -1,6 +1,6 @@
-"""Baseline JPEG codec tests.
+"""JPEG codec tests (baseline + progressive).
 
-The decoder is pinned two independent ways:
+The decoder is pinned three independent ways:
 
 1. **Analytic fixtures**: tests below hand-assemble JPEG byte streams
    with their OWN spelling of the marker segments and Huffman tables
@@ -13,6 +13,10 @@ The decoder is pinned two independent ways:
 2. **Roundtrip at PSNR tolerance**: encode→decode on gradients/noise
    (JPEG is lossy; Annex K at q85-90 keeps smooth content within a few
    counts/pixel).
+3. **Progressive ↔ baseline equivalence**: entropy coding is lossless
+   over quantized coefficients, so decoding the SOF2 scan script must
+   be bit-identical to decoding the baseline stream of the same
+   image; real-world progressive files decode with pinned statistics.
 """
 
 from __future__ import annotations
@@ -273,17 +277,36 @@ def test_roundtrip_determinism_and_jfif_markers():
     assert b1[6:11] == b"JFIF\x00"
 
 
-def test_progressive_rejected_with_clear_error():
-    """The nodejs doc JPEGs on this image are progressive (SOF2) —
-    exactly the unsupported-variant path; also guards the magic sniff
-    against non-baseline streams."""
+def test_progressive_real_files_decode():
+    """Real-world progressive (SOF2) JPEGs shipped on this image:
+    non-interleaved DC scans, spectral AC bands, and (full-white-
+    stripe) successive approximation with Ah=1 refinement scans.
+    They are pictures of white stripes, so the decoded statistics
+    are strongly pinned: overwhelmingly near-white, deterministic."""
     import os
 
-    p = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
-    if not os.path.exists(p):  # pragma: no cover - container layout
-        pytest.skip("fixture not present")
-    with pytest.raises(ValueError, match="SOF|process"):
-        decode_jpeg(open(p, "rb").read())
+    cases = {
+        "/usr/share/doc/nodejs/thin-white-stripe.jpg": (58, 493),
+        "/usr/share/doc/nodejs/full-white-stripe.jpg": (312, 493),
+    }
+    ran = 0
+    for p, (h, w) in cases.items():
+        if not os.path.exists(p):  # pragma: no cover - container layout
+            continue
+        blob = open(p, "rb").read()
+        img = decode_jpeg(blob)
+        assert img.shape == (h, w, 3)
+        assert img.dtype == np.uint8
+        assert img.mean() > 200  # white-stripe artwork
+        assert np.array_equal(img, decode_jpeg(blob))  # deterministic
+        ran += 1
+    if not ran:  # pragma: no cover
+        pytest.skip("fixtures not present")
+
+
+def test_progressive_with_no_scans_raises():
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg(_progressive_stub())
 
 
 def _progressive_stub() -> bytes:
@@ -291,7 +314,7 @@ def _progressive_stub() -> bytes:
     drive the unsupported-process path without a real entropy stream."""
     import struct
 
-    sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 0x11, 0])
+    sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1]) + bytes([1, 0x11, 0])
     return (
         b"\xff\xd8"
         + b"\xff\xc2"
@@ -357,14 +380,30 @@ def test_non_integer_sampling_ratio_raises_clearly():
         decode_jpeg(blob)
 
 
-def test_progressive_stub_and_fallback_seam():
-    """Progressive JPEG: builtin decode raises; with a production
+def _arithmetic_stub() -> bytes:
+    """SOF9 (arithmetic-coded sequential) header stub — a JPEG process
+    the builtin codec genuinely does not decode (arithmetic coding was
+    patent-encumbered; Huffman files dominate real corpora)."""
+    import struct
+
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 0x11, 0])
+    return (
+        b"\xff\xd8"
+        + b"\xff\xc9"
+        + struct.pack(">H", len(sof) + 2)
+        + sof
+        + b"\xff\xd9"
+    )
+
+
+def test_unsupported_process_and_fallback_seam():
+    """Arithmetic-coded JPEG: builtin decode raises; with a production
     decoder registered via imagecodec.register_fallback_decoder the
     same bytes decode through the seam (how a Pillow/libjpeg deploy
     plugs in)."""
     from nyc_taxi_etl_spark.operators import imagecodec
 
-    blob = _progressive_stub()
+    blob = _arithmetic_stub()
     with pytest.raises(ValueError, match="SOF|process"):
         decode_jpeg(blob)
     # no fallback registered (and no Pillow here): error surfaces
@@ -390,3 +429,46 @@ def test_sniff_integration_and_media_pipeline():
     blob = encode_jpeg(img, 90)
     assert sniff_format(blob) == "jpeg"
     assert np.array_equal(sniff_and_decode(blob), img)
+
+
+def test_progressive_roundtrip_bit_identical_to_baseline():
+    """Entropy coding is lossless over quantized coefficients, so the
+    progressive scan script (DC first+refine, spectral bands, two AC
+    successive-approximation levels) must decode to EXACTLY the pixels
+    the baseline stream of the same image decodes to — this pins the
+    whole Annex G surface (EOB runs, ZRL-in-refine, correction-bit
+    buffering) against the independently-validated baseline pair."""
+    from nyc_taxi_etl_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(42)
+    cases = [
+        np.clip(rng.normal(128, 40, (33, 31, 3)), 0, 255).astype(np.uint8),
+        np.clip(rng.normal(128, 60, (64, 48, 3)), 0, 255).astype(np.uint8),
+        # smooth gradient: long EOB runs across blocks
+        np.tile(np.linspace(0, 255, 96).astype(np.uint8)[None, :, None], (64, 1, 3)),
+        # flat: maximal EOBRUN accumulation
+        np.full((80, 80, 3), 123, np.uint8),
+    ]
+    # sparse impulses: ZRL paths inside refinement scans
+    sp = np.full((48, 64, 3), 128, np.uint8)
+    sp[5, 7] = 255
+    sp[40, 60] = 0
+    cases.append(sp)
+    for img in cases:
+        for q in (50, 85):
+            base = decode_jpeg(encode_jpeg(img, q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, q))
+            assert np.array_equal(base, prog), (img.shape, q)
+
+
+def test_progressive_sniffs_and_flows_through_media_decode():
+    """sniff_and_decode and the media _decode_image path accept SOF2
+    streams natively now (no fallback decoder needed)."""
+    from nyc_taxi_etl_spark.operators.imagecodec import sniff_and_decode
+    from nyc_taxi_etl_spark.operators.jpegcodec import encode_jpeg_progressive
+    from nyc_taxi_etl_spark.operators.multimodal import _decode_image
+
+    img = np.full((9, 11, 3), 77, np.uint8)
+    blob = encode_jpeg_progressive(img, 90)
+    assert np.array_equal(sniff_and_decode(blob), img)
+    assert np.array_equal(_decode_image(blob, 11, 9), img)

@@ -128,9 +128,9 @@ def test_patch_embeddings_on_synthetic_corpus(spark):
 
 
 def test_image_features_on_error_skip_and_audit(spark):
-    """The counted-skip seam: a progressive JPEG (no fallback decoder
-    registered, no Pillow in this container) fails decode; with
-    on_error='skip' it drops instead of failing the task, and
+    """The counted-skip seam: an arithmetic-coded JPEG (no fallback
+    decoder registered, no Pillow in this container) fails decode;
+    with on_error='skip' it drops instead of failing the task, and
     image_decode_audit reports exactly which row failed and why."""
     import struct
 
@@ -139,9 +139,9 @@ def test_image_features_on_error_skip_and_audit(spark):
         image_decode_audit,
     )
 
-    sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 0x11, 0])
+    sof9 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 0x11, 0])
     progressive = (
-        b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2 + b"\xff\xd9"
+        b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", len(sof9) + 2) + sof9 + b"\xff\xd9"
     )
     good = np.full(4 * 4 * 3, 200, np.uint8).tobytes()  # raw RGB path
     df = spark.createDataFrame(
