@@ -82,14 +82,16 @@ def synthesize_media(spark: SparkSession, n: int = 90, seed: int = 42) -> DataFr
     """Deterministic media table: n rows cycling image/audio/video.
 
     Audio blobs are genuine PCM16 sine-ish waves; image blobs cycle
-    REAL encoded containers (PNG → BMP → PPM → baseline JPEG → raw
-    RGB, via ``imagecodec.py`` / ``jpegcodec.py``) so the actual
-    codecs — zlib inflate + PNG defilter, BMP bottom-up BGR rows, PPM
-    header grammar, JPEG Huffman entropy decode + IDCT — run inside
-    the catalog query, not just in unit tests; video blobs are
-    ``n_frames`` concatenated fixed-size frames."""
+    REAL encoded containers (PNG → BMP → PPM → baseline JPEG →
+    progressive JPEG → raw RGB, via ``imagecodec.py`` /
+    ``jpegcodec.py``) so the actual codecs — zlib inflate + PNG
+    defilter, BMP bottom-up BGR rows, PPM header grammar, JPEG
+    Huffman entropy decode + IDCT for BOTH processes (the progressive
+    path exercises Annex G successive approximation inside the driver
+    run, not just in unit tests); video blobs are ``n_frames``
+    concatenated fixed-size frames."""
     from .imagecodec import encode_bmp, encode_png, encode_ppm
-    from .jpegcodec import encode_jpeg
+    from .jpegcodec import encode_jpeg, encode_jpeg_progressive
 
     rows = []
     rng = np.random.default_rng(seed)
@@ -99,9 +101,14 @@ def synthesize_media(spark: SparkSession, n: int = 90, seed: int = 42) -> DataFr
         if kind == "image":
             w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
             pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            codec = (encode_png, encode_bmp, encode_ppm, encode_jpeg, None)[
-                img_count % 5
-            ]
+            codec = (
+                encode_png,
+                encode_bmp,
+                encode_ppm,
+                encode_jpeg,
+                encode_jpeg_progressive,
+                None,
+            )[img_count % 6]
             blob = pixels.tobytes() if codec is None else codec(pixels)
             img_count += 1
             rows.append((i, kind, bytearray(blob), w, h, None, None))
@@ -277,15 +284,28 @@ _RESIZE_SCHEMA = StructType(
 )
 
 
-def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int, on_error: str = "raise"
+) -> DataFrame:
     """Nearest-neighbor resize to (out_w, out_h) — pure numpy index
-    sampling, emitting raw RGB blobs of the new size."""
+    sampling, emitting raw RGB blobs of the new size. Same
+    ``on_error`` contract as :func:`image_features` ('skip' drops
+    undecodable blobs instead of failing the task)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                img = _decode_image(bytes(r.content), int(r.width), int(r.height))
+                try:
+                    img = _decode_image(
+                        bytes(r.content), int(r.width), int(r.height)
+                    )
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 yi = (np.arange(out_h) * img.shape[0] // out_h).clip(0, img.shape[0] - 1)
                 xi = (np.arange(out_w) * img.shape[1] // out_w).clip(0, img.shape[1] - 1)
                 resized = img[np.ix_(yi, xi)]

@@ -305,36 +305,45 @@ def collapse_repeated_ngrams(
     keeps "a b a" (the trailing partial period survives).
 
     Row-local (one transform/filter pass over the token array, no
-    shuffle); the token array is materialized once inside this
-    expression chain, so consumers should alias the RESULT, not
-    re-derive it."""
-    toks = tokens(text)
-    n = F.size(toks)
+    shuffle). The token array is bound ONCE as a lambda variable —
+    ``transform(array(tokens(text)), tk -> body)`` — because Catalyst
+    does not common-subexpression-eliminate inside higher-order
+    lambdas: referencing ``tokens(text)`` directly from the drop
+    predicate re-tokenized the row at EVERY element_at (12 references
+    x n_tokens positions = O(n²) retokenizations per row; the sf0.1
+    gate measured 36 s for 5 000 docs before this binding, ~1 s
+    after)."""
 
-    def dropped(i: Column) -> Column:
-        conds = []
-        for p in range(1, max_period + 1):
-            same = F.lit(True)
-            for j in range(p):
-                same = same & (
-                    F.element_at(toks, i - j) == F.element_at(toks, i - j - p)
-                )
-            conds.append((i >= F.lit(2 * p)) & same)
-        out = conds[0]
-        for c in conds[1:]:
-            out = out | c
-        return out
+    def body(tk: Column) -> Column:
+        n = F.size(tk)
 
-    kept_ix = F.filter(
-        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-            F.array().cast("array<int>")
-        ),
-        lambda i: ~dropped(i),
-    )
-    return F.struct(
-        F.concat_ws(
-            " ", F.transform(kept_ix, lambda i: F.element_at(toks, i))
-        ).alias("clean_text"),
-        n.cast("long").alias("n_tokens"),
-        (n - F.size(kept_ix)).cast("long").alias("removed_tokens"),
-    )
+        def dropped(i: Column) -> Column:
+            conds = []
+            for p in range(1, max_period + 1):
+                same = F.lit(True)
+                for j in range(p):
+                    same = same & (
+                        F.element_at(tk, i - j)
+                        == F.element_at(tk, i - j - p)
+                    )
+                conds.append((i >= F.lit(2 * p)) & same)
+            out = conds[0]
+            for c in conds[1:]:
+                out = out | c
+            return out
+
+        kept_ix = F.filter(
+            F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: ~dropped(i),
+        )
+        return F.struct(
+            F.concat_ws(
+                " ", F.transform(kept_ix, lambda i: F.element_at(tk, i))
+            ).alias("clean_text"),
+            n.cast("long").alias("n_tokens"),
+            (n - F.size(kept_ix)).cast("long").alias("removed_tokens"),
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), body), 1)

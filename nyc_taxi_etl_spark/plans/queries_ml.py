@@ -75,10 +75,12 @@ def isolation_outliers_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("media_image_features")
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image pipeline (beyond-reference north star): binary
-    image column → mapInPandas decode (documented stub in this
-    container) → intensity stats + 8x8 average-hash. Deterministic
-    synthetic media keyed off seed=42; rows-only check (codec output is
-    not SQL-expressible).
+    image column → mapInPandas decode through the REAL pure-numpy
+    codecs (PNG/BMP/PPM + JPEG baseline AND progressive — the media
+    cycle includes an SOF2 blob, so Annex G successive-approximation
+    decode runs inside this driver entry) → intensity stats + 8x8
+    average-hash. Deterministic synthetic media keyed off seed=42;
+    rows-only check (codec output is not SQL-expressible).
 
     Scale: narrow Arrow-batched pass, no shuffle; blob column pruned
     for metadata-only consumers."""

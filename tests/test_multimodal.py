@@ -160,3 +160,8 @@ def test_image_features_on_error_skip_and_audit(spark):
     assert audit[2]["decode_ok"] == 1 and audit[2]["error"] is None
     with pytest.raises(ValueError, match="on_error"):
         image_features(df, on_error="bogus")
+    # resize carries the same contract
+    kept_rs = resize_images(df, 2, 2, on_error="skip").collect()
+    assert [r["media_id"] for r in kept_rs] == [2]
+    with pytest.raises(ValueError, match="on_error"):
+        resize_images(df, 2, 2, on_error="bogus")
