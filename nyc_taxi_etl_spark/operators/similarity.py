@@ -171,6 +171,16 @@ def _signature(vec: Column, planes: list[list[float]]) -> Column:
     The per-plane dot product is the same strict left fold as ``dot``,
     so a SQL oracle with the identical plane literals reproduces the
     sign (and therefore the bucket) bit-for-bit.
+
+    Implementation note (r4, measured): the fold stays a higher-order
+    ``aggregate``/``zip_with`` on purpose. Unrolling it into a
+    left-associated sum of 64 ``element_at × literal`` terms per plane
+    keeps the float semantics but multiplies the expression tree by
+    ~64× (30 planes → ~2 000 nodes per signature column), and
+    Catalyst analysis + codegen of that tree cost 15-25 s of DRIVER
+    time per query build at sf0.1 — an order of magnitude more than
+    the interpreted fold's executor cost it was meant to save. Plan
+    size is a resource too.
     """
     bits_expr = [
         F.when(
@@ -297,48 +307,61 @@ def hyperplane_lsh_knn(
     Scale: bucket join replaces the broadcast full scan — with b bits,
     ~n/2^b corpus rows per bucket are scored per query per table. The
     hyperplanes are plan-time literals (tiny), broadcast with the plan.
+    Plan shape (r4): ALL table signatures come from ONE projection +
+    posexplode per side — one corpus scan instead of one per table —
+    and candidate dedup runs on bare (query_id, neighbor_id) longs
+    BEFORE the vectors are joined back for scoring; the previous
+    union-per-table shape paid ``tables`` scans (and signature
+    subtrees) and its distinct hashed 2×dim doubles per candidate
+    row. Identical results; the remaining cost is the signature
+    fold itself, which stays interpreted deliberately (see
+    ``_signature``'s note on why unrolling it is a net loss).
     """
     from pyspark.sql import Window
 
-    c_banded = None
-    q_banded = None
-    for tbl in range(tables):
-        planes = hyperplanes(dim, bits, seed=7 + tbl)
-        cb = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            norm(F.col(vec_col)).alias("c_n"),
-            F.lit(tbl).alias("tbl"),
-            _signature(F.col(vec_col), planes).alias("bucket"),
+    def sig_arr(vec: Column) -> Column:
+        return F.array(
+            *[
+                _signature(vec, hyperplanes(dim, bits, seed=7 + tbl))
+                for tbl in range(tables)
+            ]
         )
-        qb = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            norm(F.col(vec_col)).alias("q_n"),
-            F.lit(tbl).alias("tbl"),
-            _signature(F.col(vec_col), planes).alias("bucket"),
-        )
-        c_banded = cb if c_banded is None else c_banded.unionByName(cb)
-        q_banded = qb if q_banded is None else q_banded.unionByName(qb)
 
-    cq = c_banded.alias("c")
-    qq = q_banded.alias("q")
+    c_banded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(sig_arr(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    q_banded = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(sig_arr(F.col(vec_col))).alias("tbl", "bucket"),
+    )
     cand = (
-        cq.join(
-            F.broadcast(qq),
-            (F.col("c.tbl") == F.col("q.tbl"))
-            & (F.col("c.bucket") == F.col("q.bucket")),
-        )
+        c_banded.join(F.broadcast(q_banded), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "q_n", "neighbor_id", "c_vec", "c_n")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))).alias(
-            "cosine_sim"
-        ),
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_n") * F.col("c_n"))
+            ).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")

@@ -255,3 +255,20 @@ def test_pagerank_round_is_single_exchange_when_copartitioned(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_ann_lsh_knn_single_signature_scan(spark):
+    """hyperplane_lsh_knn computes ALL table signatures in one
+    projection + posexplode per side and dedups candidates on bare id
+    pairs: the corpus parquet is scanned a constant number of times
+    (signatures + vector re-attach), NOT once per LSH table — the r3
+    shape unioned `tables` scans, each re-evaluating the signature
+    subtree."""
+    plan = _plan(spark, "ann_lsh_cosine")
+    # corpus signatures, corpus vectors, query signatures, query
+    # vectors: <= 4 scans regardless of the table count (10 here)
+    assert plan.count("Location: InMemoryFileIndex") <= 4, plan.count(
+        "Location: InMemoryFileIndex"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
