@@ -472,3 +472,42 @@ def test_progressive_sniffs_and_flows_through_media_decode():
     blob = encode_jpeg_progressive(img, 90)
     assert np.array_equal(sniff_and_decode(blob), img)
     assert np.array_equal(_decode_image(blob, 11, 9), img)
+
+
+def test_analytic_progressive_dc_ac_scans_with_restarts():
+    """Hand-built SOF2 stream (same independent fixture machinery as
+    the baseline analytic tests): grayscale 24x8, DRI=1, a DC-first
+    scan whose predictor must reset at every RSTn, then an all-zero AC
+    scan (one EOB per block) whose EOB-run state must also reset at
+    restarts. Decoded result has closed form: every block at
+    round(8*8/8)+128 = 136 — identical diffs decode to identical (not
+    cumulative) levels precisely because the restart path works."""
+    # DC-first scan: one block per restart segment, diff=8
+    seg_dc = _Bits()
+    seg_dc.put(_dc_bits_for(8))
+    dc_chunk = seg_dc.bytes()
+    dc_data = dc_chunk + b"\xff\xd0" + dc_chunk + b"\xff\xd1" + dc_chunk
+    # AC scan band 1..63, all zero: one EOB bit per block
+    seg_ac = _Bits()
+    seg_ac.put(_EOB)
+    ac_chunk = seg_ac.bytes()
+    ac_data = ac_chunk + b"\xff\xd0" + ac_chunk + b"\xff\xd1" + ac_chunk
+    blob = (
+        b"\xff\xd8"
+        + _dqt(0, 8)
+        + _seg(
+            0xC2,  # SOF2: progressive
+            bytes([8]) + struct.pack(">HH", 8, 24) + bytes([1])
+            + bytes([1, 0x11, 0]),
+        )
+        + _dht()
+        + _seg(0xDD, struct.pack(">H", 1))  # DRI = 1 MCU (= 1 block)
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))  # DC first Ss=Se=0
+        + dc_data
+        + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))  # AC band 1..63
+        + ac_data
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(blob)
+    assert img.shape == (8, 24, 3)
+    assert np.all(img == _expected_flat(8, 8))
