@@ -83,6 +83,12 @@ EXTENSION = [
     "lineitem_quality_report",
     "bigram_collocations",
     "customer_top_orders_lateral",
+    # r4 additions: entries whose costs were invisible to the bench
+    # until the sf0.1 gate exposed them (doc_repetition_removal hid an
+    # O(n²) retokenization; ann_lsh_cosine a 10-scan union) — benched
+    # so future regressions in these shapes surface round-over-round
+    "doc_repetition_removal",
+    "ann_lsh_cosine",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the
