@@ -167,3 +167,33 @@ def test_two_phase_topk_hot_group(spark):
     # hot: metric 96 appears many times; ties resolve to smallest ids
     assert by_g["hot"] == [(96.0, 96), (96.0, 193), (96.0, 290)]
     assert by_g["cold"] == [(9.0, 9), (8.0, 8), (7.0, 7)]
+
+
+def test_dedup_growth_is_subquadratic_on_synth_corpus(spark):
+    """Empirical scale check: double the corpus (corpussynth generator,
+    executor-parallel, zero input files) and the minhash-LSH candidate
+    count must grow far slower than the 4x a quadratic all-pairs path
+    would show — the bucketed blocking is doing its job. Counts, not
+    wall-clock, so the assertion is load-independent."""
+    from nyc_taxi_etl_spark.operators.dedup import minhash_lsh_pairs
+    from nyc_taxi_etl_spark.sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+
+    def pairs_at(n: int) -> int:
+        docs = (
+            spark.read.format("corpussynth")
+            .option("n_docs", n)
+            .option("n_parts", 8)
+            .option("seed", 9)
+            .load()
+        )
+        return minhash_lsh_pairs(
+            docs, k=3, num_hashes=12, bands=4, verify_threshold=0.5
+        ).count()
+
+    p1, p2 = pairs_at(4000), pairs_at(8000)
+    # quadratic all-pairs would multiply by ~4; verified near-dup pairs
+    # from a shared-vocab generator grow roughly linearly-to-modestly
+    assert p2 < 4 * max(p1, 1), (p1, p2)
+    assert p2 >= p1  # more docs can only add pairs under a fixed seed
