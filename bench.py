@@ -17,7 +17,9 @@ session cannot separate a real 20% regression from machine load):
   median/min gap on a query means its recorded number is noisy, not
   that the plan changed);
 * a pre-flight idle gate waits (up to ``SPARK_GRAFT_BENCH_IDLE_WAIT``
-  seconds, default 180) for the 1-minute load average to drop below
+  seconds, default 300 — the 1-minute load average needs ~3 min to
+  decay from a full-core oracle gate on this 32-way box) for it to
+  drop below
   25% of the CPU count before any timed run — the r3 artifact was
   taken minutes after an 8-minute full-load oracle gate and recorded
   a phantom 37% regression;
@@ -127,7 +129,7 @@ def wait_for_idle(max_wait_s: float, load_frac: float = 0.25) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "180"))
+    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "300"))
     preflight = wait_for_idle(idle_wait)
     spark = get_spark("bench")
     try:
