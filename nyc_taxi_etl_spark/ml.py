@@ -259,14 +259,15 @@ def presample_per_group(
     shuffle-order independent regardless of Arrow batch row order.
 
     Broadcast contract: the counts frame is one row per distinct
-    group. It is force-broadcast only when the group cardinality is
-    known ≤ ``max_groups`` (the counts frame is persisted and probed
-    with ``limit(max_groups+1).count()`` — one bounded action against
-    an already-small aggregate, not a second scan of ``df``); above
-    the cap the join degrades to a plain equi-join and lets
-    AQE/sort-merge handle it instead of shipping an unbounded
-    broadcast. Mirrors the ``max_queries`` contract in
-    ``operators/pq.py``.
+    group. The probe collects at most ``max_groups+1`` short rows to
+    the driver; when the full domain fits, those collected rows ARE
+    the gate (a local frame, force-broadcast — no persist, no cache
+    entry left alive across repeated calls). Above the cap the join
+    degrades to a plain equi-join on the distributed aggregate and
+    lets AQE/sort-merge handle it instead of shipping an unbounded
+    broadcast (that path recomputes the one hash agg — the documented
+    price of exceeding the contract, mirroring ``max_queries`` in
+    ``operators/pq.py``).
 
     Matches the reference's 5 000-row sampled iForest fit
     (``notebooks/comprehensive_trip_analysis_part2.ipynb:926``), made
@@ -287,13 +288,18 @@ def presample_per_group(
         .cast("long")
         .alias("_keep_ppm")
     )
-    # Persist so the cardinality probe and the gate join share one
-    # computation of the (small) aggregate; bounded memory: at most
-    # max_groups+1 rows are ever pulled by the probe, and the frame
-    # itself is one short row per group.
-    gate = counts.select(group_col, thr).persist()
-    n_groups = gate.limit(max_groups + 1).count()
-    gate_side = F.broadcast(gate) if n_groups <= max_groups else gate
+    gate = counts.select(group_col, thr)
+    # Bounded probe: at most max_groups+1 short (group, ppm) rows ever
+    # reach the driver. In-contract domains become a LOCAL frame — the
+    # broadcast ships driver-side rows, nothing is persisted, so
+    # repeated calls leave no cache-manager entries behind.
+    probe = gate.limit(max_groups + 1).collect()
+    if len(probe) <= max_groups:
+        gate_side = F.broadcast(
+            df.sparkSession.createDataFrame(probe, gate.schema)
+        )
+    else:
+        gate_side = gate
     full_hash = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
     return (
         df.withColumn(sample_col, full_hash)

@@ -230,12 +230,19 @@ def decode_png(blob: bytes) -> np.ndarray:
     while pos + 8 <= len(blob):
         (length,) = struct.unpack_from(">I", blob, pos)
         tag = blob[pos + 4 : pos + 8]
+        if pos + 12 + length > len(blob):
+            # garbage length field or truncated stream — keep the
+            # "ValueError or pixels" contract (a raw struct.error here
+            # would escape every on_error='skip' / audit path)
+            raise ValueError(f"truncated PNG chunk {tag!r}")
         payload = blob[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         pos += 12 + length
         if tag == b"IHDR":
+            if len(payload) != 13:
+                raise ValueError("malformed PNG IHDR")
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
@@ -250,7 +257,10 @@ def decode_png(blob: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from None
     stride = w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data size mismatch")
@@ -299,15 +309,24 @@ def register_fallback_decoder(fn) -> None:
 
 
 def _fallback_decode(blob: bytes, err: ValueError) -> np.ndarray:
+    # The contract of this seam is "ValueError or pixels": whatever the
+    # fallback raises (Pillow's UnidentifiedImageError is an OSError,
+    # a registered decoder may raise anything) must surface as the
+    # builtin codec's ValueError so callers' on_error='skip' paths and
+    # decode audits keep working on exactly the blobs this hook exists
+    # for.
     if _FALLBACK_DECODER is not None:
-        return np.asarray(_FALLBACK_DECODER(blob), dtype=np.uint8)
+        try:
+            return np.asarray(_FALLBACK_DECODER(blob), dtype=np.uint8)
+        except Exception:
+            raise err from None
     try:  # pragma: no cover - Pillow not installed in this container
         import io
 
         from PIL import Image
 
         return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
-    except ImportError:
+    except Exception:
         raise err from None
 
 

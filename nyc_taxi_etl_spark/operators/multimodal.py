@@ -149,16 +149,13 @@ def _decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
 
     expect = width * height * 3
     if sniff_format(blob) is not None:
-        try:
-            return sniff_and_decode(blob)
-        except ValueError:
-            # sniffed container the codecs (and any fallback) reject:
-            # last resort is the declared-size raw buffer
-            if len(blob) == expect:
-                return np.frombuffer(blob, dtype=np.uint8).reshape(
-                    height, width, 3
-                )
-            raise
+        # A sniffed container that the codecs (and any registered
+        # fallback) reject is corrupt encoded data — re-raise rather
+        # than reinterpret it as raw pixels, even if the byte length
+        # coincidentally equals width*height*3 (that would silently
+        # yield garbage, violating the "raise rather than fabricate
+        # pixels" contract).
+        return sniff_and_decode(blob)
     if len(blob) == expect:
         return np.frombuffer(blob, dtype=np.uint8).reshape(height, width, 3)
     try:  # pragma: no cover - Pillow not installed in this container

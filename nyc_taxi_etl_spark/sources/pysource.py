@@ -253,14 +253,24 @@ class _SynthEventsStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:  # noqa: N802
         return {"i": 0}
 
+    def _observe(self, i: int) -> None:
+        # Monotone high-water mark fed by EVERY offset this reader
+        # sees (planned starts/ends and committed ends alike), so a
+        # fresh post-restart instance can never plan a batch below the
+        # checkpoint even if the engine calls latestOffset before
+        # replaying commit() — a backwards batch would re-emit already
+        # processed rows downstream.
+        self._latest = max(getattr(self, "_latest", 0), i)
+
     def latestOffset(self) -> dict:  # noqa: N802
         # advance one micro-batch per trigger up to the bounded end
-        self._latest = min(
-            getattr(self, "_latest", 0) + self.batch_rows, self.max_rows
-        )
+        self._observe(0)
+        self._latest = min(self._latest + self.batch_rows, self.max_rows)
         return {"i": self._latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._observe(start["i"])
+        self._observe(end["i"])
         lo, hi = start["i"], end["i"]
         n = hi - lo
         if n <= 0:
@@ -282,9 +292,10 @@ class _SynthEventsStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        # keep the high-water mark monotone if the query resumes from
-        # a checkpoint ahead of this (fresh) reader instance
-        self._latest = max(getattr(self, "_latest", 0), end["i"])
+        # one of the observation points keeping the mark monotone on
+        # checkpoint resume; partitions()/latestOffset() also observe,
+        # so recovery does not depend on commit() replay ordering
+        self._observe(end["i"])
 
 
 class SynthEventsDataSource(DataSource):

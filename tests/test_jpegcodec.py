@@ -417,6 +417,27 @@ def test_unsupported_process_and_fallback_seam():
         imagecodec.register_fallback_decoder(None)
 
 
+def test_fallback_decoder_failure_stays_valueerror():
+    """The seam's contract is 'ValueError or pixels': a fallback that
+    itself fails on a corrupt blob (Pillow raises
+    UnidentifiedImageError, an OSError) must surface as the builtin
+    codec's ValueError so on_error='skip' and decode audits still
+    catch exactly the blobs the hook exists for."""
+    from nyc_taxi_etl_spark.operators import imagecodec
+
+    blob = _arithmetic_stub()
+
+    def broken(_b):
+        raise OSError("cannot identify image file")
+
+    imagecodec.register_fallback_decoder(broken)
+    try:
+        with pytest.raises(ValueError, match="SOF|process"):
+            imagecodec.sniff_and_decode(blob)
+    finally:
+        imagecodec.register_fallback_decoder(None)
+
+
 def test_sniff_integration_and_media_pipeline():
     """sniff_and_decode dispatches JPEG; synthesize_media now cycles a
     real JPEG container through the mapInPandas feature pass."""

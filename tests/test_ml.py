@@ -231,3 +231,19 @@ def test_presample_max_groups_guard(spark):
         )
     finally:
         conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
+def test_presample_leaves_no_cached_frames(spark):
+    """presample_per_group must not leak cache-manager entries: the
+    cardinality probe collects its bounded rows instead of persisting
+    the gate frame, so repeated calls (bench loops, multi-param
+    isolation_forest_by_group runs) leave storage empty."""
+    from nyc_taxi_etl_spark.ml import presample_per_group
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    pdf = pd.DataFrame({"g": [f"g{i % 3}" for i in range(300)], "v": np.arange(300.0)})
+    df = spark.createDataFrame(pdf)
+    for seed in (1, 2, 3):
+        presample_per_group(df, "g", 50, seed=seed).count()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == before

@@ -165,3 +165,28 @@ def test_image_features_on_error_skip_and_audit(spark):
     assert [r["media_id"] for r in kept_rs] == [2]
     with pytest.raises(ValueError, match="on_error"):
         resize_images(df, 2, 2, on_error="bogus")
+
+
+def test_corrupt_container_never_reinterpreted_as_raw(spark):
+    """A sniffed-but-undecodable container whose byte length happens
+    to equal width*height*3 must raise (counted skip under
+    on_error='skip'), never be silently reinterpreted as a raw RGB
+    buffer of garbage pixels."""
+    from nyc_taxi_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_decode_audit,
+    )
+
+    w = h = 4
+    expect = w * h * 3  # 48 bytes
+    # PNG magic followed by junk, padded to exactly the declared raw size
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\xab" * (expect - 8)
+    assert len(corrupt) == expect
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(corrupt), w, h, None, None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="PNG|chunk|truncated|IHDR"):
+        image_features(df).collect()
+    assert image_features(df, on_error="skip").count() == 0
+    audit = image_decode_audit(df).collect()[0]
+    assert audit["decode_ok"] == 0 and audit["error"] is not None

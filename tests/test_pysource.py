@@ -172,6 +172,31 @@ def test_event_stream_partitioned_reader_contract():
     assert r.partitions({"i": 5, }, {"i": 5})[0].start == 5
 
 
+def test_event_stream_watermark_monotone_without_commit_replay():
+    """Checkpoint recovery must not depend on commit() being replayed
+    before the first latestOffset: every offset the reader observes
+    (planned starts/ends included) raises the high-water mark, so a
+    fresh post-restart instance can never plan a batch below the
+    checkpoint — i.e. no duplicate re-emission of processed rows."""
+    from nyc_taxi_etl_spark.sources.pysource import _SynthEventsStreamReader
+
+    r = _SynthEventsStreamReader({"batch_rows": 50, "max_rows": 500})
+    # engine (version-dependent) asks latestOffset FIRST on recovery:
+    # the naive mark would be 50, below the checkpoint at 150
+    assert r.latestOffset() == {"i": 50}
+    # planning against the checkpointed start yields an empty range
+    # AND teaches the reader the true watermark
+    parts = r.partitions({"i": 150}, {"i": 50})
+    assert [row for p in parts for row in r.read(p)] == []
+    # next trigger resumes strictly past the checkpoint — monotone
+    assert r.latestOffset() == {"i": 200}
+    # a second fresh reader that sees only partitions() (no commit
+    # replay at all) is equally safe
+    r2 = _SynthEventsStreamReader({"batch_rows": 50, "max_rows": 500})
+    r2.partitions({"i": 100}, {"i": 150})
+    assert r2.latestOffset() == {"i": 200}
+
+
 def test_event_stream_microbatch_has_parallel_partitions(pysrc_spark):
     """End-to-end: the number of tasks per micro-batch equals the
     planned InputPartitions — reads execute on executors, not the
