@@ -737,3 +737,66 @@ def mixture_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs_kept"),
         )
     )
+
+
+_DSIR_TOP = 50
+
+
+@query(
+    "dsir_selected_docs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source, (lang = 'en') AS tgt,
+             unnest({_SQL_TOKENS}) AS token
+      FROM documents),
+    model AS (
+      SELECT token,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+      FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt,
+                   CAST(sum(cr) AS DOUBLE) AS tr,
+                   CAST(count(*) AS DOUBLE) AS v FROM model),
+    r AS (SELECT token,
+                 ln((ct + 0.5) / (tt + 0.5 * (v + 1))) -
+                 ln((cr + 0.5) / (tr + 0.5 * (v + 1))) AS lr
+          FROM model, tot),
+    sc AS (
+      SELECT tok.doc_id, tok.lang, tok.source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             ROUND(sum(lr), 4) AS log_weight
+      FROM tok JOIN r USING (token)
+      WHERE NOT tgt
+      GROUP BY 1, 2, 3)
+    SELECT doc_id, lang, source, n_tokens, log_weight,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY log_weight DESC, doc_id) AS rnk FROM sc)
+    WHERE rnk <= {_DSIR_TOP}
+    """,
+    extra=True,
+)
+def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (``operators/dsir.py``; Xie et al.
+    2023, arXiv:2302.03169): treat English documents as the target
+    domain, train target/raw unigram LMs in one shared hash-agg, score
+    every non-English document with its summed token log-likelihood
+    ratio, and keep the top 50 — "which raw documents look most like
+    the target corpus". The deterministic ranking mode backs the
+    oracle; the paper's Gumbel-top-k resampler is pytest-verified in
+    tests/test_selection.py.
+
+    Scale: tokens explode ONCE feeding both LMs as conditional sums;
+    totals ride a 1-row broadcast; the ratio join is AQE-strategized
+    on the token key; the final top-k is a bounded window over the
+    per-doc aggregate (TakeOrdered shape at real cardinalities).
+    """
+    from ..operators.dsir import dsir_scores, dsir_select
+
+    docs = t(spark, sf_dir, "documents")
+    scores = dsir_scores(
+        docs, F.col("lang") == "en", carry_cols=("lang", "source")
+    )
+    return dsir_select(scores, _DSIR_TOP).select(
+        "doc_id", "lang", "source", "n_tokens", "log_weight", "rank"
+    )

@@ -272,3 +272,22 @@ def test_ann_lsh_knn_single_signature_scan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_single_pass_model_and_broadcast_totals(spark):
+    """DSIR's two LMs come from ONE token explode feeding one hash-agg
+    with conditional sums (not a scan per domain), and the totals pass
+    must REUSE the model's shuffle rather than re-tokenize the corpus
+    — the explicit isnotnull in dsir._exploded exists exactly so both
+    consumers stay canonically identical and exchange reuse fires."""
+    df = ALL_QUERIES["dsir_selected_docs"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+    # totals ride a broadcast; the corpus itself is never broadcast by
+    # force (AQE owns the ratio-join strategy)
+    assert "BroadcastExchange" in executed
+    static = _plan(spark, "dsir_selected_docs")
+    # scoring + model + (statically duplicated, runtime-reused) totals:
+    # 3 scan nodes, each printed twice by explain (tree + details)
+    assert static.count("Scan parquet") == 6

@@ -81,3 +81,77 @@ def test_cutoff_matches_admitted_mass(spark):
 def test_cutoff_no_source_fits_empty(spark):
     df = _frame(spark, [(1, "a", 0.9, 500)])
     assert budget_quality_cutoff(df, 100).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_corpus(spark):
+    """Target docs speak 'alpha beta'; raw doc 10 mimics them, raw
+    docs 11/12 speak unrelated vocabulary."""
+    rows = [
+        (1, "alpha beta alpha beta alpha", "tgt"),
+        (2, "beta alpha beta alpha", "tgt"),
+        (3, "alpha alpha beta", "tgt"),
+        (10, "alpha beta alpha", "raw"),
+        (11, "gamma delta gamma delta", "raw"),
+        (12, "epsilon zeta epsilon", "raw"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, kind string")
+
+
+def test_dsir_ratios_sign_and_scores(spark):
+    """Tokens exclusive to the target LM carry positive log-ratios,
+    raw-exclusive ones negative; the target-like raw document outranks
+    the off-domain ones."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_spark.operators.dsir import (
+        dsir_log_ratios,
+        dsir_scores,
+        dsir_select,
+    )
+
+    df = _dsir_corpus(spark)
+    tgt = F.col("kind") == "tgt"
+    lr = {r["token"]: r["log_ratio"] for r in dsir_log_ratios(df, tgt).collect()}
+    assert lr["gamma"] < 0 < lr["alpha"]
+    assert lr["beta"] > 0 and lr["epsilon"] < 0
+    scores = dsir_scores(df, tgt, carry_cols=("kind",))
+    got = {r["doc_id"]: r for r in scores.collect()}
+    # target docs are never candidates; every raw doc is scored
+    assert set(got) == {10, 11, 12}
+    assert got[10]["log_weight"] > got[11]["log_weight"]
+    assert got[10]["log_weight"] > got[12]["log_weight"]
+    assert got[10]["n_tokens"] == 3 and got[10]["kind"] == "raw"
+    top = dsir_select(scores, 1).collect()
+    assert [r["doc_id"] for r in top] == [10]
+    assert top[0]["rank"] == 1
+
+
+def test_dsir_resample_gumbel_topk(spark):
+    """Seeded Gumbel-top-k: deterministic under replay, ranks are
+    1..n, and across many seeds the high-weight document is sampled
+    far more often than the low-weight tail (importance resampling,
+    not uniform sampling)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_spark.operators.dsir import dsir_resample
+
+    # weights: doc 1 carries almost all the mass
+    scores = spark.createDataFrame(
+        [(1, 4.0), (2, 0.0), (3, -1.0), (4, -2.0)],
+        "doc_id long, log_weight double",
+    )
+    a = dsir_resample(scores, 2, seed=7).collect()
+    b = dsir_resample(scores, 2, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sorted(r["rank"] for r in a) == [1, 2]
+    hits = {i: 0 for i in (1, 2, 3, 4)}
+    for seed in range(40):
+        for r in dsir_resample(scores, 1, seed=seed).collect():
+            hits[r["doc_id"]] += 1
+    assert hits[1] > 25  # e^4 : 1 odds dominate
+    assert hits[4] <= 2
