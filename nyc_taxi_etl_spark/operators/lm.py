@@ -34,10 +34,17 @@ __all__ = [
 def train_unigram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token frequency model: ``(token, token_count)`` over the corpus,
     lowercased whitespace tokens (matching ``text.tokens``)."""
+    # The explicit isnotnull is semantically a no-op (split never
+    # yields null tokens) but keeps this subtree CANONICALLY IDENTICAL
+    # under both of score_documents' consumers (the token join infers
+    # isnotnull into its copy, the totals agg doesn't) — with it,
+    # exchange reuse computes the model once instead of re-tokenizing
+    # the corpus for the totals pass. Same pattern as dsir._exploded.
     return (
         df.select(
             F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
         )
+        .where(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("token_count"))
     )
@@ -108,9 +115,12 @@ def train_bigram(df: DataFrame, text_col: str = "text") -> DataFrame:
             lambda p, c: F.struct(p.alias("prev"), c.alias("token")),
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,token:string>>"))
+    # isnotnull: same canonical-identity trick as train_unigram, so
+    # the bigram join and any totals consumer share one computation.
     return (
         df.select(F.explode(pairs).alias("pc"))
         .select("pc.prev", "pc.token")
+        .where(F.col("prev").isNotNull() & F.col("token").isNotNull())
         .groupBy("prev", "token")
         .agg(F.count("*").cast("long").alias("pair_count"))
     )
