@@ -60,7 +60,7 @@ def bucket_expr(col: Column, boundaries: list[float]) -> Column:
     bucket 0). Pure expression against the literal boundary array."""
     if not boundaries:
         return F.lit(0)
-    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    arr = F.lit([float(b) for b in boundaries])
     v = col.cast("double")
     return F.when(
         v.isNull(), F.lit(0)

@@ -423,7 +423,7 @@ def lda_topics(
         optimizer="em",
         featuresCol="__features",
     ).fit(feats)
-    vocab = F.array(*[F.lit(w) for w in cv.vocabulary])
+    vocab = F.lit(list(cv.vocabulary))
     desc = model.describeTopics(top_n)
     return desc.select(
         F.col("topic").cast("long"),

@@ -476,11 +476,64 @@ def simhash_near_pairs(
     )
 
 
+def _local_components(spark, edge_rows, id_type) -> DataFrame:
+    """Driver-side union-find over a BOUNDED collected edge list (the
+    ≤ ``local_solve_edges`` fast path of ``connected_components``).
+    Same contract as the distributed loop: one row per node appearing
+    in the edges, ``component`` = min node id of its component."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    rep: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = rep.get(root)
+        if cur is None or node < cur:
+            rep[root] = node
+    schema = StructType(
+        [
+            StructField("node", id_type, False),
+            StructField("component", id_type, False),
+        ]
+    )
+    rows = [(node, rep[find(node)]) for node in parent]
+    return spark.createDataFrame(rows, schema)
+
+
+#: Edge-count bound under which ``connected_components`` solves the
+#: closure locally on the driver instead of looping distributed
+#: rounds.  The input here is the POST-VERIFY duplicate edge set —
+#: typically orders of magnitude smaller than the corpus — and 2^20
+#: (node, node) long pairs is ~16 MB: the same "small enough to ship
+#: to one machine" judgment as Spark's broadcast-join threshold.  Set
+#: to 0 to force the distributed loop.
+LOCAL_CC_MAX_EDGES = 1 << 20
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    local_solve_edges: int = LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """Duplicate-cluster assignment: near-dup *pairs* → connected
     *components*, the final stage of every dedup pipeline (LSH emits
@@ -500,21 +553,40 @@ def connected_components(
     count follows the graph DIAMETER (a 10 000-doc boilerplate chain
     would take 10 000 rounds; large-star/small-star takes ~15).
 
-    Scale posture: no driver-side graph state — the driver only loops
-    and compares a per-round checksum (count + sum of edge hashes).
-    ``localCheckpoint`` truncates lineage each round so the plan does
-    not grow with iterations (the classic iterative-Spark failure
-    mode). Shuffle key is the node id — uniform for hash-derived doc
-    ids; a mega-star around one hub is exactly what large-star is
-    designed to split.
+    Scale posture: no unbounded driver-side graph state — the driver
+    only loops and compares a per-round checksum (count + sum of edge
+    hashes). ``localCheckpoint`` truncates lineage each round so the
+    plan does not grow with iterations (the classic iterative-Spark
+    failure mode). Shuffle key is the node id — uniform for
+    hash-derived doc ids; a mega-star around one hub is exactly what
+    large-star is designed to split.
+
+    Adaptive small-graph path (r5): the deduplicated edge set is
+    counted on the job that materializes it (``df.observe`` riding the
+    checkpoint — no extra action); at or below ``local_solve_edges``
+    edges the transitive closure is solved with a driver-side
+    union-find on the collected pairs — O(E·α) once, versus O(log² n)
+    full cluster rounds whose per-round scheduling cost dwarfs the
+    compute for small duplicate graphs. Above the bound, the
+    distributed loop runs as before. Identical output either way
+    (equality is pinned in tests across both paths); the bound is an
+    explicit memory contract (~16 MB of id pairs at the default),
+    exactly the judgment Spark itself applies for broadcast joins.
     """
+    from pyspark.sql import Observation
+
     spark = pairs.sparkSession
+    obs_edges = Observation("cc_edge_count")
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .observe(obs_edges, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    id_type = edges.schema["a"].dataType
+    if local_solve_edges and obs_edges.get["n"] <= local_solve_edges:
+        return _local_components(spark, edges.collect(), id_type)
 
     def _large_star(e: DataFrame) -> DataFrame:
         # symmetric neighborhoods; for each u: m = min(Γ(u) ∪ {u});
@@ -548,8 +620,6 @@ def connected_components(
     # convergence checksum rides the checkpoint job itself via
     # df.observe (CollectMetrics fires when localCheckpoint
     # materializes) — one job per round instead of checkpoint+checksum
-    from pyspark.sql import Observation
-
     prev: tuple[int, int] | None = None
     for i in range(max_iterations):
         obs = Observation(f"cc_round_{i}")

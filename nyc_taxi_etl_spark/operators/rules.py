@@ -119,7 +119,7 @@ def _gopher_stats(text: Column) -> dict[str, Column]:
     stop_hits = F.size(
         F.array_intersect(
             F.array_distinct(F.transform(w, F.lower)),
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            F.lit(list(GOPHER_STOPWORDS)),
         )
     ).cast("long")
     return {

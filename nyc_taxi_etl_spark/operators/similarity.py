@@ -165,43 +165,57 @@ def hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
-def _signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Pack sign bits of ``vec`` against each hyperplane into one long.
+def _signature_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL text packing sign bits of ``vec_sql`` against each
+    hyperplane into one long.
 
-    The per-plane dot product is the same strict left fold as ``dot``,
-    so a SQL oracle with the identical plane literals reproduces the
-    sign (and therefore the bucket) bit-for-bit.
+    The per-plane dot product is the same strict left fold as ``dot``
+    (``aggregate(zip_with(...), 0.0, +)``), so a DuckDB oracle with
+    the identical plane literals reproduces the sign (and therefore
+    the bucket) bit-for-bit. Plane weights are embedded as
+    ``CAST('<repr>' AS DOUBLE)``: Python ``repr`` emits the shortest
+    round-tripping decimal and Java's ``Double.parseDouble`` is
+    correctly rounded, so the parsed constant is the exact IEEE double
+    the plan-time literal would have been (Catalyst folds the casts).
 
-    Implementation note (r4, measured): the fold stays a higher-order
-    ``aggregate``/``zip_with`` on purpose. Unrolling it into a
-    left-associated sum of 64 ``element_at × literal`` terms per plane
-    keeps the float semantics but multiplies the expression tree by
-    ~64× (30 planes → ~2 000 nodes per signature column), and
-    Catalyst analysis + codegen of that tree cost 15-25 s of DRIVER
-    time per query build at sf0.1 — an order of magnitude more than
-    the interpreted fold's executor cost it was meant to save. Plan
-    size is a resource too.
+    Implementation note (r4/r5, measured): the fold stays a
+    higher-order ``aggregate``/``zip_with`` — unrolling it into 64
+    multiply-add terms per plane costs 15-25 s of driver-side
+    analysis/codegen at 30 planes. r5 moved construction itself from
+    the PySpark Column DSL to ONE ``F.expr`` string per projection:
+    building 30 ``when/aggregate/zip_with`` Columns through py4j cost
+    ~1.6 s of pure driver round-trips PER SIDE of the LSH join, while
+    composing the equivalent SQL text in Python is free and the
+    server parses it once.
     """
-    bits_expr = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(w) for w in plane]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            > 0,
-            F.lit(1 << j).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for j, plane in enumerate(planes)
-    ]
-    out = bits_expr[0]
-    for e in bits_expr[1:]:
-        out = out + e
-    return out
+    terms = []
+    for j, plane in enumerate(planes):
+        arr = (
+            "array("
+            + ",".join(f"CAST('{float(w)!r}' AS DOUBLE)" for w in plane)
+            + ")"
+        )
+        dotp = (
+            f"aggregate(zip_with({vec_sql}, {arr}, "
+            "(x, w) -> CAST(x AS DOUBLE) * w), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        terms.append(
+            f"IF({dotp} > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _signature_array(
+    vec_col: str, bits: int, tables: int, dim: int, seed: int
+) -> Column:
+    """``array(sig_table0, …)`` of per-table LSH signatures as a single
+    ``F.expr`` — one py4j call for the whole projection."""
+    sigs = ",".join(
+        _signature_sql(f"`{vec_col}`", hyperplanes(dim, bits, seed=seed + t))
+        for t in range(tables)
+    )
+    return F.expr(f"array({sigs})")
 
 
 def hyperplane_lsh_pairs(
@@ -238,12 +252,7 @@ def hyperplane_lsh_pairs(
     """
     if probe_hamming not in (0, 1):
         raise ValueError("probe_hamming must be 0 or 1")
-    bucket_arr = F.array(
-        *[
-            _signature(F.col(vec_col), hyperplanes(dim, bits, seed=seed + tbl))
-            for tbl in range(tables)
-        ]
-    )
+    bucket_arr = _signature_array(vec_col, bits, tables, dim, seed)
     banded = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(bucket_arr).alias("tbl", "bucket"),
@@ -315,25 +324,19 @@ def hyperplane_lsh_knn(
     subtrees) and its distinct hashed 2×dim doubles per candidate
     row. Identical results; the remaining cost is the signature
     fold itself, which stays interpreted deliberately (see
-    ``_signature``'s note on why unrolling it is a net loss).
+    ``_signature_sql``'s note on why unrolling it is a net loss).
     """
     from pyspark.sql import Window
 
-    def sig_arr(vec: Column) -> Column:
-        return F.array(
-            *[
-                _signature(vec, hyperplanes(dim, bits, seed=7 + tbl))
-                for tbl in range(tables)
-            ]
-        )
+    sig_arr = _signature_array(vec_col, bits, tables, dim, seed=7)
 
     c_banded = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.posexplode(sig_arr(F.col(vec_col))).alias("tbl", "bucket"),
+        F.posexplode(sig_arr).alias("tbl", "bucket"),
     )
     q_banded = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.posexplode(sig_arr(F.col(vec_col))).alias("tbl", "bucket"),
+        F.posexplode(sig_arr).alias("tbl", "bucket"),
     )
     cand = (
         c_banded.join(F.broadcast(q_banded), ["tbl", "bucket"])
@@ -445,7 +448,7 @@ def ivf_knn(
             query_id_col=query_id_col,
         )
     ctr_lits = [
-        F.array(*[F.lit(float(x)) for x in ctr]).alias(f"c{i}")
+        F.lit([float(x) for x in ctr]).alias(f"c{i}")
         for i, ctr in enumerate(centroids)
     ]
 
@@ -557,9 +560,7 @@ def semantic_dedup(
                 F.col(id_col).cast("long").alias("keeper_id"),
                 F.lit(0).cast("long").alias("is_dup"),
             )
-        ctr_lits = [
-            F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centroids
-        ]
+        ctr_lits = [F.lit([float(x) for x in ctr]) for ctr in centroids]
         # centroids are unit vectors: argmax of raw dots == argmax of
         # cosine (norm(vec) is a shared positive factor) — skip the
         # norm folds, as in ivf_knn.

@@ -111,5 +111,6 @@ def test_catalog_plan_hygiene(spark, name):
         "bigram_collocations",  # 1-row gram-total broadcast
         "part_basket_affinity",  # 1-row order-count broadcast
         "purchase_graph_pagerank",  # 1-row dangling-deficit broadcast/round
+        "dsir_selected_docs",  # 1-row target/raw-mass totals broadcast
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name

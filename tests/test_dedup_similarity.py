@@ -209,6 +209,31 @@ def test_connected_components_matches_union_find(spark):
     assert got == expected
 
 
+def test_connected_components_local_and_distributed_paths_agree(spark):
+    # the r5 adaptive small-graph fast path (driver union-find below
+    # the edge bound) must be output-identical to the distributed
+    # large-star/small-star loop (forced via local_solve_edges=0)
+    import random
+
+    from nyc_taxi_etl_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(400)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _uf_components(edges)
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    local = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, local_solve_edges=0).collect()
+    }
+    assert local == expected
+    assert dist == expected
+
+
 def test_bucket_pairs_hot_bucket_capped_but_connected(spark):
     # Pathological hot bucket: 200 ids in one (band, bucket) — e.g.
     # templated boilerplate that survived exact dedup.  The capped
