@@ -91,6 +91,11 @@ EXTENSION = [
     # so future regressions in these shapes surface round-over-round
     "doc_repetition_removal",
     "ann_lsh_cosine",
+    # r5 additions
+    "cross_source_near_dups",
+    "hard_negative_mining",
+    "streaming_dedup_counts",
+    "dsir_selected_docs",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

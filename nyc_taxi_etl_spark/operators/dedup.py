@@ -30,6 +30,7 @@ __all__ = [
     "simhash",
     "simhash_near_pairs",
     "connected_components",
+    "cross_source_overlap",
     "lsh_bucket_stats",
 ]
 
@@ -473,6 +474,50 @@ def simhash_near_pairs(
     return (
         cand.select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    sim_col: str = "jaccard",
+) -> DataFrame:
+    """Duplication overlap matrix between sub-corpora: roll near-dup
+    *pairs* up to the (source_a, source_b) grain.
+
+    The diagnostic every multi-source training mix needs before
+    weighting: off-diagonal cells are CROSS-SOURCE contamination (the
+    same content arriving via two feeds — mirrors, syndication,
+    scraper overlap), diagonal cells are within-source duplication.
+    High off-diagonal mass means per-source dedup alone under-counts
+    and mixture weights double-weight the shared content.
+
+    Plan: two equi-joins attach each pair endpoint's source (join key
+    is the doc id — uniform, AQE-picked strategy), then one hash-agg
+    on the normalized (least, greatest) source pair — the result is
+    bounded by |sources|², metadata-sized at any corpus scale. The
+    expensive part (candidate generation + verification) is whatever
+    produced ``pairs``; this rollup adds no quadratic stage.
+    """
+    src_a = df.select(
+        F.col(id_col).alias("id_a"), F.col(source_col).alias("src_a")
+    )
+    src_b = df.select(
+        F.col(id_col).alias("id_b"), F.col(source_col).alias("src_b")
+    )
+    return (
+        pairs.join(src_a, "id_a")
+        .join(src_b, "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("near_dup_pairs"),
+            F.round(F.avg(sim_col), 4).alias("avg_similarity"),
+        )
     )
 
 

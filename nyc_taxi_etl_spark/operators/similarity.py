@@ -29,6 +29,7 @@ __all__ = [
     "norm",
     "cosine",
     "brute_force_knn",
+    "hard_negative_knn",
     "cosine_near_pairs",
     "hyperplane_lsh_pairs",
     "hyperplane_lsh_knn",
@@ -93,6 +94,70 @@ def brute_force_knn(
             (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))).alias(
                 "cosine_sim"
             ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hard_negative_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors whose LABEL differs
+    from the query's — the highest-loss negatives for a
+    InfoNCE/triplet objective (Robinson et al. 2021, arXiv:2010.04592
+    popularized hardness-aware negative selection; retrieval trainers
+    like DPR mine exactly this set).
+
+    Plan shape mirrors ``brute_force_knn``: broadcast the (bounded)
+    query set with its labels, one corpus pass scores every
+    cross-label pair, per-query top-k via window row_number with a
+    deterministic tiebreak. The label check rides the join condition
+    so same-class rows are dropped BEFORE the dot-product fold runs.
+    Scale: the corpus never shuffles until the tiny per-query top-k;
+    for billion-row corpora compose with ``hyperplane_lsh_knn``'s
+    bucket candidates and filter labels the same way.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("c_label"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("c_label") != F.col("q_label")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("c_label").alias("neighbor_label"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_n") * F.col("c_n"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -312,3 +312,41 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
     )
     return _drain(enriched, "complete")
+
+
+@query(
+    "streaming_dedup_counts",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id,
+             time_bucket(INTERVAL '1 minute', ts) AS minute
+      FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS unique_user_minutes
+    FROM d GROUP BY event_type
+    """,
+    extra=True,
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingestion dedup BY THE STREAMING ENGINE:
+    ``dropDuplicatesWithinWatermark`` on (event_type, user_id, minute)
+    — dedup state evicted as the event-time watermark passes, the
+    bounded-state posture plain ``dropDuplicates`` lacks — feeding an
+    in-engine per-type aggregation. Oracle is the batch
+    SELECT DISTINCT. The dedup key fully determines the rollup, so
+    which physical duplicate row survives cannot affect the result
+    (the oracle-safety requirement for streaming dedup)."""
+    from ..streaming import dedup_events_stream
+
+    s = _events_stream(spark, sf_dir).select(
+        "ts",
+        "event_type",
+        "user_id",
+        F.date_trunc("minute", F.col("ts")).alias("minute"),
+    )
+    dd = dedup_events_stream(
+        s, keys=("event_type", "user_id", "minute"), watermark="1 hour"
+    )
+    agg = dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("unique_user_minutes")
+    )
+    return _drain(agg, "complete")

@@ -1139,3 +1139,71 @@ def doc_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.signals import compression_signals
 
     return compression_signals(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "cross_source_near_dups",
+    f"""
+    WITH {_minhash_ctes()},
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS near_dup_pairs,
+           ROUND(avg(p.jaccard), 4) AS avg_similarity
+    FROM pairs p
+    JOIN src sa ON p.id_a = sa.doc_id
+    JOIN src sb ON p.id_b = sb.doc_id
+    GROUP BY 1, 2
+    """,
+    extra=True,
+)
+def cross_source_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sub-corpus duplication matrix: MinHash-LSH near-dup pairs
+    rolled up to the (source_a, source_b) grain — off-diagonal cells
+    are content shared BETWEEN feeds (syndication/mirror contamination
+    that makes naive mixture weights double-count), diagonal cells are
+    within-source duplication. The oracle replays the entire minhash
+    pipeline plus the rollup, so the full path is hash-checked.
+    Per-pair jaccard is bit-identical cross-engine; only the
+    order-dependent avg is rounded."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, k=3, num_hashes=12, bands=4, verify_threshold=0.5
+    )
+    return D.cross_source_overlap(docs, pairs)
+
+
+@query(
+    "hard_negative_mining",
+    f"""
+    WITH dd AS (SELECT vec_id, label, {_SQL_VEC} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+          FROM dd WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             {_cos_sql("q.qv", "c.v")} AS cosine_sim
+      FROM dd c JOIN q ON c.vec_id != q.query_id AND c.label != q.q_label)
+    SELECT query_id, neighbor_id, neighbor_label, cosine_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    extra=True,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: for each of 10 query vectors, the
+    top-5 most-similar corpus vectors with a DIFFERENT label — the
+    high-loss negatives a retrieval/embedding trainer mines between
+    epochs. Label filter rides the join condition (pruned before the
+    dot-product fold); exact path here, LSH-candidate path composes
+    for billion-row corpora. Full SQL oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return S.hard_negative_knn(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "neighbor_label", "cosine_sim", "rank"
+    )

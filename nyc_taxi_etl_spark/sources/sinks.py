@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["write_parquet", "write_csv"]
+__all__ = ["write_parquet", "write_csv", "write_jsonl", "write_orc"]
 
 
 def _with_file_count(df: DataFrame, target_files: int | None, partition_by) -> DataFrame:
@@ -61,3 +61,43 @@ def write_csv(
     shape those small result tables want."""
     out = _with_file_count(df, target_files, None)
     out.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_files: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """JSON-Lines sink — the lingua franca of text-corpus interchange
+    (one JSON object per line; what most open-data document dumps and
+    tokenizer pipelines consume). Spark's json writer IS jsonl: one
+    object per line per file. Same partitioning/file-count knobs as
+    the parquet sink; ``compression='gzip'`` for shipping."""
+    out = _with_file_count(df, target_files, partition_by)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_files: int | None = None,
+) -> None:
+    """ORC sink — the other columnar interchange format (Hive/Trino
+    estates). Identical knob surface to ``write_parquet``; Spark ships
+    the ORC reader/writer built in, so round-trips need no extra
+    packages."""
+    out = _with_file_count(df, target_files, partition_by)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

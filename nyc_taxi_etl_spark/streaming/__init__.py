@@ -1,4 +1,5 @@
 from .events import (  # noqa: F401
+    dedup_events_stream,
     purchase_error_stream_join,
     read_events_stream,
     run_available_now,

@@ -112,5 +112,6 @@ def test_catalog_plan_hygiene(spark, name):
         "part_basket_affinity",  # 1-row order-count broadcast
         "purchase_graph_pagerank",  # 1-row dangling-deficit broadcast/round
         "dsir_selected_docs",  # 1-row target/raw-mass totals broadcast
+        "hard_negative_mining",  # bounded query-side broadcast, non-equi label filter
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -543,3 +543,64 @@ def test_pq_knn_adc_tables_built_distributively(spark):
     # the encode side and the ADC-table side
     assert plan.count("_books") >= 2, plan.count("_books")
     assert out.count() == 9
+
+
+def test_hard_negative_knn_label_and_rank_invariants(spark):
+    """Every mined negative must carry a label different from its
+    query's, ranks must be a dense 1..k prefix per query, and each
+    returned similarity can never exceed the brute-force best
+    same-rank neighbor (the negatives are a label-filtered subset)."""
+    from nyc_taxi_etl_spark.operators.similarity import (
+        brute_force_knn,
+        hard_negative_knn,
+    )
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    got = hard_negative_knn(emb, queries, k=4).collect()
+    by_q: dict = {}
+    for r in got:
+        assert r["neighbor_label"] != labels[r["query_id"]]
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+    # subset property vs the unfiltered exact top-k
+    bf = {
+        (r["query_id"], r["rank"]): r["cosine_sim"]
+        for r in brute_force_knn(emb, queries, k=4).collect()
+    }
+    for r in got:
+        assert r["cosine_sim"] <= bf[(r["query_id"], r["rank"])] + 1e-12
+
+
+def test_cross_source_overlap_known_matrix(spark):
+    """Tiny planted case: pairs (1,2) cross-source, (3,4) within-source
+    → one off-diagonal and one diagonal cell with exact counts and
+    averaged similarity."""
+    from nyc_taxi_etl_spark.operators.dedup import cross_source_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "books"), (3, "web"), (4, "web"), (5, "books")],
+        ["doc_id", "source"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.7), (1, 4, 0.5)],
+        ["id_a", "id_b", "jaccard"],
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["near_dup_pairs"],
+            r["avg_similarity"],
+        )
+        for r in cross_source_overlap(docs, pairs).collect()
+    }
+    assert got == {
+        ("books", "web"): (1, 0.9),
+        ("web", "web"): (2, 0.6),
+    }

@@ -238,3 +238,60 @@ def test_shingle_udtf_matches_catalyst_path(spark):
         ).collect()
     }
     assert via_udtf == via_catalyst and len(via_udtf) > 0
+
+
+# ---------------------------------------------------------------------------
+# JSONL / ORC formats (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_with_corrupt_quarantine(spark, tmp_path):
+    """Documents → JSONL → PERMISSIVE read-back: clean rows identical,
+    a planted truncated line lands verbatim in _corrupt_record (never
+    a task failure), and the one-scan audit counts both."""
+    from nyc_taxi_etl_spark.sources.sinks import write_jsonl
+    from nyc_taxi_etl_spark.sources.textformats import (
+        jsonl_ingest_audit,
+        read_jsonl,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, target_files=2)
+    # plant a malformed line alongside the good shards
+    bad = '{"doc_id": 999999, "text": "truncat'
+    with open(os.path.join(out, "part-corrupt.json"), "w") as f:
+        f.write(bad + "\n")
+    back = read_jsonl(spark, out, docs.schema)
+    audit = jsonl_ingest_audit(back).collect()[0]
+    n = docs.count()
+    assert (audit["n_lines"], audit["n_clean"], audit["n_corrupt"]) == (
+        n + 1,
+        n,
+        1,
+    )
+    quarantined = back.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(quarantined) == 1 and quarantined[0]["_corrupt_record"] == bad
+    clean = back.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert got == want
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    from nyc_taxi_etl_spark.sources.sinks import write_orc
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out, partition_by=["o_orderstatus"], target_files=1)
+    back = spark.read.orc(out)
+    assert back.count() == orders.count()
+    a = orders.groupBy("o_orderstatus").count().collect()
+    b = back.groupBy("o_orderstatus").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # partition pruning works on the Hive layout the sink produced
+    plan = back.filter(F.col("o_orderstatus") == "F")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters" in plan
