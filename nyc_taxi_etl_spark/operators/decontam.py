@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from .text import shingles
 
-__all__ = ["benchmark_shingles", "contamination_report", "decontaminate"]
+__all__ = [
+    "benchmark_shingles",
+    "contamination_report",
+    "decontaminate",
+    "semantic_contamination",
+]
 
 
 def benchmark_shingles(
@@ -119,3 +124,51 @@ def decontaminate(
         F.col("contaminated_shingles") <= max_contaminated
     ).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def semantic_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination: flag training vectors whose
+    cosine similarity to ANY held-out eval vector reaches
+    ``threshold`` — the semantic companion to the n-gram overlap rule
+    (``contamination_report``), catching paraphrased/translated eval
+    leakage that shares no shingles (the decontamination posture of
+    recent model reports that audit eval overlap in embedding space).
+
+    Returns one row per training vector:
+    ``(id_col, max_eval_sim, is_contaminated)``.
+
+    Scale contract: the EVAL side is bounded by construction (eval
+    suites don't grow with the corpus) — it broadcasts, the training
+    corpus streams through one scan, and the per-row max collapses in
+    the same projection (no groupBy: the max over eval vectors is a
+    row-local fold against the broadcast side via the non-equi join's
+    aggregation). For eval sets too large to broadcast, gate with
+    ``hyperplane_lsh_pairs`` candidates instead.
+    """
+    from .similarity import dot, norm
+
+    ev = eval_set.select(
+        F.col(vec_col).alias("e_vec"), norm(F.col(vec_col)).alias("e_n")
+    )
+    tr = train.select(
+        F.col(id_col), F.col(vec_col).alias("t_vec"),
+        norm(F.col(vec_col)).alias("t_n"),
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        F.col(id_col),
+        (dot(F.col("t_vec"), F.col("e_vec")) / (F.col("t_n") * F.col("e_n")))
+        .alias("sim"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max("sim").alias("max_eval_sim"),
+    ).select(
+        F.col(id_col),
+        "max_eval_sim",
+        (F.col("max_eval_sim") >= F.lit(threshold)).alias("is_contaminated"),
+    )

@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PII_RULES", "redact_pii", "pii_counts", "redact_documents"]
+__all__ = [
+    "PII_RULES",
+    "redact_pii",
+    "pii_counts",
+    "redact_documents",
+    "k_anonymity_audit",
+]
 
 # (class, pattern, placeholder) — applied in order.
 PII_RULES: tuple[tuple[str, str, str], ...] = (
@@ -75,4 +81,32 @@ def redact_documents(
         F.col(id_col),
         redact_pii(text).alias("redacted_text"),
         *pii_counts(text),
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (Sweeney
+    2002): group sizes per quasi-identifier tuple, flagged when a
+    group is smaller than ``k`` — those rows are re-identifiable by
+    joining the quasi-identifiers against an external dataset, the
+    release-gate check that sits beside PII redaction in a
+    training-data pipeline.
+
+    One hash aggregation on the quasi-identifier key (map-side
+    partials; group count is bounded by the quasi-identifier domain,
+    not the row count). Returns one row per group:
+    ``(*quasi_cols, group_size, at_risk)``.
+    """
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            *quasi_cols,
+            "group_size",
+            (F.col("group_size") < F.lit(k)).alias("at_risk"),
+        )
     )

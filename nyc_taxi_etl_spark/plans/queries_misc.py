@@ -1065,3 +1065,46 @@ def nation_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("bal") < 0).cast("long")).alias("n_negative"),
         )
     )
+
+
+@query(
+    "jsonl_roundtrip_source_counts",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT NULL AS source, CAST(2 AS BIGINT) AS n_rows,
+           CAST(2 AS BIGINT) AS n_corrupt
+    """,
+    extra=True,
+)
+def jsonl_roundtrip_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end JSONL ingest check through the oracle gate: the
+    documents table is exported to JSON-Lines (sources/sinks.py::
+    write_jsonl), two malformed lines are planted, and the PERMISSIVE
+    quarantine reader (sources/textformats.py::read_jsonl) ingests the
+    directory back. Per-source clean counts must equal the parquet
+    truth and both corrupt lines must land in the NULL-source
+    quarantine bucket — proving the round-trip loses nothing and the
+    front door never turns one bad byte into a task failure."""
+    import os
+    import tempfile
+
+    from ..sources.sinks import write_jsonl
+    from ..sources.textformats import CORRUPT_COL, read_jsonl
+
+    docs = t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="jsonl_rt_")
+    write_jsonl(docs, out, target_files=4)
+    with open(os.path.join(out, "part-corrupt.json"), "w") as f:
+        f.write('{"doc_id": 1, "text": "truncat\n')
+        f.write("not json at all\n")
+    back = read_jsonl(spark, out, docs.schema)
+    corrupt = F.col(CORRUPT_COL).isNotNull()
+    return back.groupBy(
+        F.when(corrupt, F.lit(None)).otherwise(F.col("source")).alias("source")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(corrupt, 1).otherwise(0)).cast("long").alias("n_corrupt"),
+    )

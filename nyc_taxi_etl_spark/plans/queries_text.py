@@ -1207,3 +1207,33 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hard_negative_knn(emb, queries, k=5).select(
         "query_id", "neighbor_id", "neighbor_label", "cosine_sim", "rank"
     )
+
+
+@query(
+    "semantic_decontamination",
+    f"""
+    WITH dd AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    ev AS (SELECT v AS evv FROM dd WHERE vec_id % 20 = 0),
+    tr AS (SELECT vec_id, v FROM dd WHERE vec_id % 20 <> 0),
+    s AS (
+      SELECT t.vec_id, max({_cos_sql("t.v", "e.evv")}) AS max_eval_sim
+      FROM tr t CROSS JOIN ev e GROUP BY 1)
+    SELECT vec_id, max_eval_sim,
+           max_eval_sim >= 0.35 AS is_contaminated
+    FROM s
+    """,
+    extra=True,
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: every 20th vector plays the
+    held-out eval suite; each remaining training vector is scored by
+    its MAX cosine against any eval vector and flagged at 0.35 — the
+    semantic companion to doc_decontamination's n-gram rule (catches
+    paraphrased eval leakage that shares no shingles). Eval side is
+    bounded by construction → broadcast; the corpus never shuffles.
+    Per-pair cosine is the bit-identical strict fold, and max is
+    order-free, so the oracle hashes raw doubles."""
+    emb = t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 20 == 0)
+    tr = emb.filter(F.col("vec_id") % 20 != 0)
+    return C.semantic_contamination(tr, ev, threshold=0.35)

@@ -800,3 +800,26 @@ def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(scores, _DSIR_TOP).select(
         "doc_id", "lang", "source", "n_tokens", "log_weight", "rank"
     )
+
+
+@query(
+    "k_anonymity_audit",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < 10 AS at_risk
+    FROM customer GROUP BY 1, 2
+    """,
+    extra=True,
+)
+def k_anonymity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (Sweeney 2002) on the customer table's
+    quasi-identifier pair (nation, market segment): group sizes and the
+    at-risk flag for groups smaller than k=10 — the privacy gate beside
+    PII redaction. One hash agg, group count bounded by the
+    quasi-identifier domain."""
+    from ..operators.redact import k_anonymity_audit
+
+    return k_anonymity_audit(
+        t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=10
+    )

@@ -38,7 +38,10 @@ _EMPTY_REPORTS = {"lineitem_quality_report": 8, "event_funnel": 3}
 # and the Python-data-source entry GENERATES its corpus — input-
 # independent by design, so 'empty input' doesn't apply to them
 _SYNTHETIC = {n for n in QUERIES if n.startswith("media_")} | {
-    "synth_corpus_lang_profile"
+    "synth_corpus_lang_profile",
+    # plants two fixture corrupt JSONL lines → emits the quarantine
+    # bucket row even over an empty documents table (by design)
+    "jsonl_roundtrip_source_counts",
 }
 
 
@@ -113,5 +116,6 @@ def test_catalog_plan_hygiene(spark, name):
         "purchase_graph_pagerank",  # 1-row dangling-deficit broadcast/round
         "dsir_selected_docs",  # 1-row target/raw-mass totals broadcast
         "hard_negative_mining",  # bounded query-side broadcast, non-equi label filter
+        "semantic_decontamination",  # bounded eval-suite broadcast (decontam contract)
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name

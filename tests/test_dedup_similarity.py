@@ -604,3 +604,25 @@ def test_cross_source_overlap_known_matrix(spark):
         ("books", "web"): (1, 0.9),
         ("web", "web"): (2, 0.6),
     }
+
+
+def test_semantic_contamination_flags_planted_eval_clone(spark):
+    """A training vector equal to an eval vector must be flagged with
+    max_eval_sim == 1.0; an orthogonal one must not be."""
+    from nyc_taxi_etl_spark.operators.decontam import semantic_contamination
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    tr = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.9, 0.1, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r["vec_id"]: (round(r["max_eval_sim"], 6), r["is_contaminated"])
+        for r in semantic_contamination(tr, ev, threshold=0.95).collect()
+    }
+    assert got[1] == (1.0, True)
+    assert got[2] == (0.0, False)
+    # cos([0.9, 0.1, 0], [1, 0, 0]) = 0.9/√0.82 ≈ 0.9939 — above 0.95
+    assert got[3][1] is True and 0.995 > got[3][0] > 0.993

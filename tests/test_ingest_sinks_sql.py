@@ -295,3 +295,19 @@ def test_orc_roundtrip_matches_parquet(spark, tmp_path):
     plan = back.filter(F.col("o_orderstatus") == "F")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_k_anonymity_audit_group_sizes(spark):
+    from nyc_taxi_etl_spark.operators.redact import k_anonymity_audit
+
+    rows = [("US", "A")] * 5 + [("US", "B")] * 2 + [("DE", "A")] * 3
+    df = spark.createDataFrame(rows, ["country", "seg"])
+    got = {
+        (r["country"], r["seg"]): (r["group_size"], r["at_risk"])
+        for r in k_anonymity_audit(df, ["country", "seg"], k=3).collect()
+    }
+    assert got == {
+        ("US", "A"): (5, False),
+        ("US", "B"): (2, True),
+        ("DE", "A"): (3, False),
+    }
