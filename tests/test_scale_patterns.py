@@ -197,3 +197,42 @@ def test_dedup_growth_is_subquadratic_on_synth_corpus(spark):
     # from a shared-vocab generator grow roughly linearly-to-modestly
     assert p2 < 4 * max(p1, 1), (p1, p2)
     assert p2 >= p1  # more docs can only add pairs under a fixed seed
+
+
+def test_ann_per_item_candidates_bounded_when_bits_track_corpus(spark):
+    """Embedding-stack scale check, stated the way the operators
+    document it: fixed-parameter LSH candidate counts are Θ(n²·p^bits)
+    — sub-quadratic TOTAL work comes from growing ``bits`` with
+    log₂(n) (the same contract as SemDeDup's n_centroids ∝ √n). With
+    one extra bit per corpus doubling, the MEAN candidates PER VECTOR
+    must stay ~flat (each extra bit halves bucket-collision odds for
+    the near-orthogonal bulk, cancelling the doubled corpus).
+    Counts, not wall-clock, so the assertion is load-independent.
+
+    Embeddings are hash-derived pseudo-random 64-dim vectors (pairwise
+    cosines concentrate near 0 — the spread-out geometry of a deduped
+    real corpus; the template-heavy corpussynth text embeds into
+    near-parallel vectors where NO blocking scheme discriminates,
+    which is why dedup runs before ANN in the curation pipeline)."""
+    from nyc_taxi_etl_spark.operators.similarity import hyperplane_lsh_pairs
+
+    def cands_per_item(n: int, bits: int) -> float:
+        ids = spark.range(n).select(F.col("id").alias("vec_id"))
+        emb = ids.select(
+            "vec_id",
+            F.expr(
+                "transform(sequence(0, 63), i -> "
+                "CAST(xxhash64(vec_id * 64 + i) % 1000001 AS DOUBLE)"
+                " / 500000.0)"
+            ).alias("embedding"),
+        )
+        total = hyperplane_lsh_pairs(
+            emb, bits=bits, tables=4, dim=64, seed=7
+        ).count()
+        return total / n
+
+    small = cands_per_item(3000, bits=10)
+    big = cands_per_item(6000, bits=11)
+    # quadratic-with-fixed-bits would double per-item work; the bit
+    # schedule must hold it ~flat (generous 1.5x noise margin)
+    assert big < 1.5 * max(small, 1.0), (small, big)
