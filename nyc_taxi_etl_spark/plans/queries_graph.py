@@ -90,18 +90,30 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks through the DISTINCT's partial agg."""
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # node ids stay LONG through the iterations (customer k → 2k,
+    # supplier k → 2k+1 — bijective) and decode to the display labels
+    # only at the end: every per-round exchange/sort moves 8-byte
+    # fixed-width longs instead of variable-length strings (neutral at
+    # sf0.1 where scheduling dominates the rounds; the win is shuffle
+    # payload and comparator cost at cluster scale). Safe for the
+    # oracle: ranks are rounded to 4 places, which already absorbs
+    # add-order ulp differences between any two executions.
     edges = (
         orders.join(
             lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
         )
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
     )
     ranks = pagerank(edges, iterations=_ITERATIONS, damping=_DAMPING)
-    return ranks.select("node", r4(F.col("rank")).alias("rank"))
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")
+        )
+    )
+    return ranks.select(label.alias("node"), r4(F.col("rank")).alias("rank"))
