@@ -219,3 +219,74 @@ def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wp).cast("long").alias("spend_quartile"),
         r4(F.percent_rank().over(wp)).alias("spend_pct_rank"),
     )
+
+
+@query(
+    "daily_value_ewma",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, avg(value) AS avg_value
+      FROM events GROUP BY 1),
+    i AS (
+      SELECT day, avg_value,
+             row_number() OVER (ORDER BY day) AS idx
+      FROM d),
+    u AS (
+      SELECT day, avg_value, idx,
+             avg_value * power(0.8, -idx) AS scaled,
+             sum(avg_value * power(0.8, -idx))
+               OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS run
+      FROM i),
+    f AS (SELECT avg_value AS x1, scaled AS u1 FROM u WHERE idx = 1)
+    SELECT day, ROUND(avg_value, 4) AS avg_value,
+           ROUND(0.2 * power(0.8, idx) * (run - f.u1)
+                 + power(0.8, idx - 1) * f.x1, 4) AS ewma
+    FROM u, f
+    """,
+    extra=True,
+)
+def daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch EWMA (α=0.2) over the daily event-value series — the
+    batch twin of streaming_ewma_anomalies' recursive state, expressed
+    as ONE window pass via the prefix-sum identity:
+    s_t = α·(1−α)^t·Σ_{j≤t} x_j·(1−α)^(−j) + init terms, with
+    s_1 = x_1. The recursion disappears into a running sum over the
+    ordered series, so Catalyst plans a single sort + window — no
+    iterative jobs, no UDF. The scaled terms grow as 1.25^t, safe in
+    doubles for series up to ~3000 points; longer series should chunk
+    by epoch (the standard rescaling trick). Oracle replays the same
+    closed form; both engines add the running sum in ascending day
+    order, and display rounding absorbs ulp."""
+    ALPHA = 0.2
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.avg("value").alias("avg_value"))
+    )
+    w_idx = Window.orderBy("day")
+    idx = F.row_number().over(w_idx)
+    with_u = daily.select(
+        "day",
+        "avg_value",
+        idx.alias("idx"),
+        (F.col("avg_value") * F.pow(F.lit(1 - ALPHA), -idx)).alias("scaled"),
+    )
+    w_run = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    run = F.sum("scaled").over(w_run)
+    first = with_u.filter(F.col("idx") == 1).select(
+        F.col("avg_value").alias("x1"), F.col("scaled").alias("u1")
+    )
+    return (
+        with_u.withColumn("run", run)
+        .crossJoin(F.broadcast(first))
+        .select(
+            "day",
+            r4(F.col("avg_value")).alias("avg_value"),
+            r4(
+                F.lit(ALPHA)
+                * F.pow(F.lit(1 - ALPHA), F.col("idx"))
+                * (F.col("run") - F.col("u1"))
+                + F.pow(F.lit(1 - ALPHA), F.col("idx") - 1) * F.col("x1")
+            ).alias("ewma"),
+        )
+    )

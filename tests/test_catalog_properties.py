@@ -117,5 +117,6 @@ def test_catalog_plan_hygiene(spark, name):
         "dsir_selected_docs",  # 1-row target/raw-mass totals broadcast
         "hard_negative_mining",  # bounded query-side broadcast, non-equi label filter
         "semantic_decontamination",  # bounded eval-suite broadcast (decontam contract)
+        "daily_value_ewma",  # 1-row first-day (x1, u1) scalar broadcast
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -644,3 +644,50 @@ def test_fuzzy_bag_prune_is_exact(spark):
         for r in fuzzy_near_pairs(docs, max_distance=50, bag_prune=True).collect()
     }
     assert base == pruned and base
+
+
+def test_arrow_knn_matches_catalyst_brute_force(spark):
+    """The numpy/mapInPandas kNN must agree with the Catalyst fold:
+    identical neighbor sets per query and similarities within ulp-level
+    tolerance (pairwise vs strict-left-fold summation)."""
+    from nyc_taxi_etl_spark.operators.similarity import (
+        brute_force_knn,
+        brute_force_knn_arrow,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in brute_force_knn(emb, queries, k=5).collect()
+    }
+    arrow = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in brute_force_knn_arrow(emb, queries, k=5).collect()
+    }
+    assert set(exact) == set(arrow)
+    for key, sim in exact.items():
+        assert abs(sim - arrow[key]) < 1e-9, key
+
+
+def test_arrow_knn_rejects_unbounded_query_set(spark):
+    import pytest as _pytest
+
+    from nyc_taxi_etl_spark.operators.similarity import brute_force_knn_arrow
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with _pytest.raises(ValueError, match="max_queries"):
+        brute_force_knn_arrow(emb, queries, k=3, max_queries=5)
+
+
+def test_arrow_knn_empty_query_set(spark):
+    from nyc_taxi_etl_spark.operators.similarity import brute_force_knn_arrow
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert brute_force_knn_arrow(emb, queries, k=3).count() == 0

@@ -311,3 +311,26 @@ def test_k_anonymity_audit_group_sizes(spark):
         ("US", "B"): (2, True),
         ("DE", "A"): (3, False),
     }
+
+
+def test_daily_ewma_matches_recursive_reference(spark):
+    """The window-pass closed form must equal the literal recursion
+    s_t = (1-a)*s_{t-1} + a*x_t (pandas ewm, adjust=False) — an
+    independent reference implementation, not the shared SQL."""
+    import duckdb as _duck
+    import numpy as np
+
+    from nyc_taxi_etl_spark.plans import QUERIES_EXTRA
+
+    sp = (
+        QUERIES_EXTRA["daily_value_ewma"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    ev = _duck.sql(
+        "SELECT CAST(ts AS DATE) AS d, avg(value) AS v "
+        "FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    ref = ev["v"].ewm(alpha=0.2, adjust=False).mean()
+    assert np.allclose(sp["ewma"], ref.round(4), atol=2e-4)
