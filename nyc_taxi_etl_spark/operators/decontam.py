@@ -144,29 +144,41 @@ def semantic_contamination(
     ``(id_col, max_eval_sim, is_contaminated)``.
 
     Scale contract: the EVAL side is bounded by construction (eval
-    suites don't grow with the corpus) — it broadcasts, the training
-    corpus streams through one scan, and the per-row max collapses in
-    the same projection (no groupBy: the max over eval vectors is a
-    row-local fold against the broadcast side via the non-equi join's
-    aggregation). For eval sets too large to broadcast, gate with
+    suites don't grow with the corpus) — it collapses to a ONE-ROW
+    broadcast frame holding every (unit-denominator) eval vector, and
+    the training corpus streams through one scan with the per-row max
+    computed as a row-local fold over that array: no groupBy, no
+    corpus-keyed shuffle anywhere in the plan (r5: an earlier draft
+    cross-joined then groupBy'd the doc id, which re-shuffled the
+    corpus — exactly what this docstring promised not to do). Each
+    per-pair cosine keeps the ``dot/(t_n·e_n)`` factoring, so the
+    values are bit-identical to the pairwise formulation and a SQL
+    oracle replays them exactly; ``array_max`` is order-free. For
+    eval sets too large for one row (~10⁵ × dim doubles), gate with
     ``hyperplane_lsh_pairs`` candidates instead.
     """
     from .similarity import dot, norm
 
-    ev = eval_set.select(
-        F.col(vec_col).alias("e_vec"), norm(F.col(vec_col)).alias("e_n")
+    # 1-row frame: array of (vec, norm) structs for the whole eval set
+    ev_packed = eval_set.agg(
+        F.collect_list(
+            F.struct(
+                F.col(vec_col).alias("v"),
+                norm(F.col(vec_col)).alias("n"),
+            )
+        ).alias("_evs")
     )
     tr = train.select(
         F.col(id_col), F.col(vec_col).alias("t_vec"),
         norm(F.col(vec_col)).alias("t_n"),
     )
-    scored = tr.crossJoin(F.broadcast(ev)).select(
-        F.col(id_col),
-        (dot(F.col("t_vec"), F.col("e_vec")) / (F.col("t_n") * F.col("e_n")))
-        .alias("sim"),
+    sims = F.transform(
+        F.col("_evs"),
+        lambda s: dot(F.col("t_vec"), s["v"]) / (F.col("t_n") * s["n"]),
     )
-    return scored.groupBy(id_col).agg(
-        F.max("sim").alias("max_eval_sim"),
+    return tr.crossJoin(F.broadcast(ev_packed)).select(
+        F.col(id_col),
+        F.array_max(sims).alias("max_eval_sim"),
     ).select(
         F.col(id_col),
         "max_eval_sim",

@@ -38,8 +38,12 @@ Scale design (100 TB posture):
 * Scoring joins exploded tokens to the per-token log-ratio table on
   the token key; the join strategy is left to AQE — broadcast when
   the vocabulary fits, sort-merge for billion-type corpora.
-* The per-document reduce is one hash agg keyed by doc id. Top-k
-  lands in ``TakeOrderedAndProject`` (no global sort).
+* The per-document reduce is one hash agg keyed by doc id. The
+  ranked top-k goes through ``_global_ranked_topn`` — per-partition
+  truncation BEFORE the single-partition rank window, because (r5,
+  verified) Spark's InferWindowGroupLimit rewrite does NOT fire for
+  unpartitioned windows, so a bare global ``row_number ≤ n`` would
+  sort the whole corpus in one task.
 * No Python anywhere on the dataflow path.
 """
 
@@ -162,11 +166,29 @@ def dsir_select(
     (``log_weight`` DESC, id ASC) with a 1-based ``rank``. The
     reproducible, oracle-checkable selection mode; the paper's
     stochastic variant is :func:`dsir_resample`."""
-    w = Window.orderBy(F.desc("log_weight"), F.asc(id_col))
-    return (
-        scores.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= n)
-    )
+    return _global_ranked_topn(scores, n, "log_weight", id_col)
+
+
+def _global_ranked_topn(
+    scores: DataFrame, n: int, metric_col: str, id_col: str
+) -> DataFrame:
+    """Global top-``n`` by (``metric_col`` DESC, id ASC) WITH a rank
+    column, bounded at every stage.
+
+    A bare unpartitioned ``row_number`` window is a corpus-wide
+    single-partition sort — and (r5, verified empirically) Spark's
+    InferWindowGroupLimit rewrite only fires for windows WITH a
+    partition spec, so the ``rank <= n`` filter does NOT save the
+    global case. Phase 1 therefore truncates per input partition
+    (``skew.two_phase_topk`` with no group columns: a
+    sort_array+slice aggregate keyed by partition id, exchange
+    carries ≤ n·partitions rows); phase 2 ranks the bounded
+    survivor set. Identical output to the direct window."""
+    from ..functions.skew import two_phase_topk
+
+    top = two_phase_topk(scores, [], metric_col, id_col, n)
+    w = Window.orderBy(F.desc(metric_col), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def dsir_resample(
@@ -191,9 +213,4 @@ def dsir_resample(
     ) / F.lit(float(1 << 40))
     gumbel = -F.log(-F.log(u))
     keyed = scores.withColumn("_gkey", F.col("log_weight") + gumbel)
-    w = Window.orderBy(F.desc("_gkey"), F.asc(id_col))
-    return (
-        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= n)
-        .drop("_gkey")
-    )
+    return _global_ranked_topn(keyed, n, "_gkey", id_col).drop("_gkey")

@@ -57,6 +57,65 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _broadcast_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    label_col: str | None,
+) -> DataFrame:
+    """Shared broadcast/score/top-k pipeline behind ``brute_force_knn``
+    and ``hard_negative_knn`` (one copy of the aliases, tiebreak, and
+    rank window, so a fix to either twin cannot drift).
+
+    With ``label_col`` set, the label-difference check rides the join
+    condition so same-class rows are dropped BEFORE the dot-product
+    fold runs, and ``neighbor_label`` is carried in the output.
+    """
+    from pyspark.sql import Window
+
+    q_cols = [
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
+    ]
+    c_cols = [
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
+    ]
+    cond = F.col("neighbor_id") != F.col("query_id")
+    out_cols = ["query_id", "neighbor_id"]
+    if label_col is not None:
+        q_cols.insert(1, F.col(label_col).alias("q_label"))
+        c_cols.insert(1, F.col(label_col).alias("c_label"))
+        cond = cond & (F.col("c_label") != F.col("q_label"))
+        out_cols.append(F.col("c_label").alias("neighbor_label"))
+    # norms computed once per row on each side (not per pair): the
+    # per-pair cost is a single dot-product fold; identical IEEE
+    # values (dot/(sqrt·sqrt) merely factored), so oracles still match
+    scored = (
+        corpus.select(*c_cols)
+        .join(F.broadcast(queries.select(*q_cols)), cond)
+        .select(
+            *out_cols,
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_n") * F.col("c_n"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def brute_force_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -71,38 +130,14 @@ def brute_force_knn(
     all similarities; window row_number per query keeps k. Deterministic
     tiebreak (similarity DESC, corpus id ASC). Scale: corpus never
     shuffles until the (tiny) per-query top-k aggregation.
-    """
-    from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_n"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_n"),
-    )
-    # norms computed once per row on each side (not per pair): the
-    # per-pair cost is a single dot-product fold; identical IEEE
-    # values (dot/(sqrt·sqrt) merely factored), so oracles still match
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))).alias(
-                "cosine_sim"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+    Zero-norm vectors propagate 0/0 = NaN cosine, which Spark's
+    descending sort orders FIRST — garbage in, rank-1 garbage out, by
+    (documented) design: filter zero vectors upstream, they have no
+    defined direction.
+    """
+    return _broadcast_knn(
+        corpus, queries, k, id_col, vec_col, query_id_col, label_col=None
     )
 
 
@@ -122,51 +157,14 @@ def hard_negative_knn(
     popularized hardness-aware negative selection; retrieval trainers
     like DPR mine exactly this set).
 
-    Plan shape mirrors ``brute_force_knn``: broadcast the (bounded)
-    query set with its labels, one corpus pass scores every
-    cross-label pair, per-query top-k via window row_number with a
-    deterministic tiebreak. The label check rides the join condition
-    so same-class rows are dropped BEFORE the dot-product fold runs.
-    Scale: the corpus never shuffles until the tiny per-query top-k;
-    for billion-row corpora compose with ``hyperplane_lsh_knn``'s
-    bucket candidates and filter labels the same way.
+    Same pipeline as ``brute_force_knn`` (shared ``_broadcast_knn``)
+    with the label filter on the join condition. Scale: the corpus
+    never shuffles until the tiny per-query top-k; for billion-row
+    corpora compose with ``hyperplane_lsh_knn``'s bucket candidates
+    and filter labels the same way.
     """
-    from pyspark.sql import Window
-
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(label_col).alias("q_label"),
-        F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_n"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("c_label"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_n"),
-    )
-    scored = (
-        c.join(
-            F.broadcast(q),
-            (F.col("neighbor_id") != F.col("query_id"))
-            & (F.col("c_label") != F.col("q_label")),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("c_label").alias("neighbor_label"),
-            (
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_n") * F.col("c_n"))
-            ).alias("cosine_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+    return _broadcast_knn(
+        corpus, queries, k, id_col, vec_col, query_id_col, label_col
     )
 
 
@@ -694,6 +692,13 @@ def brute_force_knn_arrow(
     operator; float sums differ from the Catalyst fold only at ulp
     (numpy pairwise vs strict left-fold), so parity tests compare with
     tolerance instead of a bit-exact oracle.
+
+    Zero-norm divergence (documented, deliberate): cosine of a zero
+    vector is 0/0 — the exact twin propagates NaN, which Spark's
+    descending sort ranks FIRST; this path instead EXCLUDES zero-norm
+    corpus rows and zero-norm queries (no defined direction → no
+    neighbors). Filter zero vectors upstream if the twins must agree
+    on degenerate inputs.
     """
     import numpy as np
     from pyspark.sql import Window
@@ -714,7 +719,8 @@ def brute_force_knn_arrow(
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
-    q_norm[q_norm == 0.0] = 1.0
+    keep = q_norm > 0.0  # zero-norm queries excluded (see docstring)
+    q_ids, q_mat, q_norm = q_ids[keep], q_mat[keep], q_norm[keep]
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
     def score(batches):
@@ -727,7 +733,13 @@ def brute_force_knn_arrow(
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
-            c_norm[c_norm == 0.0] = 1.0
+            valid = c_norm > 0.0  # zero-norm corpus rows excluded
+            if not valid.all():
+                c_ids, c_mat, c_norm = (
+                    c_ids[valid], c_mat[valid], c_norm[valid]
+                )
+            if c_ids.size == 0:
+                continue
             sims = (c_mat @ mat.T) / np.outer(c_norm, qn)  # corpus × query
             out_q, out_n, out_s = [], [], []
             kk = min(k, len(c_ids))

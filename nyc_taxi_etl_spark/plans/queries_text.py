@@ -736,7 +736,7 @@ def _plane_sql(plane: list[float]) -> str:
 
 def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
     """Packed sign-bit bucket of ``vec`` against ``planes`` — replays
-    operators/similarity.py::_signature: per-plane left-fold dot
+    operators/similarity.py::_signature_sql: per-plane left-fold dot
     product (list_sum is bit-identical to Spark's strict fold), sign
     bit j worth 2^j."""
     terms = [

@@ -249,6 +249,33 @@ class _SynthEventsStreamReader(DataSourceStreamReader):
         self.batch_rows = int(options.get("batch_rows", 100))
         self.max_rows = int(options.get("max_rows", 500))
         self.n_parts = int(options.get("n_parts", 4))
+        # Opt-in DURABLE high-water mark. The in-process monotone
+        # clamp (below) cannot cover one recovery order: last batch
+        # committed → process dies → fresh reader's FIRST engine call
+        # is latestOffset(), with no prior partitions()/commit() to
+        # observe — the reader would then hand the engine a
+        # below-checkpoint offset, the engine logs that regressed end,
+        # and a SECOND crash resumes from it, re-emitting rows
+        # (at-least-once, not exactly-once). Pointing ``state_dir`` at
+        # stable storage (e.g. next to the checkpoint) closes that
+        # window: every observed offset is persisted atomically and a
+        # fresh reader seeds its mark from the file. Without it, run
+        # the documented at-least-once posture: ids are deterministic
+        # per index, so dropDuplicatesWithinWatermark downstream
+        # restores exactly-once.
+        self._state_path = None
+        self._latest = 0
+        state_dir = options.get("state_dir")
+        if state_dir:
+            import os
+
+            os.makedirs(state_dir, exist_ok=True)
+            self._state_path = os.path.join(state_dir, "eventsynth_hwm")
+            try:
+                with open(self._state_path) as f:
+                    self._latest = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                self._latest = 0
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"i": 0}
@@ -260,7 +287,15 @@ class _SynthEventsStreamReader(DataSourceStreamReader):
         # checkpoint even if the engine calls latestOffset before
         # replaying commit() — a backwards batch would re-emit already
         # processed rows downstream.
-        self._latest = max(getattr(self, "_latest", 0), i)
+        prev = getattr(self, "_latest", 0)
+        self._latest = max(prev, i)
+        if self._state_path is not None and self._latest > prev:
+            import os
+
+            tmp = self._state_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(self._latest))
+            os.replace(tmp, self._state_path)  # atomic on POSIX
 
     def latestOffset(self) -> dict:  # noqa: N802
         # advance one micro-batch per trigger up to the bounded end

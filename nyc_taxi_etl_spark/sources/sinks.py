@@ -33,6 +33,28 @@ def _with_file_count(df: DataFrame, target_files: int | None, partition_by) -> D
     return df.repartition(target_files)
 
 
+def _write(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    mode: str,
+    partition_by: list[str] | None,
+    target_files: int | None,
+    options: dict | None = None,
+) -> None:
+    """Shared sink scaffolding: file-count control → mode →
+    partitioning → format dispatch. One copy, so the
+    ``_with_file_count`` / ``partitionBy`` interaction is fixed in one
+    place for every format."""
+    out = _with_file_count(df, target_files, partition_by)
+    writer = out.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for key, val in (options or {}).items():
+        writer = writer.option(key, val)
+    writer.save(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -42,11 +64,7 @@ def write_parquet(
 ) -> None:
     """Parquet sink with optional Hive partitioning and file-count
     control (S10/S11/S13)."""
-    out = _with_file_count(df, target_files, partition_by)
-    writer = out.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    _write(df, path, "parquet", mode, partition_by, target_files)
 
 
 def write_csv(
@@ -76,13 +94,8 @@ def write_jsonl(
     tokenizer pipelines consume). Spark's json writer IS jsonl: one
     object per line per file. Same partitioning/file-count knobs as
     the parquet sink; ``compression='gzip'`` for shipping."""
-    out = _with_file_count(df, target_files, partition_by)
-    writer = out.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    if compression:
-        writer = writer.option("compression", compression)
-    writer.json(path)
+    opts = {"compression": compression} if compression else None
+    _write(df, path, "json", mode, partition_by, target_files, opts)
 
 
 def write_orc(
@@ -96,8 +109,4 @@ def write_orc(
     estates). Identical knob surface to ``write_parquet``; Spark ships
     the ORC reader/writer built in, so round-trips need no extra
     packages."""
-    out = _with_file_count(df, target_files, partition_by)
-    writer = out.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.orc(path)
+    _write(df, path, "orc", mode, partition_by, target_files)

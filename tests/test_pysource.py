@@ -222,3 +222,29 @@ def test_event_stream_microbatch_has_parallel_partitions(pysrc_spark):
     assert got["event_id"].max() == 119
     # the memory sink preserves within-partition batches; partition
     # parallelism is asserted at the planner level above (len(parts))
+
+
+def test_event_stream_durable_hwm_survives_process_restart(tmp_path):
+    """The residual recovery window (last batch committed, process
+    dies, fresh reader's FIRST call is latestOffset) is closed by the
+    opt-in durable mark: a brand-new reader seeded from state_dir can
+    never hand the engine a below-checkpoint offset, so no regressed
+    end ever reaches the offset log."""
+    from nyc_taxi_etl_spark.sources.pysource import _SynthEventsStreamReader
+
+    opts = {
+        "batch_rows": 50,
+        "max_rows": 500,
+        "state_dir": str(tmp_path / "hwm"),
+    }
+    r1 = _SynthEventsStreamReader(opts)
+    r1.latestOffset()            # 50
+    r1.partitions({"i": 50}, {"i": 150})  # engine planned ahead to 150
+    r1.commit({"i": 150})
+    # process dies; FRESH reader, engine asks latestOffset first
+    r2 = _SynthEventsStreamReader(opts)
+    assert r2.latestOffset() == {"i": 200}  # 150 (durable) + 50, never 50
+    # and a reader WITHOUT state_dir still shows the documented
+    # at-least-once window (this is the contract the docstring states)
+    r3 = _SynthEventsStreamReader({"batch_rows": 50, "max_rows": 500})
+    assert r3.latestOffset() == {"i": 50}
