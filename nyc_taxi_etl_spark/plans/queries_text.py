@@ -1237,3 +1237,58 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = emb.filter(F.col("vec_id") % 20 == 0)
     tr = emb.filter(F.col("vec_id") % 20 != 0)
     return C.semantic_contamination(tr, ev, threshold=0.35)
+
+
+_WINNOW_K, _WINNOW_W, _WINNOW_MIN = 20, 8, 5
+
+
+@query(
+    "winnow_near_pairs",
+    f"""
+    WITH n AS (
+      SELECT doc_id,
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    h AS (
+      SELECT doc_id, t,
+             list_transform(
+               [t[i:i+{_WINNOW_K - 1}]
+                for i in generate_series(1, length(t) - {_WINNOW_K - 1})],
+               g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+      FROM n),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= {_WINNOW_K + _WINNOW_W - 1} THEN
+                    list_distinct([list_min(hs[p:p+{_WINNOW_W - 1}])
+                       for p in generate_series(1, len(hs) - {_WINNOW_W - 1})])
+                  WHEN length(t) >= {_WINNOW_K} THEN [list_min(hs)]
+                  ELSE [] END AS fps
+      FROM h),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM g)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_WINNOW_MIN}
+    """,
+    extra=True,
+)
+def winnow_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-dup pairs (Schleimer et al., SIGMOD
+    2003 — the MOSS algorithm; ``operators/winnow.py``): windowed-min
+    selection over rolling char-20-gram hashes gives a GUARANTEE —
+    every verbatim shared run of ≥ k+w−1 = 27 chars contributes an
+    identical fingerprint to both documents — so ``shared_fps``
+    counts certified shared passages, where MinHash only estimates
+    set overlap. Pairs share ≥ 5 fingerprints. The oracle replays
+    normalization → rolling hashes → window minima → inverted-index
+    join bit-for-bit (md5-prefix integers, the dedup-family
+    portability contract)."""
+    from ..operators.winnow import winnow_near_pairs
+
+    return winnow_near_pairs(
+        t(spark, sf_dir, "documents"),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=_WINNOW_MIN,
+    )

@@ -691,3 +691,60 @@ def test_arrow_knn_empty_query_set(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     assert brute_force_knn_arrow(emb, queries, k=3).count() == 0
+
+
+def test_winnow_guarantee_shared_passage_detected(spark):
+    """Schleimer et al.'s theorem: a verbatim shared run of length
+    >= w + k - 1 contributes at least one identical fingerprint to
+    both documents — certainty, not probability."""
+    from nyc_taxi_etl_spark.operators.winnow import winnow_near_pairs
+
+    k, w = 8, 4
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    assert len(passage) >= k + w - 1
+    rows = [
+        (1, "AAAA " + passage + " BBBB"),
+        (2, "completely different preamble text " + passage),
+        (3, "no overlap with anything else here at all zzz qqq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_near_pairs(df, k=k, w=w, min_shared=1).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    assert not any(3 in p for p in found)
+
+
+def test_winnow_short_doc_still_fingerprints(spark):
+    """A doc with >= 1 k-gram but fewer than w of them keeps its
+    global-min hash: no non-empty document fingerprints to nothing."""
+    from nyc_taxi_etl_spark.operators.winnow import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy")], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(df, k=8, w=4).collect()
+    assert {r.doc_id for r in fps} == {1}
+    assert len(fps) == 1
+
+
+def test_winnow_max_doc_freq_drops_boilerplate(spark):
+    """Corpus-stopword fingerprints (shared boilerplate in every doc)
+    are dropped before the self-join; genuine pairwise overlap above
+    the cap survives."""
+    from nyc_taxi_etl_spark.operators.winnow import winnow_near_pairs
+
+    k, w = 8, 4
+    boiler = "standard footer text appearing everywhere in corpus"
+    uniq = "some genuinely shared rare passage between just two docs"
+    rows = [(i, f"doc number {i} says {boiler}") for i in range(10)]
+    rows += [(100, "X " + uniq), (101, "Y " + uniq)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=3: boilerplate fps have doc-freq 10, and the context-dependent
+    # minima near each doc's unique digit yield fps with doc-freq 4-8 —
+    # all above the cap; the planted pair's fps have doc-freq 2
+    pairs = winnow_near_pairs(
+        df, k=k, w=w, min_shared=1, max_doc_freq=3
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (100, 101) in found
+    assert not any(p[0] < 100 and p[1] < 100 for p in found)
