@@ -29,6 +29,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_pairs",
+    "hamming_near_pairs",
     "connected_components",
     "cross_source_overlap",
     "lsh_bucket_stats",
@@ -428,23 +429,53 @@ def simhash_near_pairs(
     then exact popcount verification. This is the standard
     Manku/Jain/Sarma web-dedup plan, as DataFrame ops.
     """
-    assert blocks > max_hamming, "pigeonhole needs blocks > max_hamming"
     sig = simhash(df, text_col, id_col, bits)
+    return hamming_near_pairs(
+        sig,
+        id_col=id_col,
+        sig_col="simhash",
+        bits=bits,
+        max_hamming=max_hamming,
+        blocks=blocks,
+    )
+
+
+def hamming_near_pairs(
+    sig: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    bits: int = 64,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Pairs of rows whose ``bits``-wide integer signatures differ in
+    ≤ ``max_hamming`` bit positions: ``(id_a, id_b, hamming)``.
+
+    The signature-agnostic core of the Manku pigeonhole plan — shared
+    by text SimHash (:func:`simhash_near_pairs`) and image pHash
+    (``multimodal.image_phash_pairs``): any pair within distance
+    d < ``blocks`` agrees exactly on ≥ 1 of the ``blocks`` bit-blocks,
+    so candidates come from equi-joins on (block index, block value),
+    then exact popcount verification. Block width = bits/blocks trades
+    bucket heat against recall headroom: wider blocks (fewer) → more
+    bucket values → colder buckets, but ``max_hamming`` must stay
+    below ``blocks``.
+    """
+    assert blocks > max_hamming, "pigeonhole needs blocks > max_hamming"
     width = bits // blocks
     mask = (1 << width) - 1
     # all block values in one projection + posexplode (single execution
-    # of the 32-fold signature plan), then bucket-local pair expansion
-    # carrying (id, signature) so the popcount verification needs no
-    # join back.
+    # of the signature plan), then bucket-local pair expansion carrying
+    # (id, signature) so the popcount verification needs no join back.
     blockvals = F.array(
         *[
-            F.shiftright(F.col("simhash"), blk * width).bitwiseAND(F.lit(mask))
+            F.shiftright(F.col(sig_col), blk * width).bitwiseAND(F.lit(mask))
             for blk in range(blocks)
         ]
     )
     blocked = sig.select(
         F.col(id_col).alias("id"),
-        F.col("simhash").alias("sig"),
+        F.col(sig_col).alias("sig"),
         F.posexplode(blockvals).alias("blk", "blockval"),
     )
     # self-join kept deliberately: simhash blocks are only

@@ -58,6 +58,12 @@ __all__ = [
     "resize_images",
     "audio_features",
     "sample_video_frames",
+    "image_phash",
+    "image_phash_pairs",
+    "synthesize_image_variants",
+    "audio_fingerprint",
+    "audio_fingerprint_pairs",
+    "synthesize_audio_variants",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -465,3 +471,317 @@ def image_patch_embeddings(
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, _PATCH_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash) + image near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (the classic pHash transform):
+    ``D @ x`` is the 1-D DCT of x; ``D @ img @ D.T`` the 2-D DCT."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    d = np.cos(np.pi * k * (2 * i + 1) / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def _phash64(img: np.ndarray, size: int = 32, low: int = 8) -> int:
+    """64-bit DCT perceptual hash of an RGB image.
+
+    Standard pHash (as popularized by the public imagehash library,
+    re-derived here in pure numpy): grayscale → area-mean resize to
+    ``size``² → 2-D DCT-II → keep the ``low``×``low`` low-frequency
+    block → threshold each AC coefficient against the AC median. The
+    DC coefficient (overall brightness) is EXCLUDED from both the
+    median and the bits — bit 63 is always 0 — so a uniform exposure
+    shift moves the hash at most a couple of bits (float ties at the
+    median; the DC term itself never participates).
+    """
+    gray = img.astype(np.float64).mean(axis=2)
+    ys = np.array_split(np.arange(gray.shape[0]), min(size, gray.shape[0]))
+    xs = np.array_split(np.arange(gray.shape[1]), min(size, gray.shape[1]))
+    row_means = np.array([gray[y].mean(axis=0) for y in ys])
+    small = np.array([[row_means[r][x].mean() for x in xs]
+                      for r in range(len(ys))])
+    n = small.shape[0]
+    m = small.shape[1]
+    dct = _dct_matrix(n) @ small @ _dct_matrix(m).T
+    lo = dct[: min(low, n), : min(low, m)]
+    if lo.shape != (low, low):  # tiny image: pad with zeros
+        padded = np.zeros((low, low))
+        padded[: lo.shape[0], : lo.shape[1]] = lo
+        lo = padded
+    flat = lo.flatten()
+    ac = flat[1:]
+    med = np.median(ac)
+    val = 0
+    for b in ac > med:
+        val = (val << 1) | int(b)
+    return val  # 63 bits used; top bit (DC) always 0
+
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def image_phash(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Per-image 64-bit DCT perceptual hash: ``(media_id, phash)``.
+
+    The visual member of the dedup fingerprint family — ahash (in
+    :func:`image_features`) thresholds raw pixels and flips on any
+    local edit; pHash thresholds low-frequency DCT energy, so
+    re-encoding (PNG↔BMP↔JPEG), mild noise, and uniform brightness
+    shifts leave the hash within a few bits while distinct images
+    land ~32 bits apart.
+
+    Scale: narrow Arrow-batched ``mapInPandas`` — decode + hash per
+    blob, no shuffle; output is two longs per image, ready for the
+    pigeonhole pair join (:func:`image_phash_pairs`)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    img = _decode_image(
+                        bytes(r.content), int(r.width), int(r.height)
+                    )
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                out.append((int(r.media_id), _phash64(img)))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in _PHASH_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, _PHASH_SCHEMA
+    )
+
+
+def image_phash_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Image near-dup pairs by pHash Hamming distance ≤ ``max_hamming``:
+    ``(id_a, id_b, hamming)``.
+
+    Same Manku pigeonhole plan as text SimHash (via the shared
+    ``dedup.hamming_near_pairs`` core): 8 blocks of 8 bits each give
+    256 bucket values per block, and any pair within distance < 8
+    collides on at least one block — candidates are block equi-joins,
+    never n². At web scale the default (6, 8) mirrors the published
+    near-dup settings for 64-bit fingerprints; raising ``max_hamming``
+    past 7 requires more/narrower blocks (hotter buckets) — the
+    pigeonhole assertion enforces the invariant."""
+    from .dedup import hamming_near_pairs
+
+    sig = image_phash(media, on_error=on_error)
+    return hamming_near_pairs(
+        sig,
+        id_col="media_id",
+        sig_col="phash",
+        bits=64,
+        max_hamming=max_hamming,
+        blocks=blocks,
+    )
+
+
+def synthesize_image_variants(
+    spark: SparkSession, n_base: int = 12, seed: int = 33
+) -> DataFrame:
+    """Deterministic image corpus with PLANTED near-duplicates, for
+    the pHash pipeline: each smooth base image (low-frequency block
+    pattern — pHash is a low-frequency statistic, so robustness is
+    only meaningful on images with low-frequency structure) appears
+    three times: media_id 3i   = original          (PNG),
+                 media_id 3i+1 = re-encoded        (BMP, identical pixels),
+                 media_id 3i+2 = noised + brighter (PPM, planted near-dup).
+    Distinct bases are independent draws → expected pHash distance
+    ~32 bits — far outside any near-dup threshold."""
+    from .imagecodec import encode_bmp, encode_png, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_base):
+        h, w = int(rng.integers(24, 49)), int(rng.integers(24, 49))
+        # 8x8 low-res pattern upsampled: genuine energy in ALL 64
+        # low-frequency DCT coefficients, so the AC median sits inside
+        # a well-separated distribution and planted noise moves the
+        # hash <= 2 bits (a sparser pattern leaves half the
+        # coefficients ~0 == at the median, where noise flips them)
+        coarse = rng.integers(40, 216, (8, 8, 3), dtype=np.uint8)
+        base = np.kron(
+            coarse, np.ones((max(1, h // 8), max(1, w // 8), 1), dtype=np.uint8)
+        )[:h, :w]
+        h, w = base.shape[:2]
+        noise = rng.normal(0.0, 2.5, base.shape)
+        near = np.clip(base.astype(np.float64) + noise + 9.0, 0, 255).astype(
+            np.uint8
+        )
+        for j, (img, codec) in enumerate(
+            ((base, encode_png), (base, encode_bmp), (near, encode_ppm))
+        ):
+            rows.append(
+                (3 * i + j, "image", bytearray(codec(img)), w, h, None, None)
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral fingerprint + near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _audio_fp64(
+    wave: np.ndarray,
+    sr: int,
+    n_bands: int = 65,
+    win: int = 1024,
+    hop: int = 512,
+    fmin: float = 100.0,
+    fmax: float = 3500.0,
+) -> int:
+    """64-bit spectral fingerprint of a PCM clip.
+
+    Haitsma–Kalker-family robust hash (the published Philips scheme),
+    adapted to CLIP-level dedup: Hann-windowed STFT → power in
+    ``n_bands`` log-spaced bands (fmin..min(fmax, Nyquist)) →
+    time-AVERAGED band energies → sign of each adjacent-band
+    difference = one bit. The per-frame time-difference term of the
+    original (built for subsequence search in time-varying music) is
+    deliberately dropped: for clip identity it only adds variance.
+    Energy-difference signs are exactly invariant to uniform gain and
+    robust to additive noise well below the signal floor.
+    """
+    if len(wave) < win:
+        raise ValueError(
+            f"audio clip too short to fingerprint ({len(wave)} < {win} samples)"
+        )
+    window = np.hanning(win)
+    mags = np.array(
+        [
+            np.abs(np.fft.rfft(wave[s : s + win].astype(np.float64) * window))
+            ** 2
+            for s in range(0, len(wave) - win + 1, hop)
+        ]
+    )
+    freqs = np.fft.rfftfreq(win, 1.0 / sr)
+    edges = np.geomspace(fmin, min(fmax, sr / 2 - 1), n_bands + 1)
+    ebar = np.array(
+        [
+            mags[:, (freqs >= edges[b]) & (freqs < edges[b + 1])].sum()
+            for b in range(n_bands)
+        ]
+    )
+    bits = ebar[:-1] - ebar[1:] > 0
+    val = 0
+    for b in bits[:64]:
+        val = (val << 1) | int(b)
+    # two's-complement to signed: LongType/Arrow carry int64, and bit
+    # 63 is a real data bit here (unlike pHash, whose DC bit is 0)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+_AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Per-clip 64-bit spectral fingerprint: ``(media_id, afp)`` — the
+    audio member of the dedup fingerprint family (see
+    :func:`_audio_fp64`). Gain changes leave the hash untouched;
+    moderate additive noise moves it a few bits; distinct content
+    lands ~32 bits apart.
+
+    Scale: narrow Arrow-batched ``mapInPandas`` — PCM decode + STFT
+    per blob, no shuffle; two longs out per clip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                wave = np.frombuffer(bytes(r.content), dtype="<i2")
+                out.append(
+                    (int(r.media_id), _audio_fp64(wave, int(r.sample_rate)))
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in _AUDIO_FP_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, _AUDIO_FP_SCHEMA
+    )
+
+
+def audio_fingerprint_pairs(
+    media: DataFrame, max_hamming: int = 7, blocks: int = 8
+) -> DataFrame:
+    """Audio near-dup pairs by fingerprint Hamming distance ≤
+    ``max_hamming``: ``(id_a, id_b, hamming)`` via the shared Manku
+    pigeonhole core (``dedup.hamming_near_pairs`` — block equi-join
+    candidates, popcount verify, never n²)."""
+    from .dedup import hamming_near_pairs
+
+    return hamming_near_pairs(
+        audio_fingerprint(media),
+        id_col="media_id",
+        sig_col="afp",
+        bits=64,
+        max_hamming=max_hamming,
+        blocks=blocks,
+    )
+
+
+def synthesize_audio_variants(
+    spark: SparkSession, n_base: int = 12, seed: int = 5
+) -> DataFrame:
+    """Deterministic audio corpus with PLANTED near-duplicates: each
+    base clip is BROADBAND shaped noise (white noise × a smooth
+    random spectral envelope — every log band carries real energy, so
+    adjacent-band orderings are well separated; pure test tones would
+    leave most bands at leakage level, where the sign bits are noise).
+    Triples: media_id 3i   = original,
+             media_id 3i+1 = gain ×0.7          (fingerprint-identical),
+             media_id 3i+2 = noised + gain ×0.7 (planted near-dup).
+    Distinct bases are independent spectra → ~32 bits apart."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_base):
+        sr = int(rng.choice([8000, 16000]))
+        n = int(sr * 0.5)
+        spec = np.fft.rfft(rng.normal(0.0, 1.0, n))
+        f = np.fft.rfftfreq(n, 1.0 / sr)
+        env = np.interp(
+            f, np.linspace(0, sr / 2, 8), rng.uniform(0.2, 1.0, 8)
+        )
+        wave = np.fft.irfft(spec * env, n)
+        wave = wave / np.abs(wave).max() * 12000.0
+        noise = rng.normal(0.0, 400.0, n)
+        variants = (
+            wave,
+            wave * 0.7,
+            np.clip((wave + noise) * 0.7, -32768, 32767),
+        )
+        for j, v in enumerate(variants):
+            blob = v.astype("<i2").tobytes()
+            rows.append(
+                (3 * i + j, "audio", bytearray(blob), None, None, sr, None)
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

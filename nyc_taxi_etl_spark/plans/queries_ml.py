@@ -161,3 +161,60 @@ def media_image_patch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_media(spark, n=90, seed=42)
     return image_patch_embeddings(media, grid=4, patch_px=8)
+
+
+@query("media_image_phash_pairs", None, extra=True)
+def media_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by DCT perceptual hash — the visual
+    member of the dedup family (text: minhash/simhash/winnow;
+    embeddings: LSH cosine; images: pHash). Real decode (PNG/BMP/PPM
+    codecs) → 32² area resize → 2-D DCT-II → 64-bit low-frequency
+    sign hash per image, then the SAME Manku pigeonhole plan as
+    SimHash (shared ``dedup.hamming_near_pairs`` core: 8 blocks × 8
+    bits, block equi-join candidates, popcount verify — never n²).
+    The corpus plants re-encoded (identical pixels, distance 0) and
+    noised+brightened (distance ≤ 2) variants of each base image;
+    distinct bases sit ≥ 24 bits apart. Rows-only by design (binary
+    decode is not SQL-expressible); blocked-vs-brute-force exactness
+    and robustness margins are pinned in tests/test_multimodal.py.
+
+    Scale: hash = narrow Arrow-batched mapInPandas (no shuffle);
+    pair stage shuffles two longs per image on block values.
+    """
+    from ..operators.multimodal import (
+        image_phash_pairs,
+        synthesize_image_variants,
+    )
+
+    media = synthesize_image_variants(spark, n_base=12, seed=33)
+    return image_phash_pairs(media, max_hamming=6, blocks=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query("media_audio_fingerprint_pairs", None, extra=True)
+def media_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by spectral fingerprint — the audio
+    member of the dedup family. PCM16 decode → Hann STFT → 65
+    log-band energies, time-averaged → 64 adjacent-band-difference
+    sign bits (Haitsma–Kalker / Philips robust-hash family, clip-level
+    variant: exactly gain-invariant, noise moves ≤ a few bits), then
+    the shared Manku pigeonhole pair plan (``dedup.hamming_near_pairs``,
+    8 blocks × 8 bits). The corpus plants gain-rescaled (distance 0)
+    and noised (distance ≤ 7) variants per base clip; distinct
+    broadband spectra sit ≥ 15 bits apart. Rows-only by design
+    (FFT decode is not SQL-expressible); blocked-vs-brute exactness
+    and margins pinned in tests/test_multimodal.py.
+
+    Scale: fingerprint = narrow Arrow-batched mapInPandas; pair stage
+    shuffles two longs per clip on block values.
+    """
+    from ..operators.multimodal import (
+        audio_fingerprint_pairs,
+        synthesize_audio_variants,
+    )
+
+    media = synthesize_audio_variants(spark, n_base=12, seed=5)
+    return audio_fingerprint_pairs(media, max_hamming=7, blocks=8).orderBy(
+        "id_a", "id_b"
+    )

@@ -190,3 +190,169 @@ def test_corrupt_container_never_reinterpreted_as_raw(spark):
     assert image_features(df, on_error="skip").count() == 0
     audit = image_decode_audit(df).collect()[0]
     assert audit["decode_ok"] == 0 and audit["error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# pHash + image near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _phash_media(spark):
+    from nyc_taxi_etl_spark.operators.multimodal import (
+        synthesize_image_variants,
+    )
+
+    return synthesize_image_variants(spark, n_base=8, seed=33)
+
+
+def test_phash_reencode_is_identical(spark):
+    """PNG and BMP variants carry identical pixels — the pHash must be
+    bit-identical (decode-then-hash is container-invariant)."""
+    from nyc_taxi_etl_spark.operators.multimodal import image_phash
+
+    hashes = {
+        r["media_id"]: r["phash"]
+        for r in image_phash(_phash_media(spark)).collect()
+    }
+    for base in range(0, len(hashes), 3):
+        assert hashes[base] == hashes[base + 1]
+
+
+def test_phash_planted_near_dups_within_threshold(spark):
+    """Noised + brightened variants stay within 2 bits of their base;
+    distinct bases stay far apart (the corpus's documented margins)."""
+    from nyc_taxi_etl_spark.operators.multimodal import image_phash
+
+    hashes = {
+        r["media_id"]: r["phash"]
+        for r in image_phash(_phash_media(spark)).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    bases = sorted(hashes)[::3]
+    for b in bases:
+        assert ham(hashes[b], hashes[b + 2]) <= 2
+    for i, a in enumerate(bases):
+        for b in bases[i + 1 :]:
+            assert ham(hashes[a], hashes[b]) > 12
+
+
+def test_phash_pairs_match_brute_force(spark):
+    """The pigeonhole-blocked pair plan is EXACT for
+    max_hamming < blocks: identical pair set (ids + distances) as an
+    all-pairs popcount scan."""
+    from nyc_taxi_etl_spark.operators.multimodal import (
+        image_phash,
+        image_phash_pairs,
+    )
+
+    media = _phash_media(spark)
+    blocked = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_phash_pairs(media, max_hamming=6, blocks=8).collect()
+    }
+    hashes = {
+        r["media_id"]: r["phash"]
+        for r in image_phash(media).collect()
+    }
+    brute = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+            if d <= 6:
+                brute[(a, b)] = d
+    assert blocked == brute
+    # every planted triple is fully connected: 3 pairs per base
+    assert len(brute) == 3 * (len(ids) // 3)
+
+
+def test_phash_pairs_pigeonhole_invariant(spark):
+    from nyc_taxi_etl_spark.operators.multimodal import image_phash_pairs
+
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        image_phash_pairs(_phash_media(spark), max_hamming=8, blocks=8)
+
+
+def test_phash_skips_non_image_rows(spark):
+    """Mixed media: only image rows are hashed (no decode attempts on
+    PCM/video blobs)."""
+    from nyc_taxi_etl_spark.operators.multimodal import (
+        image_phash,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=9, seed=42)
+    got = image_phash(media).collect()
+    kinds = {r["media_id"] % 3 for r in got}
+    assert kinds == {0}  # synthesize_media cycles image/audio/video
+    assert len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint + near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_gain_invariant(spark):
+    """Uniform gain rescale (×0.7) leaves the fingerprint untouched —
+    energy-difference signs are scale-free."""
+    from nyc_taxi_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthesize_audio_variants,
+    )
+
+    fps = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprint(
+            synthesize_audio_variants(spark, n_base=6, seed=5)
+        ).collect()
+    }
+    for base in range(0, len(fps), 3):
+        assert fps[base] == fps[base + 1]
+
+
+def test_audio_fingerprint_pairs_match_brute_force(spark):
+    """Pigeonhole-blocked audio pairs are EXACT vs all-pairs popcount,
+    and every planted triple is fully connected."""
+    from nyc_taxi_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint_pairs,
+        synthesize_audio_variants,
+    )
+
+    media = synthesize_audio_variants(spark, n_base=8, seed=5)
+    blocked = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_fingerprint_pairs(
+            media, max_hamming=7, blocks=8
+        ).collect()
+    }
+    fps = {
+        r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()
+    }
+    ids = sorted(fps)
+    brute = {
+        (a, b): bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= 7
+    }
+    assert blocked == brute
+    assert len(brute) == 3 * (len(ids) // 3)
+
+
+def test_audio_fingerprint_too_short_raises(spark):
+    from nyc_taxi_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+    )
+
+    blob = bytearray(b"\x00\x01" * 100)  # 100 samples < one window
+    df = spark.createDataFrame(
+        [(1, "audio", blob, None, None, 8000, None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="too short"):
+        audio_fingerprint(df).collect()
