@@ -182,35 +182,59 @@ def main() -> None:
             sf_val: float | str = float(sf)
         except ValueError:
             sf_val = sf
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_catalog_total",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": sf_val,
-                    "extension_total": extension_total,
-                    "median_total": median_total,
-                    "queries_median": medians,
-                    # methodology self-description (round-over-round
-                    # comparisons should not conflate method changes
-                    # with plan wins): per-query timing = MIN of
-                    # `runs` back-to-back materializations in ONE warm
-                    # session (median alongside as the load-noise
-                    # signal); cold=false because a JVM/codegen warm-up
-                    # pass runs before any timed query (r1 = single
-                    # cold run; r2-r3 = best-of-2; r4+ = this method)
-                    "runs": n_runs,
-                    "stat": "min (median in queries_median)",
-                    "cold": False,
-                    "warmup": "1 trivial noop-materialized plan",
-                    "loadavg": [round(x, 2) for x in os.getloadavg()],
-                    "host_cpus": os.cpu_count(),
-                    "preflight": preflight,
-                }
-            )
+        # Full record (median-per-query, preflight, loadavg, method
+        # notes) goes to BENCH_DETAIL.json next to this script. The
+        # stdout line is kept COMPACT and bounded: the driver that
+        # records BENCH_r{N}.json parses the tail of the process
+        # output, and the r4 line (min+median per query) outgrew its
+        # buffer — the record landed with parsed=null. Methodology:
+        # per-query timing = MIN of `runs` back-to-back
+        # materializations in ONE warm session (median in the detail
+        # file as the load-noise signal); cold=false because a
+        # JVM/codegen warm-up pass runs before any timed query
+        # (r1 = single cold run; r2-r3 = best-of-2; r4+ = this).
+        detail = {
+            "metric": "headline_catalog_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+            "extension_total": extension_total,
+            "median_total": median_total,
+            "queries_median": medians,
+            "runs": n_runs,
+            "stat": "min (median in queries_median)",
+            "cold": False,
+            "warmup": "1 trivial noop-materialized plan",
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
+            "host_cpus": os.cpu_count(),
+            "preflight": preflight,
+        }
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        compact = {
+            "metric": "headline_catalog_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+            "extension_total": extension_total,
+            "runs": n_runs,
+            "stat": "min",
+            "detail": "BENCH_DETAIL.json",
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1600:
+            # keep the line parseable by a bounded tail buffer: inline
+            # only the headline per-query times; extension times stay
+            # in BENCH_DETAIL.json (never silently dropped)
+            compact["queries"] = {n: timings[n] for n in names}
+            compact["ext_queries"] = "see detail file"
+            line = json.dumps(compact, separators=(",", ":"))
+        print(line)
     finally:
         spark.stop()
 

@@ -170,7 +170,11 @@ def _decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
         from PIL import Image
 
         return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
-    except ImportError as exc:
+    except Exception as exc:
+        # Exception, not ImportError: with Pillow installed a corrupt
+        # blob raises UnidentifiedImageError (an OSError) which would
+        # otherwise escape the "ValueError or pixels" contract that
+        # on_error='skip' and the decode audit rely on.
         raise ValueError(
             f"undecodable image blob ({len(blob)} bytes; no PNG/BMP/PPM/"
             f"JPEG magic, not raw {width}x{height}x3)"
