@@ -18,7 +18,163 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["hits", "pagerank", "triangle_counts"]
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """HITS (Kleinberg): hub scores for source nodes, authority scores
+    for target nodes, over a directed edge list. Returns
+    ``(hubs(node, hub), authorities(node, authority))``.
+
+    The bipartite companion to ``pagerank``: on a customer→supplier
+    purchase graph, authority ranks suppliers by how much weight
+    flows from broad customers, hubs rank customers by how much they
+    buy from authoritative suppliers — mutually recursive, which a
+    one-shot degree count can't express.
+
+    Update (classic, L2-normalized each half-step, fixed iterations
+    for determinism): a ← Aᵀh / ‖Aᵀh‖₂ ; h ← Aa / ‖Aa‖₂.
+
+    Scale: per half-step ONE exchange (the hash agg on the receiving
+    key). The edge relation is persisted twice, pre-partitioned and
+    sorted on EACH join key (src for the a-step, dst for the h-step),
+    so the per-round joins reuse layout instead of moving edges; the
+    aggregated score frame comes out of its shuffle already
+    partitioned on the key the NEXT join needs. ‖·‖₂ rides the
+    checkpoint job as an observed metric (the pagerank posture —
+    zero extra jobs, one scalar per half-step to the driver)."""
+    from pyspark.sql import Observation
+
+    if iterations < 1:
+        raise ValueError("hits() needs iterations >= 1")
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e_by_src = e.repartition(n_part, "src").sortWithinPartitions("src").persist()
+    e_by_dst = e.repartition(n_part, "dst").sortWithinPartitions("dst").persist()
+    hubs = (
+        e_by_src.select("src").distinct().select(
+            F.col("src").alias("node"), F.lit(1.0).alias("hub")
+        )
+    )
+    auth = None
+    for it in range(iterations):
+        a_raw = (
+            e_by_src.join(hubs, e_by_src["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("authority"))
+        )
+        obs_a = Observation(f"hits_a_{it}")
+        a_raw = a_raw.observe(
+            obs_a, F.sum(F.col("authority") * F.col("authority")).alias("ss")
+        ).localCheckpoint(eager=True)
+        a_norm = float(obs_a.get["ss"]) ** 0.5 or 1.0
+        auth = a_raw.select(
+            F.col("dst").alias("node"),
+            (F.col("authority") / F.lit(a_norm)).alias("authority"),
+        )
+        h_raw = (
+            e_by_dst.join(auth, e_by_dst["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("authority").alias("hub"))
+        )
+        obs_h = Observation(f"hits_h_{it}")
+        h_raw = h_raw.observe(
+            obs_h, F.sum(F.col("hub") * F.col("hub")).alias("ss")
+        ).localCheckpoint(eager=True)
+        h_norm = float(obs_h.get["ss"]) ** 0.5 or 1.0
+        hubs = h_raw.select(
+            F.col("src").alias("node"),
+            (F.col("hub") / F.lit(h_norm)).alias("hub"),
+        )
+    return hubs, auth
+
+
+def triangle_counts(
+    edges: DataFrame,
+    node_a: str = "id_a",
+    node_b: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list;
+    returns ``(node, degree, triangles)`` for every node with an edge.
+
+    The cluster-tightness primitive for near-dup graphs: a dedup
+    component that is a chain of borderline pairs has zero triangles,
+    while a true duplicate cluster is triangle-dense — so triangle
+    counts (and the local clustering coefficient derived from them)
+    separate "transitively merged by accident" from "actually all the
+    same document" before a keeper is chosen.
+
+    Scale — degree orientation, the standard distributed formulation
+    (node-iterator++): each undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher one, which makes the
+    out-adjacency of EVERY node O(√m) regardless of skew. Triangles
+    are then wedges u→v, u→w (rank v < rank w) closed by the oriented
+    edge v→w: three equi-joins/hash-aggs, each triangle enumerated
+    exactly once, no node's candidate set quadratic in its raw degree.
+    A celebrity node with 10⁶ neighbors contributes wedges only
+    through its (bounded) out-edges, not its in-edges.
+
+    Determinism: exact integer counts — the triangle set of a graph
+    does not depend on the orientation used to enumerate it, so a
+    plain id-ordered oracle reproduces the counts bit-for-bit.
+    """
+    e = edges.select(
+        F.col(node_a).alias("a"), F.col(node_b).alias("b")
+    ).filter(F.col(node_a) != F.col(node_b))
+    und = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    # rank = (degree, node): a total order, so orientation is acyclic
+    da = deg.select(
+        F.col("node").alias("a"), F.struct("degree", "node").alias("ra")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.struct("degree", "node").alias("rb")
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(F.col("ra") < F.col("rb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(F.col("ra") < F.col("rb"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("v"),
+            F.when(F.col("ra") < F.col("rb"), F.col("rb"))
+            .otherwise(F.col("ra"))
+            .alias("rv"),
+        )
+    )
+    o1 = oriented.select("u", F.col("v").alias("w1"), F.col("rv").alias("r1"))
+    o2 = oriented.select("u", F.col("v").alias("w2"), F.col("rv").alias("r2"))
+    wedges = o1.join(o2, "u").filter(F.col("r1") < F.col("r2"))
+    closing = oriented.select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
+    )
+    tris = wedges.join(closing, ["w1", "w2"]).select("u", "w1", "w2")
+    per_node = (
+        tris.select(F.explode(F.array("u", "w1", "w2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+    )
 
 
 def pagerank(

@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import r4
-from ..operators.graph import pagerank
+from ..operators import dedup as D
+from ..operators.graph import hits, pagerank, triangle_counts
 from .queries import query, t
 
 _ITERATIONS = 6
@@ -117,3 +118,159 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ranks.select(label.alias("node"), r4(F.col("rank")).alias("rank"))
+
+
+def _triangle_sql(min_jaccard: float = 0.1) -> str:
+    # Edge list = the ngram_jaccard_near_pairs spec (shared shingle
+    # CTE, same threshold), stored once with a < b; triangles are then
+    # enumerated id-increasing (e1=(a,b), e2=(b,c) forces a<b<c, e3
+    # closes (a,c)) — each triangle exactly once. The Spark operator
+    # orients by (degree, id) instead; the triangle SET is
+    # orientation-invariant, so counts match exactly.
+    from .queries_text import _SQL_SHINGLES_CTE
+
+    return f"""
+    WITH {_SQL_SHINGLES_CTE},
+    sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    e AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b
+      FROM shared JOIN sizes x ON id_a = x.doc_id
+      JOIN sizes y ON id_b = y.doc_id
+      WHERE shared * 1.0 / (x.n + y.n - shared) >= {min_jaccard}),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY 1),
+    tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             FROM e e1 JOIN e e2 ON e2.a = e1.b
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+           FROM (SELECT x AS node FROM tris UNION ALL SELECT y FROM tris
+                 UNION ALL SELECT z FROM tris) GROUP BY 1)
+    SELECT d.node AS doc_id, d.degree,
+           CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+           coalesce(pn.triangles, 0) * 2.0 / (d.degree * (d.degree - 1))
+             AS local_clustering
+    FROM deg d LEFT JOIN pn ON pn.node = d.node
+    WHERE d.degree >= 2
+    """
+
+
+@query("near_dup_triangles", _triangle_sql(), extra=True)
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation + local clustering coefficient for every
+    document with ≥ 2 near-dup edges (word-3-gram Jaccard ≥ 0.1, the
+    ngram_jaccard_near_pairs edge set).
+
+    The dedup-cluster tightness audit: connected components merge
+    transitively, so a chain of borderline pairs and a clique of true
+    duplicates look identical to ``dedup_components`` — but the chain
+    has clustering 0 and the clique 1. Gating keeper election on
+    local clustering is how a curation pipeline avoids collapsing
+    distinct documents that merely share boilerplate bridges.
+
+    Scale: ``operators/graph.py::triangle_counts`` — degree-oriented
+    wedge closure (out-adjacency O(√m) for every node regardless of
+    skew), three equi-joins, exact integer counts. local_clustering
+    = 2·T/(d·(d−1)) is a pure division of exact ints — bit-identical
+    cross-engine, hashed unrounded."""
+    docs = t(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(docs, k=3, min_jaccard=0.1).select(
+        "id_a", "id_b"
+    )
+    tc = triangle_counts(edges)
+    return tc.filter(F.col("degree") >= 2).select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        "triangles",
+        (
+            F.col("triangles") * 2.0
+            / (F.col("degree") * (F.col("degree") - F.lit(1)))
+        ).alias("local_clustering"),
+    )
+
+
+_HITS_ITER = 4
+
+
+def _hits_sql(iterations: int = _HITS_ITER) -> str:
+    # Same unrolled-power-iteration posture as the PageRank oracle
+    # (AS MATERIALIZED is load-bearing — see _pagerank_sql); each
+    # half-step is one join+agg CTE plus an L2-normalization CTE.
+    ctes = [
+        """edges AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
+        "h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 AS s"
+        " FROM edges)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(
+            f"""a{i}r AS MATERIALIZED (
+              SELECT dst AS node, sum(h.s) AS s
+              FROM edges e JOIN h{p} h ON h.node = e.src GROUP BY 1)"""
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT node, s / "
+            f"sqrt((SELECT sum(s*s) FROM a{i}r)) AS s FROM a{i}r)"
+        )
+        ctes.append(
+            f"""h{i}r AS MATERIALIZED (
+              SELECT src AS node, sum(a.s) AS s
+              FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY 1)"""
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT node, s / "
+            f"sqrt((SELECT sum(s*s) FROM h{i}r)) AS s FROM h{i}r)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT 'c' || CAST(node AS VARCHAR) AS node, 'hub' AS role,
+           ROUND(s, 4) AS score FROM h{iterations}
+    UNION ALL
+    SELECT 's' || CAST(node AS VARCHAR), 'authority', ROUND(s, 4)
+    FROM a{iterations}"""
+    )
+
+
+@query("purchase_graph_hits", _hits_sql(), extra=True)
+def purchase_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (4 fixed L2-normalized iterations) on
+    the customer→supplier purchase graph: authoritative suppliers are
+    bought from by broad customers; hub customers buy from
+    authoritative suppliers — the mutually-recursive ranking PageRank
+    can't express on a bipartite graph (where all suppliers are sinks
+    and PageRank mostly reflects in-degree).
+
+    Scale: ``operators/graph.py::hits`` — one exchange per half-step
+    over edge relations persisted pre-partitioned on EACH join key;
+    L2 norms ride the checkpoint jobs as observed metrics. The oracle
+    unrolls the same power iteration as materialized DuckDB CTEs
+    (the purchase_graph_pagerank pattern)."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    hubs, auth = hits(edges, iterations=_HITS_ITER)
+    return (
+        hubs.select(
+            F.concat(F.lit("c"), F.col("node").cast("string")).alias("node"),
+            F.lit("hub").alias("role"),
+            r4(F.col("hub")).alias("score"),
+        )
+    ).unionAll(
+        auth.select(
+            F.concat(F.lit("s"), F.col("node").cast("string")).alias("node"),
+            F.lit("authority").alias("role"),
+            r4(F.col("authority")).alias("score"),
+        )
+    )

@@ -316,3 +316,81 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.groupBy("l_returnflag").agg(
         r4(weighted_median("v", "w")).alias("weighted_median_price")
     )
+
+
+@query(
+    "orders_global_seq",
+    """
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS seq
+    FROM orders
+    """,
+    extra=True,
+)
+def orders_global_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dense 1-based sequence numbers for every order under the
+    total order (o_orderdate, o_orderkey) — WITHOUT the single-partition
+    sort that ``row_number() OVER (ORDER BY ...)`` costs in Spark.
+
+    Scale: ``operators/sequence.py::global_sequence`` — one range
+    exchange (parallel distributed sort), a #partitions-row counts
+    job, driver-side prefix sum of #partitions longs, and the
+    documented ``monotonically_increasing_id`` bit layout for the
+    local index. The oracle is the very window the operator refuses
+    to run: DuckDB evaluates it happily at sf0.01, Spark would
+    evaluate it on ONE task at 100 TB — identical results, opposite
+    plan shapes."""
+    from ..operators.sequence import global_sequence
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return global_sequence(
+        orders, ["o_orderdate", "o_orderkey"], out_col="seq"
+    ).select("o_orderkey", "seq")
+
+
+@query(
+    "customer_revenue_gini",
+    """
+    WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS rev
+                 FROM orders GROUP BY 1),
+    rk AS (SELECT rev, CAST(row_number() OVER (ORDER BY rev, o_custkey)
+                            AS BIGINT) AS seq
+           FROM rev)
+    SELECT CAST(max(seq) AS BIGINT) AS n_customers,
+           ROUND(sum(rev), 4) AS total_revenue,
+           ROUND(2.0 * sum(seq * rev) / (max(seq) * sum(rev))
+                 - (max(seq) + 1.0) / max(seq), 4) AS gini
+    FROM rk
+    """,
+    extra=True,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    the inequality statistic behind "what share of revenue do our top
+    customers carry" dashboards, via the rank formulation
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x ascending.
+
+    Scale: the ranks come from ``global_sequence`` (distributed range
+    sort + offset add), so the only global sort in the pipeline is a
+    PARALLEL one; the moments are a single hash agg. Σ(i·xᵢ) is an
+    order-dependent double sum — r4-rounded for the cross-engine
+    hash, like every float aggregate in the catalog."""
+    from ..operators.sequence import global_sequence
+
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    ranked = global_sequence(rev, ["rev", "o_custkey"], out_col="seq")
+    return ranked.agg(
+        F.max("seq").cast("long").alias("n_customers"),
+        r4(F.sum("rev")).alias("total_revenue"),
+        r4(
+            F.lit(2.0)
+            * F.sum(F.col("seq") * F.col("rev"))
+            / (F.max("seq") * F.sum("rev"))
+            - (F.max("seq") + F.lit(1.0)) / F.max("seq")
+        ).alias("gini"),
+    )

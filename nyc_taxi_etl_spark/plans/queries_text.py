@@ -1292,3 +1292,68 @@ def winnow_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         w=_WINNOW_W,
         min_shared=_WINNOW_MIN,
     )
+
+
+_CBS_BITS, _CBS_SEED, _CBS_PCT_DEN = 4, 101, 5  # keep ceil(n/5) per cell
+
+
+def _cluster_balanced_sample_sql() -> str:
+    cell = _bucket_sql("v", S.hyperplanes(64, _CBS_BITS, seed=_CBS_SEED))
+    return f"""
+    WITH dd AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    sig AS (SELECT vec_id, {cell} AS cell FROM dd),
+    r AS (SELECT vec_id, cell,
+            CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_n,
+            CAST(row_number() OVER (
+              PARTITION BY cell
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT)
+              AS pick_rank
+          FROM sig)
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell, cell_n, pick_rank
+    FROM r WHERE pick_rank <= (cell_n + {_CBS_PCT_DEN - 1}) // {_CBS_PCT_DEN}
+    """
+
+
+@query("cluster_balanced_sample", _cluster_balanced_sample_sql(), extra=True)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced 20% subset of the embedding corpus: bucket the
+    space into 2^4 hyperplane cells (a deterministic stand-in for
+    k-means cluster ids), then keep ceil(n/5) vectors per cell by
+    seeded hash rank.
+
+    The diversity-sampling primitive for training-data selection:
+    uniform sampling reproduces the corpus's mode collapse (dense
+    regions dominate), while per-cell proportional allocation
+    preserves coverage of sparse regions — the cluster-balanced
+    selection step of SemDeDup/DCLM-style pipelines, expressed as one
+    shuffle.
+
+    Scale: ONE exchange on the cell key; within each cell a sort by
+    md5(vec_id) ranks deterministically (no RNG state, reproducible
+    under retries/speculation). Cell counts ride the same window
+    partition. Random hyperplanes balance cells on isotropic data; a
+    production corpus with hot cells raises ``bits`` so per-cell sort
+    stays bounded — allocation stays proportional by construction.
+    The oracle replays the identical plane literals, hash order, and
+    integer ceiling, so selection is hash-checked end-to-end."""
+    emb = t(spark, sf_dir, "embeddings")
+    cell = F.expr(
+        S._signature_sql(
+            "`embedding`", S.hyperplanes(64, _CBS_BITS, seed=_CBS_SEED)
+        )
+    )
+    sig = emb.select("vec_id", cell.alias("cell"))
+    w_cnt = Window.partitionBy("cell")
+    w_rank = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = sig.select(
+        "vec_id",
+        "cell",
+        F.count("*").over(w_cnt).alias("cell_n"),
+        F.row_number().over(w_rank).cast("long").alias("pick_rank"),
+    )
+    return ranked.filter(
+        F.col("pick_rank")
+        <= F.expr(f"(cell_n + {_CBS_PCT_DEN - 1}) div {_CBS_PCT_DEN}")
+    ).select("vec_id", "cell", "cell_n", "pick_rank")

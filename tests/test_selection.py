@@ -155,3 +155,28 @@ def test_dsir_resample_gumbel_topk(spark):
             hits[r["doc_id"]] += 1
     assert hits[1] > 25  # e^4 : 1 odds dominate
     assert hits[4] <= 2
+
+
+def test_cluster_balanced_sample_allocation(spark):
+    """Every LSH cell contributes exactly ceil(cell_n/5) picks, ranks
+    are 1..k contiguous, and picked ids are a subset of the corpus."""
+    import math
+
+    from nyc_taxi_etl_spark.plans import QUERIES_EXTRA
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES_EXTRA["cluster_balanced_sample"](spark, sf).collect()
+    assert out
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    total = 0
+    for cell, rows in by_cell.items():
+        n = rows[0]["cell_n"]
+        assert all(r["cell_n"] == n for r in rows)
+        k = math.ceil(n / 5)
+        assert len(rows) == k
+        assert sorted(r["pick_rank"] for r in rows) == list(range(1, k + 1))
+        total += n
+    n_vec = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert total == n_vec  # cells partition the corpus
