@@ -19,10 +19,11 @@ session cannot separate a real 20% regression from machine load):
 * a pre-flight idle gate waits (up to ``SPARK_GRAFT_BENCH_IDLE_WAIT``
   seconds, default 300 — the 1-minute load average needs ~3 min to
   decay from a full-core oracle gate on this 32-way box) for it to
-  drop below
-  25% of the CPU count before any timed run — the r3 artifact was
-  taken minutes after an 8-minute full-load oracle gate and recorded
-  a phantom 37% regression;
+  drop below 15% of the CPU count before any timed run — the r3
+  artifact was taken minutes after an 8-minute full-load oracle gate
+  and recorded a phantom 37% regression (a 25% gate then let an r5
+  run start at load 7.2/32 and record phantom 40-90% regressions on
+  untouched iterative queries);
 * ``loadavg`` (1/5/15-min, captured after the gate) and ``preflight``
   (threshold + seconds waited) are recorded in the JSON so a reviewer
   can tell a loaded-machine artifact from a real regression without
@@ -96,6 +97,8 @@ EXTENSION = [
     "hard_negative_mining",
     "streaming_dedup_counts",
     "dsir_selected_docs",
+    "purchase_graph_hits",
+    "near_dup_triangles",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the
@@ -107,7 +110,7 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def wait_for_idle(max_wait_s: float, load_frac: float = 0.25) -> dict:
+def wait_for_idle(max_wait_s: float, load_frac: float = 0.15) -> dict:
     """Block until the 1-minute load average drops below
     ``load_frac × n_cpus`` (or ``max_wait_s`` elapses). Returns the
     pre-flight record for the JSON output."""

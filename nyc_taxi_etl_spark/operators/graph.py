@@ -127,9 +127,21 @@ def triangle_counts(
     e = edges.select(
         F.col(node_a).alias("a"), F.col(node_b).alias("b")
     ).filter(F.col(node_a) != F.col(node_b))
-    und = e.select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).distinct()
+    # Pin the canonical edge list: the plan below references it from
+    # SEVEN operators (degree agg, two orientation joins, both wedge
+    # sides, the closing join, the final left join). Without a
+    # checkpoint each reference re-executes the caller's edge
+    # SUBPLAN — for a near-dup graph that subplan is the shingle
+    # inverted-index self-join, i.e. the most expensive stage of the
+    # whole query, recomputed up to 7×. One materialization job,
+    # lineage truncated (dedup-components posture).
+    und = (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))

@@ -394,3 +394,116 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.max("seq") + F.lit(1.0)) / F.max("seq")
         ).alias("gini"),
     )
+
+
+@query(
+    "daily_value_trend",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_idx,
+             sum(value) AS day_value
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           ROUND(regr_slope(day_value, day_idx), 4) AS slope,
+           ROUND(regr_intercept(day_value, day_idx), 4) AS intercept,
+           ROUND(regr_r2(day_value, day_idx), 4) AS r2
+    FROM d GROUP BY 1
+    """,
+    extra=True,
+)
+def daily_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of the daily value series: slope,
+    intercept, and R² of day-total value against the day index — the
+    "is this metric growing and how fast" line every dashboard fits,
+    as ONE pass of moment aggregates (``regr_slope``/``regr_r2`` are
+    covariance/variance ratios Catalyst computes map-side partial).
+
+    Scale: two hash aggs (daily rollup, then per-type moments over the
+    tiny daily series); no window, no sort, no driver math. Floats are
+    order-dependent sums — r4-rounded for the cross-engine hash."""
+    ev = t(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("day_idx"),
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("value").alias("day_value"))
+    )
+    return d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        r4(F.expr("regr_slope(day_value, day_idx)")).alias("slope"),
+        r4(F.expr("regr_intercept(day_value, day_idx)")).alias("intercept"),
+        r4(F.expr("regr_r2(day_value, day_idx)")).alias("r2"),
+    )
+
+
+@query(
+    "purchase_click_value_ttest",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS mean,
+             var_samp(value) AS var
+      FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+    w AS (
+      SELECT p.n AS n1, p.mean AS m1, p.var AS v1,
+             c.n AS n2, c.mean AS m2, c.var AS v2
+      FROM (SELECT * FROM m WHERE event_type = 'purchase') p,
+           (SELECT * FROM m WHERE event_type = 'click') c)
+    SELECT n1, n2,
+           ROUND(m1 - m2, 4) AS mean_diff,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           ROUND(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1)
+                    + pow(v2 / n2, 2) / (n2 - 1)), 4) AS welch_df
+    FROM w
+    """,
+    extra=True,
+)
+def purchase_click_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between purchase and click
+    values — the A/B-comparison statistic (t and Welch–Satterthwaite
+    degrees of freedom) from ONE moment pass, no per-row math beyond
+    the scan filter.
+
+    Scale: a 2-group hash agg on a filtered scan, then closed-form
+    driver-free arithmetic on a 2-row frame (pivoted via a 1×1 cross
+    of two single-row aggregates — both sides are bounded scalars,
+    never data)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    p = m.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n1"), F.col("mean").alias("m1"), F.col("var").alias("v1")
+    )
+    c = m.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n2"), F.col("mean").alias("m2"), F.col("var").alias("v2")
+    )
+    w = p.crossJoin(c)  # 1 row x 1 row: bounded aggregate scalars
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return w.select(
+        "n1",
+        "n2",
+        r4(F.col("m1") - F.col("m2")).alias("mean_diff"),
+        r4((F.col("m1") - F.col("m2")) / F.sqrt(se2)).alias("t_stat"),
+        r4(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            )
+        ).alias("welch_df"),
+    )
