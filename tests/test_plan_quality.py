@@ -291,3 +291,32 @@ def test_dsir_single_pass_model_and_broadcast_totals(spark):
     # scoring + model + (statically duplicated, runtime-reused) totals:
     # 3 scan nodes, each printed twice by explain (tree + details)
     assert static.count("Scan parquet") == 6
+
+
+def test_global_seq_no_single_partition_window(spark):
+    """orders_global_seq must not contain the single-partition global
+    window/sort it exists to replace: no Window operator, no
+    SinglePartition exchange — just a projection over the pinned
+    (checkpointed) range split, which stays multi-partition. The
+    range exchange itself lives inside the checkpointed lineage, so
+    parallelism is asserted on the executed partitioning."""
+    plan = _plan(spark, "orders_global_seq")
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    df = ALL_QUERIES["orders_global_seq"](spark, SF_DIR)
+    assert df.rdd.getNumPartitions() > 1
+
+
+def test_gini_single_agg_over_parallel_ranks(spark):
+    plan = _plan(spark, "customer_revenue_gini")
+    assert "Window" not in plan, plan
+    assert "SinglePartition" in plan  # ONLY the final 1-row moment agg
+    # the 1-row reduction must sit above a partial agg, so the global
+    # exchange moves one row per task, not the ranked relation
+    assert "partial" in plan.lower(), plan
+
+
+def test_triangle_counts_no_cartesian_bounded_joins(spark):
+    plan = _plan(spark, "near_dup_triangles")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -236,3 +236,43 @@ def test_ann_per_item_candidates_bounded_when_bits_track_corpus(spark):
     # quadratic-with-fixed-bits would double per-item work; the bit
     # schedule must hold it ~flat (generous 1.5x noise margin)
     assert big < 1.5 * max(small, 1.0), (small, big)
+
+
+def test_global_sequence_parallel_at_2m_rows(spark):
+    """global_sequence on 2M rows: exact dense 1..n (endpoints + spot
+    permutation probes), and the work is spread across the requested
+    partitions — the single-partition window this operator replaces
+    would put all 2M rows in one task."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_spark.operators.sequence import global_sequence
+
+    n = 2_000_000
+    df = spark.range(0, n).select(
+        F.xxhash64("id").alias("k"), F.col("id")
+    )
+    out = global_sequence(df, ["k", "id"], num_partitions=32)
+    stats = out.agg(
+        F.count("*").alias("cnt"),
+        F.min("seq").alias("lo"),
+        F.max("seq").alias("hi"),
+        F.countDistinct("seq").alias("nd"),
+    ).collect()[0]
+    assert (stats["cnt"], stats["lo"], stats["hi"], stats["nd"]) == (
+        n,
+        1,
+        n,
+        n,
+    )
+    # order agreement: seq must be monotone in k — adjacent-rank probes
+    probe = (
+        out.filter(F.col("seq").isin(1, 2, 1_000_000, 1_000_001, n - 1, n))
+        .orderBy("seq")
+        .collect()
+    )
+    ks = [r["k"] for r in probe]
+    assert ks == sorted(ks)
+    # parallelism: the final pass keeps the range split (no collapse
+    # into one partition)
+    n_parts = out.rdd.getNumPartitions()
+    assert n_parts > 1
