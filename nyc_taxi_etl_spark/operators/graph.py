@@ -54,7 +54,24 @@ def hits(
         raise ValueError("hits() needs iterations >= 1")
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # pin the distinct edge list ONCE before forking into the two
+    # per-key layouts — without this, e_by_src and e_by_dst are
+    # independent lineages that would each re-execute the caller's
+    # edge subplan (for the purchase graph: the orders⋈lineitem join
+    # + distinct, the most expensive stage, twice)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.isEmpty():
+        empty_h = e.select(
+            F.col("src").alias("node"), F.lit(1.0).alias("hub")
+        ).limit(0)
+        empty_a = e.select(
+            F.col("dst").alias("node"), F.lit(1.0).alias("authority")
+        ).limit(0)
+        return empty_h, empty_a
     e_by_src = e.repartition(n_part, "src").sortWithinPartitions("src").persist()
     e_by_dst = e.repartition(n_part, "dst").sortWithinPartitions("dst").persist()
     hubs = (

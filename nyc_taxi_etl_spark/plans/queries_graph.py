@@ -121,26 +121,21 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _triangle_sql(min_jaccard: float = 0.1) -> str:
-    # Edge list = the ngram_jaccard_near_pairs spec (shared shingle
-    # CTE, same threshold), stored once with a < b; triangles are then
-    # enumerated id-increasing (e1=(a,b), e2=(b,c) forces a<b<c, e3
-    # closes (a,c)) — each triangle exactly once. The Spark operator
-    # orients by (degree, id) instead; the triangle SET is
-    # orientation-invariant, so counts match exactly.
-    from .queries_text import _SQL_SHINGLES_CTE
+    # Edge list = the ngram_jaccard_near_pairs spec via the SHARED
+    # fragment (queries_text._SQL_NGRAM_PAIR_CTES /
+    # ngram_pair_edges_sql — one definition, cannot drift), stored
+    # once with a < b; triangles are then enumerated id-increasing
+    # (e1=(a,b), e2=(b,c) forces a<b<c, e3 closes (a,c)) — each
+    # triangle exactly once. The Spark operator orients by
+    # (degree, id) instead; the triangle SET is orientation-invariant,
+    # so counts match exactly.
+    from .queries_text import _SQL_NGRAM_PAIR_CTES, ngram_pair_edges_sql
 
     return f"""
-    WITH {_SQL_SHINGLES_CTE},
-    sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
-    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1),
-    shared AS (
-      SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) shared
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    WITH {_SQL_NGRAM_PAIR_CTES},
     e AS MATERIALIZED (
-      SELECT id_a AS a, id_b AS b
-      FROM shared JOIN sizes x ON id_a = x.doc_id
-      JOIN sizes y ON id_b = y.doc_id
-      WHERE shared * 1.0 / (x.n + y.n - shared) >= {min_jaccard}),
+      SELECT id_a AS a, id_b AS b FROM (
+        {ngram_pair_edges_sql(min_jaccard)})),
     deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
             FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
             GROUP BY 1),

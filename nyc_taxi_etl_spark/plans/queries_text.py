@@ -44,6 +44,30 @@ shl AS (
 
 _STOP_SQL = "[" + ",".join(f"'{s}'" for s in X.STOPWORDS) + "]"
 
+# Shared word-3-gram Jaccard pair machinery (postings self-join over
+# the shingle CTE). ONE definition feeds both the
+# ngram_jaccard_near_pairs oracle and every oracle that builds a graph
+# on that edge set (near_dup_triangles) — so a threshold or join-rule
+# change cannot silently desynchronize them from the Spark operator
+# (operators/dedup.py::ngram_jaccard_pairs) they all mirror.
+_SQL_NGRAM_PAIR_CTES = f"""{_SQL_SHINGLES_CTE},
+    sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)"""
+
+_SQL_NGRAM_JACCARD = "shared * 1.0 / (x.n + y.n - shared)"
+
+
+def ngram_pair_edges_sql(min_jaccard: float = 0.1) -> str:
+    """``(id_a, id_b)`` edge SELECT over ``_SQL_NGRAM_PAIR_CTES`` at
+    the given Jaccard threshold."""
+    return f"""SELECT id_a, id_b
+      FROM shared JOIN sizes x ON id_a = x.doc_id
+      JOIN sizes y ON id_b = y.doc_id
+      WHERE {_SQL_NGRAM_JACCARD} >= {min_jaccard}"""
+
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -266,16 +290,11 @@ def doc_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ngram_jaccard_near_pairs",
     f"""
-    WITH {_SQL_SHINGLES_CTE},
-    sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
-    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1),
-    shared AS (
-      SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) shared
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    WITH {_SQL_NGRAM_PAIR_CTES}
     SELECT id_a, id_b,
-           shared * 1.0 / (x.n + y.n - shared) AS jaccard
+           {_SQL_NGRAM_JACCARD} AS jaccard
     FROM shared JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
-    WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1
+    WHERE {_SQL_NGRAM_JACCARD} >= 0.1
     """,
 )
 def ngram_jaccard_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

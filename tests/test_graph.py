@@ -179,3 +179,13 @@ def test_hits_rejects_zero_iterations(spark):
     df = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError):
         hits(df, iterations=0)
+
+
+def test_hits_empty_edges_typed_empty(spark):
+    from nyc_taxi_etl_spark.operators.graph import hits
+
+    df = spark.createDataFrame([], "src long, dst long")
+    hubs, auth = hits(df)
+    assert hubs.collect() == [] and auth.collect() == []
+    assert hubs.columns == ["node", "hub"]
+    assert auth.columns == ["node", "authority"]
