@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["keyed_sketches", "union_estimate", "trailing_union"]
+__all__ = [
+    "cms_estimate",
+    "cms_table",
+    "keyed_sketches",
+    "trailing_union",
+    "union_estimate",
+]
 
 
 def keyed_sketches(
@@ -93,4 +99,92 @@ def trailing_union(
             F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(out_col),
             F.count("*").alias("days_merged"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (frequencies) — portable md5 hash rows, so the
+# whole sketch replays bit-for-bit in any engine with md5 (the
+# DuckDB-oracle posture of the LSH/minhash operators)
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(key: Column, j: int, width: int, seed: int) -> Column:
+    """Row j's bucket for ``key``: md5 of ``"{seed}:{j}:{key}"``, first
+    15 hex chars as an integer (< 2^60, no sign issues), mod width —
+    identical arithmetic in Spark (conv base16) and DuckDB
+    ('0x'||hex cast)."""
+    h = F.md5(F.concat(F.lit(f"{seed}:{j}:"), key.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(width)
+    )
+
+
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 7,
+) -> DataFrame:
+    """Count-Min sketch of ``key_col`` frequencies as a
+    ``(j, bucket, c)`` counter TABLE — the storable, MERGEABLE
+    frequency pre-aggregate (merge = sum counters per (j, bucket),
+    associative/commutative like the HLL union above).
+
+    Scale: the explode is row-local; the one hash-agg's partial
+    (map-side) combine collapses each task's contribution to at most
+    depth×width counters, so the exchange moves O(depth·width) rows
+    per task regardless of input size — the whole point of sketching
+    a 100 TB stream. Standard CMS guarantees: est ≥ true, and
+    est ≤ true + εN with prob 1−δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
+    """
+    key = F.col(key_col)
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                _cms_bucket(key, j, width, seed).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(hashes).alias("h"))
+        .groupBy(F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 7,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-frequency estimates for ``candidates[key_col]`` against a
+    ``cms_table`` sketch: min over the depth counters each key hashes
+    to. The sketch side is depth×width rows — broadcast it; the
+    candidate side never rescans the sketched data (that's the
+    pre-aggregate contract)."""
+    key = F.col(key_col)
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                _cms_bucket(key, j, width, seed).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    cand_h = candidates.select(
+        *candidates.columns, F.explode(hashes).alias("h")
+    ).select(*candidates.columns, F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+    return (
+        cand_h.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(*candidates.columns)
+        .agg(F.min("c").alias(out_col))
     )

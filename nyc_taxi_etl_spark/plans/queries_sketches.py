@@ -91,3 +91,67 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
     )
+
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_SEED = 4, 64, 7
+
+
+def _cms_sql(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH,
+             seed: int = _CMS_SEED) -> str:
+    # replays operators/sketches.py::_cms_bucket exactly: md5 of
+    # "{seed}:{j}:{key}", first 15 hex chars as int, mod width
+    bucket = (
+        f"('0x' || substr(md5('{seed}:' || CAST(j AS VARCHAR) || ':' "
+        f"|| CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % {width}"
+    )
+    return f"""
+    WITH h AS (
+      SELECT user_id, j, {bucket} AS bucket
+      FROM events, generate_series(0, {depth - 1}) AS t(j)),
+    sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+           FROM h GROUP BY 1, 2),
+    cand AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+             FROM events GROUP BY 1),
+    ch AS (SELECT DISTINCT user_id, j, bucket FROM h),
+    est AS (SELECT ch.user_id, min(sk.c) AS cms_est
+            FROM ch JOIN sk USING (j, bucket) GROUP BY 1)
+    SELECT c.user_id AS user_id, c.exact_n,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           CAST(e.cms_est - c.exact_n AS BIGINT) AS overcount
+    FROM cand c JOIN est e ON e.user_id = c.user_id
+    """
+
+
+@query("user_count_cms", _cms_sql(), extra=True)
+def user_count_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates vs exact counts for
+    every user — the mergeable FREQUENCY pre-aggregate beside the HLL
+    distinct sketches: build the (j, bucket, counter) table once,
+    store/merge it (merge = counter sum), answer "how often did key X
+    occur" later without rescanning the stream. Width 64 is sized
+    BELOW the 150-user cardinality deliberately so bucket collisions
+    are visible: ``overcount`` ≥ 0 rows document the one-sided error
+    the ε/δ envelope bounds (est ≤ true + εN w.p. 1−δ).
+
+    Scale: the sketch agg's map-side partials cap each task's
+    exchange contribution at depth×width counters regardless of input
+    rows; estimation broadcasts the 256-row sketch. Full oracle: the
+    md5 hash rows replay bit-for-bit in DuckDB, so every counter and
+    every min-estimate hash-matches."""
+    from ..operators.sketches import cms_estimate, cms_table
+
+    ev = t(spark, sf_dir, "events")
+    sketch = cms_table(
+        ev, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH, seed=_CMS_SEED
+    )
+    cand = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    est = cms_estimate(
+        sketch, cand, "user_id",
+        depth=_CMS_DEPTH, width=_CMS_WIDTH, seed=_CMS_SEED,
+    )
+    return est.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overcount"),
+    )

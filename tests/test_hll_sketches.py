@@ -98,3 +98,50 @@ def test_catalog_entry_shape(spark):
     for r in rows:
         # a trailing window can never be smaller than its own day
         assert r.distinct_users_7d >= 0.9 * r.distinct_users
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (operators/sketches.py::cms_table / cms_estimate)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_merge_of_halves_equals_whole(spark):
+    """Mergeability — the pre-aggregate contract: summing the counter
+    tables of two disjoint halves reproduces the whole-corpus sketch
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_spark.operators.sketches import cms_table
+
+    df = spark.range(0, 5000).select((F.col("id") % 97).alias("k"), "id")
+    whole = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in cms_table(df, "k", depth=3, width=32).collect()
+    }
+    h1 = cms_table(df.filter(F.col("id") % 2 == 0), "k", depth=3, width=32)
+    h2 = cms_table(df.filter(F.col("id") % 2 == 1), "k", depth=3, width=32)
+    merged = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in h1.unionAll(h2)
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    assert merged == whole
+
+
+def test_cms_estimate_one_sided(spark):
+    """est >= exact for every key (CMS never undercounts), and with a
+    width far above the cardinality every estimate is exact."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_spark.operators.sketches import cms_estimate, cms_table
+
+    df = spark.range(0, 3000).select((F.col("id") % 11).alias("k"))
+    exact = df.groupBy("k").agg(F.count("*").alias("exact_n"))
+    for width, must_be_exact in [(8, False), (4096, True)]:
+        sk = cms_table(df, "k", depth=4, width=width)
+        est = cms_estimate(sk, exact, "k", depth=4, width=width).collect()
+        assert all(r["cms_est"] >= r["exact_n"] for r in est)
+        if must_be_exact:
+            assert all(r["cms_est"] == r["exact_n"] for r in est)
