@@ -350,3 +350,44 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("unique_user_minutes")
     )
     return _drain(agg, "complete")
+
+
+@query(
+    "streaming_user_cms",
+    """
+    WITH h AS (
+      SELECT user_id, j,
+             ('0x' || substr(md5('7:' || CAST(j AS VARCHAR) || ':'
+                || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64
+               AS bucket
+      FROM events, generate_series(0, 3) AS t(j))
+    SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+    FROM h GROUP BY 1, 2
+    """,
+    extra=True,
+)
+def streaming_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained BY THE STREAMING ENGINE: the sketch
+    build (explode hash rows → groupBy (j, bucket) count) IS a
+    streaming aggregation, so the state store does the merging
+    incrementally per micro-batch — the live twin of the batch
+    ``user_count_cms`` pre-aggregate, and the proof that the sketch's
+    mergeability and streaming-agg compatibility are the same
+    property. Because CMS merge is EXACT (counter sums), the drained
+    complete-mode state must equal the batch-built sketch
+    bit-for-bit — which is exactly what the oracle checks.
+
+    Scale: state is bounded at depth×width counters regardless of
+    stream volume or key cardinality — the smallest possible stateful
+    streaming footprint (cf. the per-user/per-window state of the
+    other streaming entries)."""
+    from ..operators.sketches import cms_table
+
+    s = _events_stream(spark, sf_dir).select("user_id")
+    sketch = cms_table(s, "user_id", depth=4, width=64, seed=7)
+    out = _drain(sketch, "complete")
+    return out.select(
+        F.col("j").cast("long").alias("j"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("c").cast("long").alias("c"),
+    )
