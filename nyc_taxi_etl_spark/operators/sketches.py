@@ -169,22 +169,50 @@ def cms_estimate(
     ``cms_table`` sketch: min over the depth counters each key hashes
     to. The sketch side is depth×width rows — broadcast it; the
     candidate side never rescans the sketched data (that's the
-    pre-aggregate contract)."""
+    pre-aggregate contract).
+
+    Keys the sketch never saw get the CORRECT estimate 0: the join is
+    a left join with ``coalesce(c, 0)``, because an empty bucket means
+    "counter 0", not "no information" — an inner join would drop (or,
+    on partial collisions, overestimate) unseen keys, which are the
+    normal queries against a stored frequency sketch."""
+    if out_col in candidates.columns:
+        raise ValueError(
+            f"cms_estimate: out_col {out_col!r} collides with a "
+            "candidates column"
+        )
     key = F.col(key_col)
+    # reserved internal names so candidate frames that themselves carry
+    # j/bucket/c columns (e.g. sketch-shaped tables) can be queried
     hashes = F.array(
         *[
             F.struct(
-                F.lit(j).alias("j"),
-                _cms_bucket(key, j, width, seed).alias("bucket"),
+                F.lit(j).alias("__cms_j"),
+                _cms_bucket(key, j, width, seed).alias("__cms_bucket"),
             )
             for j in range(depth)
         ]
     )
     cand_h = candidates.select(
-        *candidates.columns, F.explode(hashes).alias("h")
-    ).select(*candidates.columns, F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+        *candidates.columns, F.explode(hashes).alias("__cms_h")
+    ).select(
+        *candidates.columns,
+        F.col("__cms_h.__cms_j").alias("__cms_j"),
+        F.col("__cms_h.__cms_bucket").alias("__cms_bucket"),
+    )
+    sk = F.broadcast(
+        sketch.select(
+            F.col("j").alias("__cms_j"),
+            F.col("bucket").alias("__cms_bucket"),
+            F.col("c").alias("__cms_c"),
+        )
+    )
     return (
-        cand_h.join(F.broadcast(sketch), ["j", "bucket"])
+        cand_h.join(sk, ["__cms_j", "__cms_bucket"], "left")
         .groupBy(*candidates.columns)
-        .agg(F.min("c").alias(out_col))
+        .agg(
+            F.min(F.coalesce(F.col("__cms_c"), F.lit(0)))
+            .cast("long")
+            .alias(out_col)
+        )
     )

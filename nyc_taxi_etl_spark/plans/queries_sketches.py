@@ -96,18 +96,37 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_DEPTH, _CMS_WIDTH, _CMS_SEED = 4, 64, 7
 
 
-def _cms_sql(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH,
-             seed: int = _CMS_SEED) -> str:
-    # replays operators/sketches.py::_cms_bucket exactly: md5 of
-    # "{seed}:{j}:{key}", first 15 hex chars as int, mod width
+def cms_hash_cte(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH,
+                 seed: int = _CMS_SEED) -> str:
+    """The ``h`` CTE replaying operators/sketches.py::_cms_bucket
+    exactly (md5 of "{seed}:{j}:{key}", first 15 hex chars as int,
+    mod width) — ONE definition feeds this module's estimate oracle
+    AND the streaming sketch oracle (queries_streaming), so a hash
+    recipe or constant change cannot desynchronize them from the
+    Spark operator."""
     bucket = (
         f"('0x' || substr(md5('{seed}:' || CAST(j AS VARCHAR) || ':' "
         f"|| CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % {width}"
     )
-    return f"""
-    WITH h AS (
+    return f"""h AS (
       SELECT user_id, j, {bucket} AS bucket
-      FROM events, generate_series(0, {depth - 1}) AS t(j)),
+      FROM events, generate_series(0, {depth - 1}) AS t(j))"""
+
+
+def cms_sketch_sql(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH,
+                   seed: int = _CMS_SEED) -> str:
+    """The full (j, bucket, c) sketch as standalone SQL."""
+    return f"""
+    WITH {cms_hash_cte(depth, width, seed)}
+    SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+    FROM h GROUP BY 1, 2
+    """
+
+
+def _cms_sql(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH,
+             seed: int = _CMS_SEED) -> str:
+    return f"""
+    WITH {cms_hash_cte(depth, width, seed)},
     sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
            FROM h GROUP BY 1, 2),
     cand AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n

@@ -352,18 +352,12 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, "complete")
 
 
+from .queries_sketches import cms_sketch_sql as _cms_sketch_sql
+
+
 @query(
     "streaming_user_cms",
-    """
-    WITH h AS (
-      SELECT user_id, j,
-             ('0x' || substr(md5('7:' || CAST(j AS VARCHAR) || ':'
-                || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64
-               AS bucket
-      FROM events, generate_series(0, 3) AS t(j))
-    SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
-    FROM h GROUP BY 1, 2
-    """,
+    _cms_sketch_sql(depth=4, width=64, seed=7),
     extra=True,
 )
 def streaming_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -145,3 +145,49 @@ def test_cms_estimate_one_sided(spark):
         assert all(r["cms_est"] >= r["exact_n"] for r in est)
         if must_be_exact:
             assert all(r["cms_est"] == r["exact_n"] for r in est)
+
+
+def test_cms_estimate_unseen_key_is_zero(spark):
+    """A key the sketch never saw must estimate 0 (empty bucket =
+    counter 0) — not vanish from the output, not inherit a colliding
+    bucket's count via an inner join."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_spark.operators.sketches import cms_estimate, cms_table
+
+    df = spark.range(0, 100).select((F.col("id") % 5).alias("k"))
+    sk = cms_table(df, "k", depth=4, width=4096)
+    cand = spark.createDataFrame([(1,), (999,)], ["k"])
+    est = {r["k"]: r["cms_est"] for r in cms_estimate(sk, cand, "k", depth=4, width=4096).collect()}
+    assert est == {1: 20, 999: 0}
+
+
+def test_cms_estimate_rejects_out_col_collision(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_spark.operators.sketches import cms_estimate, cms_table
+
+    df = spark.range(0, 10).select((F.col("id") % 2).alias("k"))
+    sk = cms_table(df, "k")
+    cand = df.groupBy("k").agg(F.count("*").alias("cms_est"))
+    with _pytest.raises(ValueError):
+        cms_estimate(sk, cand, "k")
+
+
+def test_cms_estimate_candidate_frame_with_sketch_columns(spark):
+    """Candidates carrying j/bucket/c columns (sketch-shaped frames)
+    must not collide with the estimator's internals."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_spark.operators.sketches import cms_estimate, cms_table
+
+    df = spark.range(0, 60).select((F.col("id") % 3).alias("k"))
+    sk = cms_table(df, "k", depth=3, width=512)
+    cand = df.groupBy("k").agg(
+        F.count("*").alias("c"),
+        F.lit(0).alias("j"),
+        F.lit(0).alias("bucket"),
+    )
+    est = cms_estimate(sk, cand, "k", depth=3, width=512).collect()
+    assert all(r["cms_est"] == r["c"] == 20 for r in est)
