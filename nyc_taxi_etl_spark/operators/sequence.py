@@ -40,6 +40,10 @@ from pyspark.sql import functions as F
 __all__ = ["global_sequence"]
 
 _LOCAL_MASK = (1 << 33) - 1
+#: above this partition count the literal offset map would bloat the
+#: plan; the operator switches to a broadcast equi-join on the
+#: partition id (module-level so tests can exercise the join path)
+_MAP_LITERAL_MAX = 4096
 
 
 def global_sequence(
@@ -81,15 +85,36 @@ def global_sequence(
         acc += counts[pid]
     if not offsets:
         return df.withColumn(out_col, F.lit(None).cast("long")).limit(0)
-    off_map = F.create_map(
-        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-    )
+    biggest = max(counts.values())
+    if biggest > _LOCAL_MASK:
+        # the local index only has 33 bits; the caller must raise
+        # num_partitions (the counts are already in hand, so this is
+        # an exact check, not a heuristic)
+        raise ValueError(
+            f"global_sequence: a range partition holds {biggest} rows, "
+            f"above the 2^33-1 local-index capacity — raise "
+            f"num_partitions (currently {n_part})"
+        )
     mid = F.monotonically_increasing_id()
-    return ranged.withColumn(
-        out_col,
-        (
-            off_map[F.spark_partition_id()]
-            + mid.bitwiseAND(F.lit(_LOCAL_MASK))
-            + F.lit(1)
-        ).cast("long"),
+    local = mid.bitwiseAND(F.lit(_LOCAL_MASK))
+    if len(offsets) <= _MAP_LITERAL_MAX:
+        # plan-time literal map: zero joins. Above ~4k partitions the
+        # literal expression bloats the plan, so switch to a broadcast
+        # equi-join on the partition id (still #partitions rows).
+        off_map = F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        )
+        return ranged.withColumn(
+            out_col,
+            (off_map[F.spark_partition_id()] + local + F.lit(1)).cast("long"),
+        )
+    off_df = spark.createDataFrame(
+        sorted(offsets.items()), "_pid int, _off long"
+    )
+    return (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_local", local)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_local") + 1).cast("long"))
+        .drop("_pid", "_local", "_off")
     )

@@ -189,3 +189,20 @@ def test_hits_empty_edges_typed_empty(spark):
     assert hubs.collect() == [] and auth.collect() == []
     assert hubs.columns == ["node", "hub"]
     assert auth.columns == ["node", "authority"]
+
+
+def test_global_sequence_broadcast_offset_path(spark, monkeypatch):
+    # force the >_MAP_LITERAL_MAX branch (broadcast equi-join offsets)
+    # and confirm it produces the identical dense sequence
+    from nyc_taxi_etl_spark.operators import sequence as seq_mod
+    from nyc_taxi_etl_spark.operators.sequence import global_sequence
+
+    monkeypatch.setattr(seq_mod, "_MAP_LITERAL_MAX", 2)
+    df = spark.range(0, 300).select(
+        (F.col("id") * 7 % 300).alias("k"), F.col("id")
+    )
+    out = global_sequence(df, ["k", "id"], num_partitions=6)
+    assert "seq" in out.columns and "_pid" not in out.columns
+    rows = out.collect()
+    by_key = sorted(((r["k"], r["id"]), r["seq"]) for r in rows)
+    assert [s for _, s in by_key] == list(range(1, 301))
