@@ -79,26 +79,32 @@ def hits(
             F.col("src").alias("node"), F.lit(1.0).alias("hub")
         )
     )
-    auth = None
-    for it in range(iterations):
-        a_raw = (
-            e_by_src.join(hubs, e_by_src["src"] == hubs["node"])
+
+    def _a_raw(h: DataFrame) -> DataFrame:
+        # Aᵀh — comes out of its agg hash-partitioned on dst, exactly
+        # the layout the following e_by_dst join wants
+        return (
+            e_by_src.join(h, e_by_src["src"] == h["node"])
             .groupBy("dst")
-            .agg(F.sum("hub").alias("authority"))
+            .agg(F.sum("hub").alias("a"))
         )
-        obs_a = Observation(f"hits_a_{it}")
-        a_raw = a_raw.observe(
-            obs_a, F.sum(F.col("authority") * F.col("authority")).alias("ss")
-        ).localCheckpoint(eager=True)
-        a_norm = float(obs_a.get["ss"]) ** 0.5 or 1.0
-        auth = a_raw.select(
-            F.col("dst").alias("node"),
-            (F.col("authority") / F.lit(a_norm)).alias("authority"),
-        )
+
+    # One materialization per ROUND, not per half-step: h's L2
+    # normalization makes the a-scale cancel — normalize(A·a_raw/‖a‖)
+    # = normalize(A·a_raw) — so a_raw stays a lazy subplan inside the
+    # round and only h_raw is checkpointed (its ‖·‖₂ observed on that
+    # same job). The authority frame the caller sees is computed ONCE
+    # at the end from the second-to-last h, exactly the classic
+    # half-step pairing (a_k = normalize(Aᵀh_{k-1}),
+    # h_k = normalize(A·a_k)); float drift vs per-half-step
+    # normalization is ulp-scale, far under the catalog's r4 rounding.
+    prev = hubs
+    for it in range(iterations):
+        prev = hubs
         h_raw = (
-            e_by_dst.join(auth, e_by_dst["dst"] == auth["node"])
+            e_by_dst.join(_a_raw(hubs), "dst")
             .groupBy("src")
-            .agg(F.sum("authority").alias("hub"))
+            .agg(F.sum("a").alias("hub"))
         )
         obs_h = Observation(f"hits_h_{it}")
         h_raw = h_raw.observe(
@@ -109,6 +115,15 @@ def hits(
             F.col("src").alias("node"),
             (F.col("hub") / F.lit(h_norm)).alias("hub"),
         )
+    obs_a = Observation("hits_a_final")
+    a_final = _a_raw(prev).observe(
+        obs_a, F.sum(F.col("a") * F.col("a")).alias("ss")
+    ).localCheckpoint(eager=True)
+    a_norm = float(obs_a.get["ss"]) ** 0.5 or 1.0
+    auth = a_final.select(
+        F.col("dst").alias("node"),
+        (F.col("a") / F.lit(a_norm)).alias("authority"),
+    )
     return hubs, auth
 
 
