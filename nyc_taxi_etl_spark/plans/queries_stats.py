@@ -448,53 +448,48 @@ def daily_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "purchase_click_value_ttest",
     """
     WITH m AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n,
-             avg(value) AS mean,
-             var_samp(value) AS var
-      FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
-    w AS (
-      SELECT p.n AS n1, p.mean AS m1, p.var AS v1,
-             c.n AS n2, c.mean AS m2, c.var AS v2
-      FROM (SELECT * FROM m WHERE event_type = 'purchase') p,
-           (SELECT * FROM m WHERE event_type = 'click') c)
+      SELECT CAST(count(value) FILTER (event_type = 'purchase')
+                  AS BIGINT) AS n1,
+             CAST(count(value) FILTER (event_type = 'click')
+                  AS BIGINT) AS n2,
+             avg(value) FILTER (event_type = 'purchase') AS m1,
+             avg(value) FILTER (event_type = 'click') AS m2,
+             var_samp(value) FILTER (event_type = 'purchase') AS v1,
+             var_samp(value) FILTER (event_type = 'click') AS v2
+      FROM events WHERE event_type IN ('purchase', 'click'))
     SELECT n1, n2,
            ROUND(m1 - m2, 4) AS mean_diff,
            ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
            ROUND(pow(v1 / n1 + v2 / n2, 2)
                  / (pow(v1 / n1, 2) / (n1 - 1)
                     + pow(v2 / n2, 2) / (n2 - 1)), 4) AS welch_df
-    FROM w
+    FROM m
     """,
     extra=True,
 )
 def purchase_click_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test between purchase and click
     values — the A/B-comparison statistic (t and Welch–Satterthwaite
-    degrees of freedom) from ONE moment pass, no per-row math beyond
-    the scan filter.
-
-    Scale: a 2-group hash agg on a filtered scan, then closed-form
-    driver-free arithmetic on a 2-row frame (pivoted via a 1×1 cross
-    of two single-row aggregates — both sides are bounded scalars,
-    never data)."""
+    degrees of freedom) from ONE conditional-aggregation pass: both
+    groups' moments come out of a single global agg (count/avg/var
+    over ``when(type, value)``), so there is ONE scan, one partial+
+    final agg, and no join of any kind — the same single-pass
+    conditional-agg posture as etl_filter_audit."""
     ev = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    m = ev.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.avg("value").alias("mean"),
-        F.var_samp("value").alias("var"),
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    cv = F.when(F.col("event_type") == "click", F.col("value"))
+    m = ev.agg(
+        F.count(pv).cast("long").alias("n1"),
+        F.count(cv).cast("long").alias("n2"),
+        F.avg(pv).alias("m1"),
+        F.avg(cv).alias("m2"),
+        F.var_samp(pv).alias("v1"),
+        F.var_samp(cv).alias("v2"),
     )
-    p = m.filter(F.col("event_type") == "purchase").select(
-        F.col("n").alias("n1"), F.col("mean").alias("m1"), F.col("var").alias("v1")
-    )
-    c = m.filter(F.col("event_type") == "click").select(
-        F.col("n").alias("n2"), F.col("mean").alias("m2"), F.col("var").alias("v2")
-    )
-    w = p.crossJoin(c)  # 1 row x 1 row: bounded aggregate scalars
     se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
-    return w.select(
+    return m.select(
         "n1",
         "n2",
         r4(F.col("m1") - F.col("m2")).alias("mean_diff"),

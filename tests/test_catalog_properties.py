@@ -30,7 +30,9 @@ QUERIES = {**_MAIN, **QUERIES_EXTRA}
 _STREAMING = {n for n in QUERIES if n.startswith("streaming_")}
 # global aggregates legitimately emit one (all-zero) row over no rows
 _GLOBAL_AGG = {"etl_filter_audit", "gopher_rule_funnel",
-               "lineitem_correlations"}
+               "lineitem_correlations",
+               # 1-row global moment aggregates (r5): null/0 on empty
+               "customer_revenue_gini", "purchase_click_value_ttest"}
 # fixed-shape reports: one row per declared check/stage, zero-counted
 # (an empty table vacuously passes every check / converts nobody)
 _EMPTY_REPORTS = {"lineitem_quality_report": 8, "event_funnel": 3}
