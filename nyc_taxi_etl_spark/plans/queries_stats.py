@@ -502,3 +502,61 @@ def purchase_click_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+@query(
+    "daily_rolling_purchase_error_corr",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(value) FILTER (event_type = 'purchase') AS pv,
+             CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS en
+      FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           ROUND(pv, 4) AS purchase_value,
+           en AS n_errors,
+           CAST(count(*) OVER w AS BIGINT) AS days_in_window,
+           ROUND(corr(pv, en) OVER w, 4) AS corr_14d
+    FROM daily
+    WINDOW w AS (ORDER BY d
+                 RANGE BETWEEN INTERVAL 13 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    extra=True,
+)
+def daily_rolling_purchase_error_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-14-calendar-day rolling Pearson correlation between
+    daily purchase revenue and daily error count — the drifting
+    version of daily_purchase_vs_errors' single corr number: a
+    relationship that holds in January and inverts in March averages
+    to zero in the static statistic but shows up here.
+
+    Scale: one conditional-agg scan builds the daily two-series table
+    (bounded — one row per day), then corr as a windowed aggregate
+    over a calendar RANGE frame on the integer day number (missing
+    days shrink the window, a ROWS frame would silently stretch it;
+    ``days_in_window`` exposes that). Single-partition window over the
+    post-agg daily table only — the daily_rolling_revenue posture."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).alias("pv"),
+        F.count(F.when(F.col("event_type") == "error", F.lit(1)))
+        .cast("long")
+        .alias("en"),
+    )
+    daily = daily.withColumn(
+        "day_num", F.datediff("d", F.lit("1970-01-01"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-13, Window.currentRow)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        r4(F.col("pv")).alias("purchase_value"),
+        F.col("en").alias("n_errors"),
+        F.count("*").over(w).cast("long").alias("days_in_window"),
+        r4(F.corr("pv", "en").over(w)).alias("corr_14d"),
+    )
