@@ -290,3 +290,72 @@ def daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+@query(
+    "monthly_status_unpivot",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o_totalprice), 4) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+    extra=True,
+)
+def monthly_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → UNPIVOT round-trip: build the wide month × status matrix
+    with ``pivot`` (count + revenue per status), then melt it back to
+    long form with ``unpivot`` — and the oracle is the PLAIN long-form
+    GROUP BY, so the entry hash-checks that Spark's pivot/unpivot pair
+    is lossless end-to-end (absent statuses surface as NULL cells and
+    are dropped on the melt, exactly the cells the long form never
+    had).
+
+    Scale: the pivot is one hash-agg with the status domain folded
+    into the aggregate (3 statuses × 2 measures = 6 columns, metadata
+    width); unpivot is a row-local expand of the bounded monthly
+    table. The wide matrix is the dashboard artifact; the long form is
+    what joins back into the engine."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    statuses = ["O", "F", "P"]
+    wide = (
+        orders.groupBy("order_month")
+        .pivot("o_orderstatus", statuses)
+        .agg(
+            # count(lit(1)): count(*) is rejected inside a Pivot agg
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    )
+    # unpivot to (month, status, measure, value): ids=month; one
+    # (n, rev) pair per status
+    long = wide.unpivot(
+        ids=["order_month"],
+        values=[f"{s}_{m}" for s in statuses for m in ("n", "rev")],
+        variableColumnName="status_measure",
+        valueColumnName="v",
+    )
+    parts = F.split(F.col("status_measure"), "_")
+    tidy = long.select(
+        "order_month",
+        parts.getItem(0).alias("status"),
+        parts.getItem(1).alias("measure"),
+        "v",
+    )
+    return (
+        tidy.groupBy("order_month", "status")
+        .agg(
+            F.max(F.when(F.col("measure") == "n", F.col("v")))
+            .cast("long")
+            .alias("n_orders"),
+            r4(
+                F.max(F.when(F.col("measure") == "rev", F.col("v")))
+            ).alias("revenue"),
+        )
+        .filter(F.col("n_orders").isNotNull())
+    )
