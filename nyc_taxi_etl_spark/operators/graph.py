@@ -124,6 +124,14 @@ def hits(
         F.col("dst").alias("node"),
         (F.col("a") / F.lit(a_norm)).alias("authority"),
     )
+    # hubs/auth are selects over EAGER localCheckpoints — their lineage
+    # no longer references the persisted edge layouts, so release them
+    # now instead of leaking one cached edge copy per call (bench runs
+    # each entry 5×). Intermediate per-iteration checkpoint blocks are
+    # reclaimed by ContextCleaner once the loop drops its references
+    # (only prev/current are ever held).
+    e_by_src.unpersist()
+    e_by_dst.unpersist()
     return hubs, auth
 
 
@@ -281,9 +289,10 @@ def pagerank(
     if n_nodes == 0:
         # empty graph: typed empty result (SURVEY §7.3 posture), and
         # guards the 1/N terms below
-        return nodes.select(
-            "node", F.lit(0.0).alias("rank")
-        ).limit(0)
+        out = nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
+        ed.unpersist()
+        nodes.unpersist()
+        return out
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for it in range(iterations):
@@ -323,4 +332,9 @@ def pagerank(
             "node",
             (F.col("rank") + F.lit(deficit / float(n_nodes))).alias("rank"),
         )
+    # the returned ranks are a select over the last EAGER checkpoint;
+    # the persisted edge/node layouts are out of its lineage — release
+    # them so repeated calls don't accumulate cached edge copies
+    ed.unpersist()
+    nodes.unpersist()
     return ranks

@@ -61,6 +61,18 @@ def global_sequence(
     Python on the data path. Scale: every stage is parallel in
     #partitions; driver state is one long per partition.
     """
+    if out_col in df.columns:
+        raise ValueError(
+            f"global_sequence: out_col {out_col!r} already exists in df"
+        )
+    for reserved in ("_pid", "_local", "_off"):
+        # the >4096-partition fallback joins on these internals; a
+        # caller column with the same name would be silently replaced
+        if reserved in df.columns:
+            raise ValueError(
+                f"global_sequence: df column {reserved!r} collides with an "
+                f"internal column of the partition-offset join"
+            )
     spark = df.sparkSession
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")

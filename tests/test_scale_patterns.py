@@ -276,3 +276,24 @@ def test_global_sequence_parallel_at_2m_rows(spark):
     # into one partition)
     n_parts = out.rdd.getNumPartitions()
     assert n_parts > 1
+
+
+def test_global_sequence_rejects_column_collisions(spark):
+    """ADVICE r5: out_col (or the _pid/_local/_off internals of the
+    >4096-partition join path) colliding with an existing column must
+    raise, not silently replace the caller's data."""
+    import pytest
+
+    from nyc_taxi_etl_spark.operators.sequence import global_sequence
+
+    df = spark.range(10).select(F.col("id"), F.lit(0).alias("seq"))
+    with pytest.raises(ValueError, match="out_col"):
+        global_sequence(df, ["id"], out_col="seq")
+    df2 = spark.range(10).select(F.col("id"), F.lit(0).alias("_pid"))
+    with pytest.raises(ValueError, match="_pid"):
+        global_sequence(df2, ["id"])
+    # a clean frame still works under any out_col name
+    out = global_sequence(
+        spark.range(5).select("id"), ["id"], out_col="rownum"
+    )
+    assert [r["rownum"] for r in out.orderBy("id").collect()] == [1, 2, 3, 4, 5]
