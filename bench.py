@@ -110,6 +110,12 @@ EXTENSION = [
     "dsir_selected_docs",
     "purchase_graph_hits",
     "near_dup_triangles",
+    # r6 additions: entries promoted into the driver correctness window
+    # by the r6 rotation that were not yet benched
+    "orders_global_seq",
+    "customer_revenue_gini",
+    "winnow_near_pairs",
+    "user_count_cms",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

@@ -23,7 +23,14 @@ def test_queries_listing_no_spark(capsys):
     assert sum(line.endswith("\toverflow") for line in lines) == len(
         QUERIES_EXTRA
     )
-    assert any(line.startswith("semantic_dedup\toracle\toverflow")
+    # r6 rotation: semantic_dedup promoted into the driver window,
+    # doc_top_terms demoted to overflow (both keep full oracles)
+    assert any(
+        line.startswith("semantic_dedup\toracle")
+        and not line.endswith("\toverflow")
+        for line in lines
+    )
+    assert any(line.startswith("doc_top_terms\toracle\toverflow")
                for line in lines)
 
 
