@@ -12,7 +12,7 @@ ROWS — gaps in the date series must still span 7 calendar days).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import r4
@@ -152,31 +152,35 @@ def daily_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink the window (a ROWS frame would silently span more than a
     week across gaps); ``days_present_7d`` exposes exactly that.
 
-    Scale: the window runs over the POST-AGG daily table (bounded:
-    one row per day — the daily_pct_of_baseline posture), so the
-    single-partition window is safe; the raw scan is one hash-agg.
-    For multi-decade spans partition the frame by year after
-    prepending each year's 6-day tail."""
+    Scale (r6): the frame runs YEAR-PARTITIONED with each year's 6-day
+    tail prepended as ghost frame-members (operators/rolling.py) — one
+    hash exchange on year, no SinglePartition window, results pinned
+    identical to the single-partition form in tests/test_rolling.py.
+    The raw scan is one hash-agg either way."""
+    from ..operators.rolling import rolling_calendar_frame
+
     orders = t(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.count("*").alias("n_orders"),
         r4(F.sum("o_totalprice")).alias("revenue"),
     )
-    # integer day number gives an exact RANGE key in both engines
-    daily = daily.withColumn(
-        "day_num", F.datediff("d", F.lit("1970-01-01"))
+    rolled = rolling_calendar_frame(
+        daily,
+        {
+            "revenue_7d": F.sum("revenue"),
+            "days_present_7d": F.count("*"),
+            "avg_daily_revenue_7d": F.avg("revenue"),
+        },
+        date_col="d",
+        tail_days=6,
     )
-    w = (
-        Window.orderBy("day_num")
-        .rangeBetween(-6, Window.currentRow)
-    )
-    return daily.select(
+    return rolled.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "n_orders",
         "revenue",
-        r4(F.sum("revenue").over(w)).alias("revenue_7d"),
-        F.count("*").over(w).cast("long").alias("days_present_7d"),
-        r4(F.avg("revenue").over(w)).alias("avg_daily_revenue_7d"),
+        r4(F.col("revenue_7d")).alias("revenue_7d"),
+        F.col("days_present_7d").cast("long").alias("days_present_7d"),
+        r4(F.col("avg_daily_revenue_7d")).alias("avg_daily_revenue_7d"),
     )
 
 
@@ -532,12 +536,15 @@ def daily_rolling_purchase_error_corr(
     relationship that holds in January and inverts in March averages
     to zero in the static statistic but shows up here.
 
-    Scale: one conditional-agg scan builds the daily two-series table
-    (bounded — one row per day), then corr as a windowed aggregate
-    over a calendar RANGE frame on the integer day number (missing
-    days shrink the window, a ROWS frame would silently stretch it;
-    ``days_in_window`` exposes that). Single-partition window over the
-    post-agg daily table only — the daily_rolling_revenue posture."""
+    Scale (r6): one conditional-agg scan builds the daily two-series
+    table, then corr as a windowed aggregate over a calendar RANGE
+    frame on the integer day number (missing days shrink the window, a
+    ROWS frame would silently stretch it; ``days_in_window`` exposes
+    that). The frame runs YEAR-PARTITIONED with a 13-day ghost tail
+    (operators/rolling.py) — no SinglePartition window; equality with
+    the single-partition form pinned in tests/test_rolling.py."""
+    from ..operators.rolling import rolling_calendar_frame
+
     ev = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "error")
     )
@@ -549,14 +556,19 @@ def daily_rolling_purchase_error_corr(
         .cast("long")
         .alias("en"),
     )
-    daily = daily.withColumn(
-        "day_num", F.datediff("d", F.lit("1970-01-01"))
+    rolled = rolling_calendar_frame(
+        daily,
+        {
+            "days_in_window": F.count("*"),
+            "corr_14d": F.corr("pv", "en"),
+        },
+        date_col="d",
+        tail_days=13,
     )
-    w = Window.orderBy("day_num").rangeBetween(-13, Window.currentRow)
-    return daily.select(
+    return rolled.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         r4(F.col("pv")).alias("purchase_value"),
         F.col("en").alias("n_errors"),
-        F.count("*").over(w).cast("long").alias("days_in_window"),
-        r4(F.corr("pv", "en").over(w)).alias("corr_14d"),
+        F.col("days_in_window").cast("long").alias("days_in_window"),
+        r4(F.col("corr_14d")).alias("corr_14d"),
     )
