@@ -57,14 +57,17 @@ def fuzzy_candidates(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), k)).alias("s"),
     )
-    # NOTE (r5, measured): the posting list feeds both sides of the
-    # self-join and Spark does not reuse the exchange across a
+    # NOTE (r5, remeasured r6): the posting list feeds both sides of
+    # the self-join and Spark does not reuse the exchange across a
     # self-join's deduplicated attributes, so the shingling regex runs
-    # twice. Persisting the postings to skip the second pass was tried
-    # and REVERTED: cache materialization of the posting rows cost
-    # more than the recomputed regex at every SF measured (5.0 s vs
-    # 4.3 s at sf0.1). Recompute-over-cache is the right default for
-    # cheap-per-row, wide intermediates.
+    # twice. Three-way comparison at sf0.1, idle host, min of 4
+    # interleaved passes (full fuzzy_near_pairs, noop-materialized):
+    # recompute 4.21 s / persist 4.23 s / localCheckpoint 4.29 s —
+    # statistically indistinguishable (the r5 persist penalty did not
+    # reproduce; the triangle_counts-style checkpoint win does not
+    # transfer because this subplan is cheap per row and wide).
+    # Recompute stays: identical speed, zero cache/checkpoint
+    # footprint, no lifecycle to manage.
     if max_doc_freq is not None:
         hot = (
             post.groupBy("s")

@@ -1,10 +1,13 @@
-"""Sketch-based catalog queries: mergeable HLL distinct counts.
+"""Sketch-based catalog queries: mergeable HLL distinct counts,
+frequency sketches (approx_top_k, Count-Min).
 
-Rows-only by design: the estimates come from Apache DataSketches HLL
-inside Spark — DuckDB's approx_distinct is a different HLL
-implementation, so a value-level oracle cannot exist. The error
-envelope and the merge-vs-whole consistency are pinned in
-tests/test_hll_sketches.py instead.
+Oracle posture: raw DataSketches HLL ESTIMATES are not
+SQL-reproducible (DuckDB's approx_distinct is a different HLL), so the
+HLL rollup emits EXACT companion counts plus an estimate-envelope
+boolean — fully hash-checkable while the sketch path stays
+load-bearing (r6). The error envelope and merge-vs-whole consistency
+are additionally pinned in tests/test_hll_sketches.py. The CMS entries
+replay the sketch bit-for-bit in SQL (portable md5 hash rows).
 """
 
 from __future__ import annotations
@@ -16,40 +19,99 @@ from ..operators.sketches import keyed_sketches, trailing_union, union_estimate
 from .queries import query, t
 
 
-@query("distinct_users_hll_rollup", None, extra=True)
+@query(
+    "distinct_users_hll_rollup",
+    """
+    WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+                   FROM events),
+    days AS (SELECT DISTINCT d FROM pairs),
+    per_day AS (SELECT d, CAST(count(*) AS BIGINT) AS distinct_users
+                FROM pairs GROUP BY 1),
+    trail AS (
+      SELECT dy.d AS d,
+             CAST(count(DISTINCT p.user_id) AS BIGINT)
+               AS distinct_users_7d,
+             CAST(count(DISTINCT p.d) AS BIGINT) AS days_merged
+      FROM days dy JOIN pairs p ON p.d BETWEEN dy.d - 6 AND dy.d
+      GROUP BY 1)
+    SELECT strftime(per_day.d, '%Y-%m-%d') AS day,
+           per_day.distinct_users,
+           trail.distinct_users_7d,
+           trail.days_merged,
+           TRUE AS est_within_5pct
+    FROM per_day JOIN trail USING (d)
+    """,
+    extra=True,
+)
 def distinct_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-day and trailing-7-day distinct-user estimates from ONE
-    pass over events: daily HLL sketches (the storable pre-aggregate)
-    are estimated per day and union-merged per trailing window. The
-    trailing-distinct column is the query additive counts cannot
-    answer — distinct users over a week ≠ sum of daily distincts —
-    and the sketch table answers it WITHOUT rescanning raw events.
+    """Per-day and trailing-7-day distinct users from daily HLL
+    sketches (the storable pre-aggregate), union-merged per trailing
+    window. The trailing-distinct column is the query additive counts
+    cannot answer — distinct users over a week ≠ sum of daily
+    distincts — and the sketch table answers it WITHOUT rescanning raw
+    events.
 
-    Scale: raw data is touched exactly once (daily sketch agg,
-    map-side partial); everything downstream operates on |days| rows
-    × 16 KiB sketches. Appending a new day produces one new sketch
-    row and every historical rollup stays valid — the incremental-
-    analytics pattern for 100 TB event streams."""
+    Full-oracle form (r6, VERDICT r5 task #8): the emitted counts are
+    the EXACT per-day / trailing-7d distincts (SQL-reproducible), and
+    the sketch path stays load-bearing through ``est_within_5pct`` —
+    the conjunction of both sketch estimates landing within 5% of
+    exact (far above HLL lgK=14's ~0.8% standard error; at these
+    cardinalities the DataSketches sparse mode is exact, pinned
+    tighter in tests/test_hll_sketches.py). If the sketch pipeline
+    broke, the boolean flips and the driver hash-check fails.
+
+    Scale: the sketch path touches raw data once (daily sketch agg,
+    map-side partial; |days| × 16 KiB downstream, appending a day
+    never invalidates history). The exact companions are the more
+    expensive verification twin — one distinct shuffle plus a 7-way
+    day-fold — the cost the sketches exist to avoid at 100 TB, kept
+    here because the driver gate verifies values, not posture."""
     ev = t(spark, sf_dir, "events")
+    pairs = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    exact_day = pairs.groupBy("d").agg(
+        F.count("*").cast("long").alias("exact_users")
+    )
+    days = pairs.select(F.col("d").alias("target_date")).distinct()
+    exact_7d = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("target_date"),
+            "user_id",
+        )
+        .join(days, "target_date")
+        .groupBy("target_date")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users_7d"))
+    )
     daily = keyed_sketches(
         ev.withColumn("d", F.to_date("ts")), ["d"], "user_id"
-    )
-    daily = daily.persist()  # shared by the per-day and trailing paths
-    per_day = union_estimate(daily, ["d"], out_col="distinct_users")
-    trailing = trailing_union(daily, "d", days=7, out_col="distinct_users_7d")
-    out = (
-        per_day.join(
-            trailing, per_day["d"] == trailing["target_date"]
+    ).localCheckpoint(eager=True)  # shared by both sketch paths, no
+    # persist-leak across repeated calls (bench runs entries 5x)
+    per_day = union_estimate(daily, ["d"], out_col="est_users")
+    trailing = trailing_union(daily, "d", days=7, out_col="est_users_7d")
+    ok = (
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
         )
+        & (
+            F.abs(F.col("est_users_7d") - F.col("exact_users_7d"))
+            <= 0.05 * F.col("exact_users_7d")
+        )
+    )
+    return (
+        per_day.join(exact_day, "d")
+        .join(trailing, per_day["d"] == trailing["target_date"])
+        .join(exact_7d, "target_date")
         .select(
             F.date_format("d", "yyyy-MM-dd").alias("day"),
-            "distinct_users",
-            "distinct_users_7d",
+            F.col("exact_users").alias("distinct_users"),
+            F.col("exact_users_7d").alias("distinct_users_7d"),
             "days_merged",
+            ok.alias("est_within_5pct"),
         )
         .orderBy("day")
     )
-    return out
 
 
 @query(

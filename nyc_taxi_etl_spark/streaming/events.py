@@ -331,6 +331,7 @@ def run_available_now(
     output_mode: str = "append",
     timeout_s: int = 300,
     shuffle_partitions: int | None = None,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Drain all currently-available input through the streaming plan
     (Trigger.AvailableNow) into an in-memory sink; returns the result
@@ -361,6 +362,11 @@ def run_available_now(
             .start()
         )
         q.awaitTermination(timeout_s)
+        if progress_out is not None:
+            # per-micro-batch progress (incl. stateOperators metrics:
+            # operator name, numRowsTotal, rows dropped by watermark) —
+            # the observability hook the state-bound tests pin against
+            progress_out.extend(q.recentProgress)
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
