@@ -42,7 +42,16 @@ def _fingerprint_expr(k: int, w: int) -> Column:
     """Distinct winnowed fingerprints of the normalized text column
     ``_t`` — built as ONE server-parsed SQL expression (the
     signature-builder lesson from ``similarity._signature_sql``: py4j
-    Column chatter is a real driver cost; SQL text is free)."""
+    Column chatter is a real driver cost; SQL text is free).
+
+    The k-gram hash array is LAMBDA-BOUND (``transform(array(X),
+    h -> ...)[0]``) before the window-minimum pass. Textually inlining
+    it instead is quadratic: interpreted higher-order functions
+    re-evaluate the inlined subexpression at EVERY window position
+    (no common-subexpression elimination outside codegen, and a
+    separate projection gets re-merged by CollapseProject), turning
+    O(len·w) into O(len²) md5 calls — measured 10.0 s → 0.5 s for
+    500×300-char docs at sf0.01."""
     grams = f"transform(sequence(1, length(_t) - {k - 1}), i -> substring(_t, i, {k}))"
     # CAST inside the transform: Spark's conv() returns a STRING, and
     # array_min over strings is lexicographic — the window minimum
@@ -51,19 +60,22 @@ def _fingerprint_expr(k: int, w: int) -> Column:
         f"transform({grams}, "
         f"g -> CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT))"
     )
+    empty = "CAST(array() AS array<bigint>)"
     wins = (
-        f"transform(sequence(1, size({hashes}) - {w - 1}), "
-        f"p -> array_min(slice({hashes}, p, {w})))"
+        f"transform(sequence(1, size(h) - {w - 1}), "
+        f"p -> array_min(slice(h, p, {w})))"
     )
     return F.expr(
-        f"CASE WHEN length(_t) >= {k + w - 1} "
-        f"THEN array_distinct({wins}) "
-        f"WHEN length(_t) >= {k} "
+        f"transform(array(CASE WHEN length(_t) >= {k} THEN {hashes} "
+        f"ELSE {empty} END), "
+        # size(h) >= w  <=>  length(_t) >= k + w - 1 (h has one hash
+        # per k-gram start position)
+        f"h -> CASE WHEN size(h) >= {w} THEN array_distinct({wins}) "
         # short doc: fewer than w k-grams — keep the global min so no
         # non-empty document fingerprints to nothing
-        f"THEN array(array_min({hashes})) "
-        f"ELSE array() END"
-    ).cast("array<bigint>")
+        f"WHEN size(h) >= 1 THEN array(array_min(h)) "
+        f"ELSE {empty} END)[0]"
+    )
 
 
 def winnow_fingerprints(
