@@ -236,3 +236,133 @@ def user_count_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_est").cast("long").alias("cms_est"),
         (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overcount"),
     )
+
+
+_KMV_K = 64
+_KMV_M = 16 ** 15  # md5 15-hex-char hash space = 2^60
+
+
+def _kmv_sql(k: int = _KMV_K) -> str:
+    m = _KMV_M
+    est = (
+        lambda s: f"CASE WHEN len({s}) < {k} THEN len({s})::DOUBLE "
+        f"ELSE {float(k - 1)} * {m} / ({s}[{k}])::DOUBLE END"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents),
+    shl AS (
+      SELECT source,
+             CASE WHEN len(w) >= 3 THEN
+                    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in generate_series(1, len(w)-2)])
+                  WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                  ELSE [] END AS sh
+      FROM tok),
+    dv AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM (SELECT source, unnest(sh) AS s FROM shl)),
+    botk AS (
+      SELECT source, h FROM dv
+      QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= {k}),
+    sk AS (SELECT source, list_sort(list(h)) AS s FROM botk GROUP BY 1),
+    px AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.s AS sa, b.s AS sb,
+             list_slice(list_sort(list_distinct(list_concat(a.s, b.s))),
+                        1, {k}) AS u,
+             list_intersect(a.s, b.s) AS inter
+      FROM sk a JOIN sk b ON a.source < b.source),
+    est AS (
+      SELECT source_a, source_b,
+             {est("sa")} AS est_a,
+             {est("sb")} AS est_b,
+             {est("u")} AS est_union,
+             CASE WHEN len(u) < {k}
+                  THEN len(inter)::DOUBLE / len(u)::DOUBLE
+                  ELSE len(list_intersect(u, inter))::DOUBLE / {float(k)}
+             END AS est_jaccard
+      FROM px),
+    dsh AS (SELECT DISTINCT source, unnest(sh) AS s FROM shl),
+    exact AS (
+      SELECT x.source AS source_a, y.source AS source_b,
+             CAST(count(*) AS BIGINT) AS exact_common
+      FROM dsh x JOIN dsh y
+        ON x.s = y.s AND x.source < y.source
+      GROUP BY 1, 2)
+    SELECT est.source_a, est.source_b, est.est_a, est.est_b,
+           est.est_union, est.est_jaccard,
+           est.est_jaccard * est.est_union AS est_common,
+           COALESCE(exact.exact_common, 0) AS exact_common
+    FROM est LEFT JOIN exact USING (source_a, source_b)
+    """
+
+
+@query("source_shingle_overlap_kmv", _kmv_sql(), extra=True)
+def source_shingle_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content overlap between sub-corpus sources from K-Minimum-
+    Values sketches (``operators/kmv.py``; Bar-Yossef et al. 2002 /
+    Beyer et al. SIGMOD 2007): per source, keep the 64 smallest md5
+    hashes of its distinct word-3-shingles; every source pair's
+    distinct/union/Jaccard/common-shingle estimates then come from
+    the 64-long arrays ALONE. This is the corpus-level companion to
+    ``cross_source_near_dups`` (which finds document PAIRS): mixture
+    planning asks "how much content do feeds A and B share overall",
+    and KMV answers it from |sources| tiny arrays — the set-
+    INTERSECTION estimate HLL cannot give and exact counting answers
+    only by re-joining the full shingle table per pair.
+
+    Deterministic given the hash, so a FULL oracle: DuckDB replays
+    every sketch element and every estimate bit-for-bit (hash idiom
+    shared with the CMS entries; shingle recipe shared with the
+    ngram-Jaccard family). The ``exact_common`` companion keeps the
+    estimator's error visible and hash-checked; below-k groups
+    degrade to exact values by construction.
+
+    Scale: sketch build is per-partition-truncated bottom-k (no
+    whole-group sort — the dsir/global_sequence idiom), pair stage
+    broadcasts |sources| x 64 longs; the exact companion is the
+    verification twin the sketch family exists to avoid at 100 TB
+    (same posture as the HLL rollup's exact columns)."""
+    from ..operators.kmv import kmv_pair_overlap, kmv_sketches
+    from ..operators.text import shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(shingles(F.col("text"), 3)).alias("s")
+    )
+    sk = kmv_sketches(sh, ["source"], "s", k=_KMV_K, salt_mod=64)
+    overlap = kmv_pair_overlap(sk, "source", k=_KMV_K).select(
+        F.col("key_a").alias("source_a"),
+        F.col("key_b").alias("source_b"),
+        "est_a", "est_b", "est_union", "est_jaccard", "est_common",
+    )
+    dsh = sh.distinct()
+    exact = (
+        dsh.alias("x")
+        .join(
+            dsh.alias("y"),
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("exact_common"))
+    )
+    return overlap.join(exact, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_jaccard",
+        "est_common",
+        F.coalesce("exact_common", F.lit(0).cast("long")).alias(
+            "exact_common"
+        ),
+    )
