@@ -572,3 +572,83 @@ def daily_rolling_purchase_error_corr(
         F.col("days_in_window").cast("long").alias("days_in_window"),
         r4(F.col("corr_14d")).alias("corr_14d"),
     )
+
+
+def _auc_sql() -> str:
+    from .queries_training import _classifier_sql
+
+    return f"""
+    WITH scored AS ({_classifier_sql()}),
+    j AS (SELECT s.quality_prob AS score,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM scored s JOIN documents d USING (doc_id)),
+    g AS (SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(sum(1 - y) AS BIGINT) AS neg
+          FROM j GROUP BY 1),
+    c AS (SELECT score, pos, neg,
+                 COALESCE(sum(neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS neg_below,
+                 sum(pos) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_pos,
+                 sum(neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_neg
+          FROM g),
+    tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+                   CAST(sum(neg) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_scores
+            FROM g),
+    stats AS (
+      SELECT sum(pos::HUGEINT * (2 * neg_below::HUGEINT + neg::HUGEINT))
+               AS u2,
+             max(abs(cum_pos::HUGEINT * tot.n - cum_neg::HUGEINT * tot.p))
+               AS ksn
+      FROM c, tot GROUP BY ALL HAVING TRUE)
+    SELECT tot.p AS n_pos, tot.n AS n_neg, tot.n_scores,
+           CASE WHEN tot.p > 0 AND tot.n > 0
+                THEN stats.u2::DOUBLE / (2.0 * tot.p::DOUBLE * tot.n::DOUBLE)
+           END AS auc,
+           CASE WHEN tot.p > 0 AND tot.n > 0
+                THEN stats.ksn::DOUBLE / (tot.p::DOUBLE * tot.n::DOUBLE)
+           END AS ks
+    FROM tot, stats
+    """
+
+
+@query("classifier_lang_auc", _auc_sql(), extra=True)
+def classifier_lang_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC + Kolmogorov-Smirnov of the fixed-lexicon quality
+    classifier (``operators/classifier.py``) at separating English
+    from non-English documents — the model-evaluation row a curation
+    pipeline publishes next to its filters. On THIS corpus the result
+    is honestly ~0.5/near-0: the synthetic ``lang`` column is a
+    metadata label over a shared token distribution (verified: per-
+    lang stopword rates are indistinguishable), so the entry doubles
+    as a no-signal calibration check — the metric must report chance
+    instead of hallucinating separation. Known-signal cases (perfect
+    separation, analytic tie cases) are pinned in
+    tests/test_evalmetrics.py.
+
+    Computed at score-HISTOGRAM grain (``operators/evalmetrics.py``):
+    one hash-agg to per-score pos/neg counts, Mann-Whitney rank sum
+    over the <=10k-row histogram — never a global row sort (the
+    textbook per-row rank is exactly the single-partition window
+    ``global_sequence`` exists to avoid). Ties count 1/2 via the
+    2*neg_below + neg formulation; every intermediate is integer
+    (decimal128 / HUGEINT), so both engines reach bit-identical
+    doubles with two final divisions — a FULL oracle with no float-
+    order sensitivity."""
+    from ..operators.classifier import score_fixed_lexicon
+    from ..operators.evalmetrics import binary_rank_metrics
+
+    docs = t(spark, sf_dir, "documents")
+    scored = score_fixed_lexicon(docs).select("doc_id", "quality_prob")
+    lab = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return binary_rank_metrics(
+        scored.join(lab, "doc_id"), "quality_prob", "is_en"
+    )
