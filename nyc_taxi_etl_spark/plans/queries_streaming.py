@@ -43,10 +43,21 @@ _FMT = "yyyy-MM-dd HH:mm:ss"
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the file source requires a directory: stage the single
-    # events.parquet into a temp dir via symlink (no data copy)
+    # the file source requires a directory of data files: stage
+    # events.parquet into a temp dir via symlinks (no data copy).
+    # Two layouts exist — the driver testdata is a single parquet
+    # FILE; Spark-written datasets (tools/gen_scale_data.py) are a
+    # DIRECTORY of part files, whose nested dir would be invisible to
+    # the source's non-recursive listing — so link part files
+    # individually in that case.
     d = tempfile.mkdtemp(prefix="events_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        for i, part in enumerate(sorted(os.listdir(src))):
+            if part.endswith(".parquet"):
+                os.symlink(f"{src}/{part}", f"{d}/part_{i}.parquet")
+    else:
+        os.symlink(src, f"{d}/events.parquet")
     return read_events_stream(spark, d, max_files_per_trigger=None)
 
 
