@@ -171,7 +171,22 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge closure (out-adjacency O(√m) for every node regardless of
     skew), three equi-joins, exact integer counts. local_clustering
     = 2·T/(d·(d−1)) is a pure division of exact ints — bit-identical
-    cross-engine, hashed unrounded."""
+    cross-engine, hashed unrounded.
+
+    Measured (sf1 rehearsal): the EDGE stage, not the triangle stage,
+    is the scale limit. Exact 0.1-Jaccard over the synthetic corpus is
+    near-quadratic because the shingle vocabulary SATURATES (~30k
+    distinct trigrams at both 5k and 50k docs), so posting lists grow
+    linearly with corpus and the inverted-index pair expansion grows
+    ~n²: 2.8M pair rows at sf0.1 → 228M at sf1 (82× for 10× docs).
+    That is a property of the corpus+threshold, not the plan — when
+    the true qualifying-pair set is quadratic, any engine enumerating
+    it is quadratic. The 100 TB posture for clustering audits is the
+    LSH-gated candidate path (``ngram_jaccard_pairs(candidates=...)``)
+    at a threshold the LSH S-curve can gate, plus executor memory
+    sized for the pair grain (local[32]'s default 8g heap / 32 threads
+    OOMed the pair hash-agg at sf1; a cluster-realistic 1.5 GB/task
+    completes it — see tools/run_scaling.py --driver-mem)."""
     docs = t(spark, sf_dir, "documents")
     edges = D.ngram_jaccard_pairs(docs, k=3, min_jaccard=0.1).select(
         "id_a", "id_b"

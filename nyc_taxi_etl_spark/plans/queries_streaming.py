@@ -396,3 +396,57 @@ def streaming_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         F.col("c").cast("long").alias("c"),
     )
+
+
+@query(
+    "streaming_purchase_error_left",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+               FROM events WHERE event_type = 'purchase'),
+    e AS (SELECT event_id AS error_id, user_id, ts AS e_ts
+          FROM events WHERE event_type = 'error'),
+    wm AS (SELECT least((SELECT max(p_ts) FROM p),
+                        (SELECT max(e_ts) FROM e))
+                  - INTERVAL 2 HOUR AS w)
+    SELECT p.purchase_id, e.error_id, p.user_id,
+           epoch_us(p.p_ts) - epoch_us(e.e_ts) AS lag_us,
+           ROUND(p.value, 4) AS purchase_value
+    FROM p JOIN e ON e.user_id = p.user_id
+      AND e.e_ts >= p.p_ts - INTERVAL 30 MINUTE
+      AND e.e_ts <= p.p_ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT p.purchase_id, NULL AS error_id, p.user_id,
+           NULL AS lag_us, ROUND(p.value, 4) AS purchase_value
+    FROM p, wm
+    WHERE NOT EXISTS (SELECT 1 FROM e
+                      WHERE e.user_id = p.user_id
+                        AND e.e_ts >= p.p_ts - INTERVAL 30 MINUTE
+                        AND e.e_ts <= p.p_ts + INTERVAL 30 MINUTE)
+      AND p.p_ts + INTERVAL 30 MINUTE < wm.w
+    """,
+    extra=True,
+)
+def streaming_purchase_error_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the null-extension
+    semantics the inner entry cannot exercise: a purchase with no
+    same-user error within ±30 min is emitted with null error columns
+    only once the GLOBAL watermark (min across both sides) proves no
+    future error can match, i.e. strictly after ``p_ts + 30 min``;
+    younger unmatched purchases stay withheld in state when a finite
+    run ends. The oracle replicates exactly that cutoff (matched rows
+    unconditionally; null rows gated on the final watermark
+    ``min(max p_ts, max e_ts) − 2 h``); the strict-inequality
+    boundary is pinned on a crafted window-end == watermark dataset
+    in tests/test_streaming_state.py.
+
+    Scale: same bounded symmetric-hash state as the inner entry (per-
+    key 2x30-minute window, eviction by watermark); the null-emission
+    pass rides state eviction, adding no extra shuffle."""
+    from ..streaming import purchase_error_stream_join
+
+    return _drain(
+        purchase_error_stream_join(
+            _events_stream(spark, sf_dir), how="left_outer"
+        ),
+        "append",
+    )

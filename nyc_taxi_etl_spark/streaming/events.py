@@ -280,6 +280,7 @@ def purchase_error_stream_join(
     events: DataFrame,
     tolerance: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval self-join: each purchase pairs with the
     same user's errors within ±``tolerance`` — the continuous twin of
@@ -291,9 +292,16 @@ def purchase_error_stream_join(
     would grow forever).
 
     Scale: one shuffle of each side on user_id; state per key is the
-    2·tolerance window of events, independent of stream length. Inner
-    join only — results are emitted as soon as both sides arrive, no
-    watermark-close wait (that cost appears only for outer variants).
+    2·tolerance window of events, independent of stream length. With
+    ``how="inner"`` results are emitted as soon as both sides arrive.
+    ``how="left_outer"`` adds the null-extension semantics: a purchase
+    with no in-window error is emitted with null error columns only
+    once the GLOBAL watermark (min across both sides' watermarks)
+    passes ``p_ts + tolerance`` — the engine can then prove no future
+    error will match, the state row is evicted, and the null row rides
+    the eviction. Purchases younger than that cutoff are withheld
+    (still in state) when a finite run ends — the batch oracle
+    replicates the cutoff explicitly.
     """
     purch = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -313,7 +321,7 @@ def purchase_error_stream_join(
             f"e_ts >= p_ts - interval {tolerance} AND "
             f"e_ts <= p_ts + interval {tolerance}"
         ),
-        "inner",
+        how,
     )
     return joined.select(
         "purchase_id",

@@ -71,6 +71,73 @@ def _staged_chunks(spark):
     return d, bounds, hi
 
 
+def test_left_outer_null_emission_boundary_is_strict(spark):
+    """Pin the null-emission cutoff of the LEFT OUTER stream-stream
+    join (``streaming_purchase_error_left``'s oracle gate): an
+    unmatched purchase is emitted with null error columns iff
+    ``p_ts + tolerance < final_watermark`` — STRICTLY. A purchase
+    whose join-window end lands EXACTLY on the final watermark stays
+    withheld in state when the run ends. The batch oracle replicates
+    this cutoff, so if Spark ever flips the boundary this test (not a
+    flaky sf hash) localizes it."""
+    import datetime as dt
+
+    T = dt.datetime(2024, 1, 10, 12, 0, 0)  # advancer event time
+    w = T - dt.timedelta(hours=2)  # final global watermark
+    rows_early = [
+        # boundary purchase: p_ts + 30min == w -> WITHHELD (strict)
+        (1, w - dt.timedelta(minutes=30), 1, "purchase", 10.0, None),
+        # clearly-expired purchase: p_ts + 30min == w - 1s -> EMITTED
+        (2, w - dt.timedelta(minutes=30, seconds=1), 2, "purchase", 20.0, None),
+        # matched pair (user 3): emitted as a matched row
+        (3, w - dt.timedelta(hours=3), 3, "purchase", 30.0, None),
+        (4, w - dt.timedelta(hours=3, minutes=5), 3, "error", 0.0, None),
+    ]
+    rows_late = [
+        # advancers push BOTH sides' max event time to T, so the final
+        # global watermark is exactly w = T - 2h
+        (5, T, 98, "purchase", 1.0, None),
+        (6, T, 99, "error", 0.0, None),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    d = tempfile.mkdtemp(prefix="events_boundary_")
+    for i, rows in enumerate([rows_early, rows_late]):
+        tmp = os.path.join(d, f"_stage_{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f_ for f_ in os.listdir(tmp)
+            if f_.startswith("part-") and f_.endswith(".parquet")
+        )
+        os.replace(os.path.join(tmp, part), os.path.join(d, f"c{i}.parquet"))
+        import shutil
+
+        shutil.rmtree(tmp)
+        os.utime(
+            os.path.join(d, f"c{i}.parquet"),
+            (1_700_000_000 + i * 10,) * 2,
+        )
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    out = run_available_now(
+        purchase_error_stream_join(
+            stream, tolerance=TOLERANCE, watermark=WATERMARK, how="left_outer"
+        ),
+        "q_boundary_" + uuid.uuid4().hex[:8],
+        tempfile.mkdtemp(prefix="ckpt_boundary_"),
+        output_mode="append",
+        shuffle_partitions=4,
+    )
+    got = {
+        (r["purchase_id"], r["error_id"]) for r in out.collect()
+    }
+    assert got == {
+        (3, 4),      # matched pair
+        (2, None),   # strictly inside the cutoff -> null-extended
+        # purchase 1 (window end == watermark) and 5 (young) withheld
+    }, got
+
+
 def test_stream_join_single_state_operator_and_bounded_state(spark):
     d, bounds, hi = _staged_chunks(spark)
     stream = read_events_stream(spark, d, max_files_per_trigger=1)

@@ -110,7 +110,23 @@ def main() -> None:
     )
     ap.add_argument("--append", action="store_true",
                     help="merge into an existing results file")
+    ap.add_argument(
+        "--shuffle", type=int, default=None,
+        help="shuffle partitions for this leg (default: CPU count). "
+             "Size so post-shuffle partitions fit the heap: the sf1 "
+             "leg's 2.3e8-row pair expansion needs >32.",
+    )
+    ap.add_argument(
+        "--driver-mem", default=None,
+        help="JVM heap for this leg (default SPARK_GRAFT_DRIVER_MEM "
+             "or 8g). local[32] shares ONE heap across 32 executor "
+             "threads — at sf1 that is 256 MB/task at the default, "
+             "far below a real cluster's per-executor memory; 48g "
+             "restores a cluster-realistic 1.5 GB/task.",
+    )
     args = ap.parse_args()
+    if args.driver_mem:
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = args.driver_mem
     entries = (
         args.entries.split(",") if args.entries else default_entries()
     )
@@ -120,7 +136,9 @@ def main() -> None:
             results = json.load(fh)
     for spec in args.dirs:
         label, path = spec.split("=", 1)
-        spark = get_spark(f"scaling-{label}")
+        spark = get_spark(
+            f"scaling-{label}", shuffle_partitions=args.shuffle
+        )
         try:
             results[label] = run_sf(spark, label, path, entries, args.passes)
         finally:
