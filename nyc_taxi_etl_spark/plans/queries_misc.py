@@ -1123,3 +1123,123 @@ def jsonl_roundtrip_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(corrupt, 1).otherwise(0)).cast("long").alias("n_corrupt"),
     )
+
+
+@query(
+    "customer_priority_scd2",
+    """
+    WITH log AS (
+      SELECT CAST(o_custkey AS BIGINT) AS custkey,
+             o_orderpriority AS priority,
+             o_orderdate AS d, o_orderkey AS k
+      FROM orders),
+    flagged AS (
+      SELECT custkey, priority, d, k,
+             CASE WHEN (lag(d) OVER w IS NULL)
+                    OR (lag(priority) OVER w IS DISTINCT FROM priority)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM log WINDOW w AS (PARTITION BY custkey ORDER BY d, k)),
+    starts AS (SELECT * FROM flagged WHERE new_run = 1)
+    SELECT custkey, priority,
+           CAST(row_number() OVER w2 AS INT) AS version,
+           d AS effective_from,
+           lead(d) OVER w2 AS effective_to,
+           CASE WHEN lead(d) OVER w2 IS NULL THEN 1 ELSE 0
+             END AS is_current
+    FROM starts WINDOW w2 AS (PARTITION BY custkey ORDER BY d, k)
+    """,
+    extra=True,
+)
+def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history (``operators/scd.py``): each
+    customer's order-priority change log (observations = orders,
+    ordered by order date with orderkey tiebreaks) collapsed into
+    versioned validity intervals — consecutive orders with the same
+    priority form one version; ``effective_to`` of a version is the
+    next version's ``effective_from``; the open version carries
+    ``is_current = 1``. The Kimball point-in-time primitive the
+    CDC/upsert family applies changes WITH — this builds the history
+    those changes describe.
+
+    Scale: ONE exchange (both windows partition by custkey — the
+    gaps-and-islands groupBy rewrite would shuffle twice); per-key
+    ordered scan is inherent to run semantics. Plan-asserted in
+    tests/test_plan_quality.py."""
+    from ..operators.scd import scd2_history
+
+    od = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+    )
+    return scd2_history(
+        od, ["custkey"], ["priority"], "d", tiebreak=["k"]
+    ).select(
+        "custkey",
+        "priority",
+        "version",
+        "effective_from",
+        "effective_to",
+        "is_current",
+    )
+
+
+@query(
+    "orders_snapshot_diff",
+    """
+    WITH b AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS p
+      FROM orders),
+    r AS (
+      SELECT k, CASE WHEN k % 7 = 0 THEN p * 1.1 ELSE p END AS p
+      FROM b WHERE k % 13 <> 0
+      UNION ALL
+      SELECT -k AS k, p FROM b WHERE k % 11 = 0)
+    SELECT coalesce(b.k, r.k) AS orderkey,
+           CASE WHEN b.k IS NULL THEN 'added'
+                WHEN r.k IS NULL THEN 'removed'
+                WHEN b.p IS DISTINCT FROM r.p THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           b.p AS old_price, r.p AS new_price
+    FROM b FULL OUTER JOIN r ON b.k = r.k
+    WHERE NOT (b.k IS NOT NULL AND r.k IS NOT NULL
+               AND b.p IS NOT DISTINCT FROM r.p)
+    """,
+    extra=True,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (``operators/diff.py``): diff the
+    orders table against a deterministically-revised version (every
+    7th key gets the 10% price correction, every 13th key is deleted,
+    every 11th key is re-inserted under a fresh negative key) and
+    emit one row per added / removed / changed key with old and new
+    prices — the audit artifact behind "what did this batch actually
+    touch". Prices pass through UNROUNDED: both engines read the same
+    parquet bits and apply the same *1.1 multiply, so the doubles are
+    bit-identical and a ROUND could only introduce divergence.
+
+    Scale: one full-outer join on the key (AQE-skew-safe), unchanged
+    keys filtered before materialization — two 100 TB snapshots with
+    a small delta emit only the delta."""
+    from ..operators.diff import snapshot_diff
+
+    od = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_totalprice").alias("p"),
+    )
+    k = F.col("k")
+    revised = (
+        od.filter(k % 13 != 0)
+        .withColumn(
+            "p",
+            F.when(k % 7 == 0, F.col("p") * 1.1).otherwise(F.col("p")),
+        )
+        .unionAll(od.filter(k % 11 == 0).select((-k).alias("k"), "p"))
+    )
+    return snapshot_diff(od, revised, ["k"], ["p"]).select(
+        F.col("k").alias("orderkey"),
+        "status",
+        "old_p",
+        "new_p",
+    ).withColumnsRenamed({"old_p": "old_price", "new_p": "new_price"})

@@ -320,3 +320,21 @@ def test_triangle_counts_no_cartesian_bounded_joins(spark):
     plan = _plan(spark, "near_dup_triangles")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_scd2_single_exchange(spark):
+    """scd2_history's two key-partitioned windows must share ONE hash
+    partitioning: the executed plan has exactly one shuffle, on the
+    key — the gaps-and-islands groupBy rewrite (which extends the
+    partitioning with the run id and shuffles twice) is the shape
+    this operator exists to avoid."""
+    df = ALL_QUERIES["customer_priority_scd2"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one shuffle on the key; the second window adds NO sort of its
+    # own (same partitioning + same ordering as the first)
+    shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 1, shuffles
+    assert "custkey" in shuffles[0], shuffles
+    assert plan.count("Sort [") == 1, plan

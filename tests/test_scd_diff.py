@@ -1,0 +1,76 @@
+"""Unit tests for operators/scd.py and operators/diff.py edge cases
+the catalog oracle (real orders data) cannot pin: null attribute
+values, single-observation keys, same-timestamp tiebreaks, and the
+keep-unchanged diff mode."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from nyc_taxi_etl_spark.operators.diff import snapshot_diff
+from nyc_taxi_etl_spark.operators.scd import scd2_history
+
+D = dt.date
+
+
+def test_scd2_runs_nulls_and_ties(spark):
+    rows = [
+        # key 1: A, A, null, null, B -> runs A / null / B
+        (1, "A", D(2024, 1, 1), 1),
+        (1, "A", D(2024, 1, 2), 2),
+        (1, None, D(2024, 1, 3), 3),
+        (1, None, D(2024, 1, 4), 4),
+        (1, "B", D(2024, 1, 5), 5),
+        # key 2: single observation -> one current run
+        (2, "X", D(2024, 2, 1), 6),
+        # key 3: same-day flip ordered by the tiebreak k: A(k=7), B(k=8)
+        (3, "A", D(2024, 3, 1), 7),
+        (3, "B", D(2024, 3, 1), 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "key int, attr string, ts date, k int"
+    )
+    out = scd2_history(df, ["key"], ["attr"], "ts", tiebreak=["k"])
+    got = {
+        (r["key"], r["version"]): (
+            r["attr"],
+            r["effective_from"],
+            r["effective_to"],
+            r["is_current"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): ("A", D(2024, 1, 1), D(2024, 1, 3), 0),
+        (1, 2): (None, D(2024, 1, 3), D(2024, 1, 5), 0),
+        (1, 3): ("B", D(2024, 1, 5), None, 1),
+        (2, 1): ("X", D(2024, 2, 1), None, 1),
+        (3, 1): ("A", D(2024, 3, 1), D(2024, 3, 1), 0),
+        (3, 2): ("B", D(2024, 3, 1), None, 1),
+    }
+    # exactly one current version per key
+    cur = out.filter("is_current = 1").groupBy("key").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 3.0), (4, 4.0)], "k int, v double"
+    )
+    revised = spark.createDataFrame(
+        # 1 unchanged, 2 null->null unchanged (null-safe), 3 changed,
+        # 4 removed, 5 added
+        [(1, 10.0), (2, None), (3, 9.0), (5, 5.0)], "k int, v double"
+    )
+    out = snapshot_diff(base, revised, ["k"], ["v"])
+    got = {r["k"]: (r["status"], r["old_v"], r["new_v"]) for r in out.collect()}
+    assert got == {
+        3: ("changed", 3.0, 9.0),
+        4: ("removed", 4.0, None),
+        5: ("added", None, 5.0),
+    }
+    full = snapshot_diff(base, revised, ["k"], ["v"], drop_unchanged=False)
+    statuses = {r["k"]: r["status"] for r in full.collect()}
+    assert statuses[1] == "unchanged"
+    assert statuses[2] == "unchanged"  # null == null, null-safely
+    assert len(statuses) == 5
