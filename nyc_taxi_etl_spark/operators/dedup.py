@@ -231,6 +231,40 @@ def minhash_signatures(
     return paired.select(F.col(id_col), *sig_cols)
 
 
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) LSH band keys per document — the STORABLE
+    near-dup index: persist this for the corpus-at-rest and each
+    arriving batch joins its own (tiny) band table against it instead
+    of re-hashing the corpus (operators/incremental.py).
+
+    ALL band keys come from one projection + posexplode — the naive
+    union-of-bands shape re-executes the (hash-heavy) signature
+    subtree once per band; this computes signatures exactly once."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "bucket")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -253,25 +287,7 @@ def minhash_lsh_pairs(
     risk: AQE skew-join handles moderate cases; extreme boilerplate
     should be removed by exact dedup first.
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    # ALL band keys in one projection + posexplode — the naive
-    # union-of-bands shape re-executes the (hash-heavy) signature
-    # subtree once per band; this computes signatures exactly once.
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band", "bucket")
-    )
+    banded = banded_signatures(df, text_col, id_col, k, num_hashes, bands)
     cand = _bucket_pairs(banded, id_col)
     if verify_threshold is None:
         return cand

@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 from ..sources.versioned import VersionedTable
 from .text import fingerprint
 
-__all__ = ["dedup_batch_against_corpus", "incremental_ingest"]
+__all__ = [
+    "dedup_batch_against_corpus",
+    "incremental_ingest",
+    "near_dup_batch_against_corpus",
+]
 
 FP_COL = "content_fp"
 
@@ -88,3 +92,66 @@ def incremental_ingest(
     if n_new:
         version = table.append(fresh)
     return {"batch_rows": n_batch, "appended": n_new, "version": version}
+
+
+def near_dup_batch_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """NEAR-dup companion to :func:`dedup_batch_against_corpus`: which
+    incoming batch documents are near-duplicates (MinHash-LSH
+    candidates, exact-Jaccard verified) of documents already at rest —
+    WITHOUT re-hashing the corpus per delivery.
+
+    The corpus side of the candidate join is
+    ``dedup.banded_signatures`` — the storable (id, band, bucket)
+    index. In production it is persisted once and appended per batch
+    (like the exact-dedup fingerprint column); here it is computed
+    from ``corpus`` so the operator is self-contained. Per-delivery
+    cost: hash the BATCH (O(batch)), one equi-join of the batch's band
+    keys against the stored index, then exact-Jaccard verification
+    that shingles only candidate docs on both sides (the
+    ``candidates=`` prune in ``ngram_jaccard_pairs``) — so corpus text
+    is re-read only for docs that actually collide with the batch.
+
+    Ids must be disjoint across the two frames (they identify sides in
+    the output: ``id_a`` = corpus, ``id_b`` = batch). Hot buckets
+    (templated boilerplate) follow the minhash_lsh_pairs posture:
+    exact-dedup first, AQE skew-join for the rest.
+    """
+    from .dedup import banded_signatures, ngram_jaccard_pairs
+
+    corpus_idx = banded_signatures(
+        corpus, text_col, id_col, k, num_hashes, bands
+    )
+    batch_idx = banded_signatures(
+        batch, text_col, id_col, k, num_hashes, bands
+    )
+    cand = (
+        corpus_idx.select(
+            "band", "bucket", F.col(id_col).alias("id_a")
+        )
+        .join(
+            batch_idx.select(
+                "band", "bucket", F.col(id_col).alias("id_b")
+            ),
+            ["band", "bucket"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    both = corpus.select(id_col, text_col).unionByName(
+        batch.select(id_col, text_col)
+    )
+    jac = ngram_jaccard_pairs(
+        both, text_col, id_col, k, min_jaccard=0.0, candidates=cand
+    )
+    return jac.filter(F.col("jaccard") >= verify_threshold)

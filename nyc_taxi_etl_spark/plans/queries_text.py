@@ -346,10 +346,17 @@ def _minhash_ctes(
     bands: int = 4,
     thresh: float = 0.5,
     source: str = "documents",
+    pair_pred: str = "{x}.doc_id < {y}.doc_id",
 ) -> str:
     """CTE chain (no WITH keyword) ending in ``pairs`` = verified
     near-dup pairs over ``source`` — reusable inside larger oracles
-    (dedup_components, curate_documents)."""
+    (dedup_components, curate_documents).
+
+    ``pair_pred`` orients pairs; the default canonical ``<`` gives
+    the self-dedup pair set. The incremental-ingest oracle passes a
+    corpus-side/batch-side split predicate instead ({x} = left/id_a,
+    {y} = right/id_b), reproducing the cross-set candidate join of
+    ``operators/incremental.py::near_dup_batch_against_corpus``."""
     from ..operators.dedup import MINHASH_P
 
     r = num_hashes // bands
@@ -389,12 +396,14 @@ def _minhash_ctes(
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM banded l JOIN banded r
-        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+        ON l.band = r.band AND l.bucket = r.bucket
+       AND {pair_pred.format(x="l", y="r")}),
     sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY 1),
     shared AS (
       SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) shared
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.s = b.s
+       AND {pair_pred.format(x="a", y="b")}
       GROUP BY 1, 2),
     pairs AS (
       SELECT s.id_a AS id_a, s.id_b AS id_b,
@@ -1376,3 +1385,50 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pick_rank")
         <= F.expr(f"(cell_n + {_CBS_PCT_DEN - 1}) div {_CBS_PCT_DEN}")
     ).select("vec_id", "cell", "cell_n", "pick_rank")
+
+
+def _incremental_minhash_sql() -> str:
+    # corpus side ({x}) = doc_id % 5 <> 0 (at rest); batch side ({y})
+    # = doc_id % 5 = 0 — the same split the Spark entry stages
+    return f"""
+    WITH {_minhash_ctes(
+        pair_pred="{x}.doc_id % 5 <> 0 AND {y}.doc_id % 5 = 0"
+    )}
+    SELECT id_a AS id_corpus, id_b AS id_batch, jaccard FROM pairs
+    """
+
+
+@query("incremental_near_dup_ingest", _incremental_minhash_sql(), extra=True)
+def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingestion gate
+    (``operators/incremental.py::near_dup_batch_against_corpus``):
+    every 5th document plays the arriving batch, the rest the
+    corpus-at-rest; emitted rows are batch documents that are
+    MinHash-LSH candidates against an at-rest document, verified at
+    exact Jaccard ≥ 0.5 — the documents a continuous-crawl pipeline
+    would REJECT before appending.
+
+    Scale (the reason this entry exists): per-delivery cost is
+    O(batch) hashing + one equi-join of the batch's band keys against
+    the STORED (id, band, bucket) index (``banded_signatures``), then
+    Jaccard verification that shingles only colliding docs on either
+    side — the corpus is never re-hashed, and corpus text is re-read
+    only for candidate docs. Re-running whole-corpus LSH per delivery
+    is O(corpus) work for an O(batch) change; this is the batch
+    counterpart of the streaming dedup entries.
+
+    Oracle: the full cross-set pipeline (signatures, banding,
+    corpus×batch candidate join, exact-Jaccard verify) replayed in
+    DuckDB via the shared minhash CTEs with a split pair predicate."""
+    from ..operators.incremental import near_dup_batch_against_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return near_dup_batch_against_corpus(
+        batch, corpus, k=3, num_hashes=12, bands=4, verify_threshold=0.5
+    ).select(
+        F.col("id_a").alias("id_corpus"),
+        F.col("id_b").alias("id_batch"),
+        "jaccard",
+    )
