@@ -823,3 +823,80 @@ def k_anonymity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(
         t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=10
     )
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+    model AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total,
+                   CAST(count(*) AS DOUBLE) AS vocab FROM model),
+    sc AS (
+      SELECT tok.doc_id,
+             avg(ln((model.c + 0.5) / (total + 0.5 * (vocab + 1)))) AS a
+      FROM tok JOIN model USING (token), tot
+      GROUP BY tok.doc_id),
+    scored AS (SELECT doc_id, ROUND(exp(-a), 4) AS perplexity FROM sc),
+    j AS (
+      SELECT s.doc_id, d.lang, s.perplexity
+      FROM scored s JOIN documents d USING (doc_id)
+      WHERE s.perplexity IS NOT NULL),
+    r AS (
+      SELECT doc_id, lang, perplexity,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY perplexity, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM j)
+    SELECT doc_id, lang, perplexity,
+           CASE CAST(floor((rn - 1) * 3.0 / n) AS INT) + 1
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+             END AS bucket
+    FROM r
+    """,
+    extra=True,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality tiers (Wenzek et al. 2020,
+    arXiv:1911.00359): per language, rank documents by corpus-LM
+    perplexity (most fluent first, doc_id tiebreak) and cut into
+    terciles — the bucket knob CCNet exposes so a pretraining mix can
+    keep head+middle and drop tail.
+
+    Scale — NO per-language ntile window over raw documents (a
+    per-lang window sorts an unbounded partition in one task; exactly
+    the shape ``orders_global_seq`` exists to avoid). Instead:
+    ``global_sequence`` over (lang, perplexity, doc_id) — one range
+    exchange, per-partition local sorts, driver holds #partitions
+    longs — then per-lang (min_seq, n) via one tiny agg broadcast
+    back; tercile = floor((rank−1)·3/n)+1 in exact arithmetic
+    ((rank−1)·3 < 2⁵³ ⇒ the double division cannot cross an integer
+    boundary for any real n). The oracle uses the same closed form
+    over row_number, which IS ntile's split (first n mod 3 groups one
+    larger)."""
+    from ..operators.sequence import global_sequence
+
+    docs = t(spark, sf_dir, "documents")
+    scored = score_documents(docs, train_unigram(docs))
+    sc = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("perplexity").isNotNull())
+        .select("doc_id", "lang", "perplexity")
+    )
+    seq = global_sequence(sc, ["lang", "perplexity", "doc_id"], out_col="_seq")
+    grp = seq.groupBy("lang").agg(
+        F.min("_seq").alias("_min"), F.count("*").alias("_n")
+    )
+    ranked = seq.join(F.broadcast(grp), "lang")
+    rank = F.col("_seq") - F.col("_min") + 1
+    nt = F.floor((rank - 1) * 3 / F.col("_n")) + 1
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "perplexity",
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
