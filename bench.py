@@ -116,6 +116,12 @@ EXTENSION = [
     "customer_revenue_gini",
     "winnow_near_pairs",
     "user_count_cms",
+    # r6 additions (new operators this round)
+    "streaming_purchase_error_left",
+    "customer_priority_scd2",
+    "orders_snapshot_diff",
+    "incremental_near_dup_ingest",
+    "ccnet_perplexity_buckets",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the
