@@ -32,6 +32,7 @@ __all__ = [
     "brute_force_knn_arrow",
     "hard_negative_knn",
     "cosine_near_pairs",
+    "adaptive_lsh_bits",
     "hyperplane_lsh_pairs",
     "hyperplane_lsh_knn",
     "ivf_knn",
@@ -280,6 +281,39 @@ def _signature_array(
         for t in range(tables)
     )
     return F.expr(f"array({sigs})")
+
+
+def adaptive_lsh_bits(
+    n_vectors: int,
+    target_bucket: int = 125,
+    floor_bits: int = 4,
+    cap_bits: int = 16,
+) -> int:
+    """Hyperplane-LSH bits sized so the EXPECTED bucket width
+    ``n / 2^bits`` stays ~``target_bucket`` as the corpus grows — the
+    knob that keeps the candidate join linear in n (fixed bits make
+    bucket width, and therefore within-bucket pair expansion, grow
+    linearly/quadratically with the corpus: measured 3.6 s -> 151 s
+    for semantic_dedup between 2k and 20k vectors at bits=4, SCALING.md
+    r6).
+
+    Recall trade-off is the standard LSH S-curve: per-table collision
+    P = (1 - acos(cos)/pi)^bits. Going 4 -> 8 bits at the SemDeDup
+    production threshold (cos >= 0.95, theta ~ 18 deg) keeps per-table
+    P ~ 0.43 and 6-table recall >= 96%; at loose thresholds
+    (cos ~ 0.35) recall drops instead of work exploding — the right
+    side of the trade for a candidate GATE, and the documented reason
+    low-threshold exact pair sets (which are themselves quadratic on a
+    saturated corpus) need the brute-force path, not LSH.
+    """
+    import math
+
+    if n_vectors <= target_bucket:
+        return floor_bits
+    return max(
+        floor_bits,
+        min(cap_bits, math.ceil(math.log2(n_vectors / target_bucket))),
+    )
 
 
 def hyperplane_lsh_pairs(

@@ -814,10 +814,19 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pairs — recall documented, determinism exact; at production
     near-dup thresholds (≥ 0.9, small angles) the same parameters give
     ≥ 0.99 recall with a 2^4-fold per-table candidate cut.
+
+    Bits TRACK the corpus (``adaptive_lsh_bits``): fixed bits let
+    bucket width — and within-bucket pair expansion — grow with n (the
+    r6 sf1 rehearsal measured semantic_dedup 3.6 s → 151 s for 10×
+    vectors at bits=4). At every oracle-checked SF (≤ 2 000 vectors)
+    the formula returns exactly 4, so the static-SQL oracle and all
+    recorded hashes are unchanged; beyond that bits grow as
+    log2(n/125), keeping candidates per vector flat.
     """
     emb = t(spark, sf_dir, "embeddings")
+    bits = S.adaptive_lsh_bits(emb.count(), floor_bits=_PAIRS_BITS)
     cand = S.hyperplane_lsh_pairs(
-        emb, bits=_PAIRS_BITS, tables=_PAIRS_TABLES, dim=64, seed=7
+        emb, bits=bits, tables=_PAIRS_TABLES, dim=64, seed=7
     )
     return S.cosine_near_pairs(emb, threshold=0.35, candidates=cand)
 
@@ -935,10 +944,23 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash checked against a recursive-CTE oracle. The paper's
     k-means-cell gating is the operator's default path, recall-tested
     in pytest (iterative quantizer ⇒ no SQL spec).
+
+    Bits TRACK the corpus (``adaptive_lsh_bits``; the r6 sf1 scaling
+    rehearsal caught fixed bits=4 growing 3.6 s → 151 s for 10×
+    vectors — within-bucket pair expansion is quadratic when bucket
+    width grows with n). Every oracle-checked SF has ≤ 2 000 vectors
+    where the formula returns exactly 4 — static oracle and hashes
+    unchanged; at sf1 bits=8 cuts candidates 16× (measured 151 s →
+    see SCALING.md). Recall at the production threshold (cos ≥ 0.95)
+    stays ≥ 96% per the S-curve; at this corpus's demo threshold
+    (0.35) the gate trades recall instead of work — the documented
+    posture for a candidate gate (a low-threshold EXACT pair set is
+    itself quadratic and needs the brute-force path).
     """
     emb = t(spark, sf_dir, "embeddings")
+    bits = S.adaptive_lsh_bits(emb.count(), floor_bits=_PAIRS_BITS)
     cand = S.hyperplane_lsh_pairs(
-        emb, bits=_PAIRS_BITS, tables=_PAIRS_TABLES, dim=64, seed=7
+        emb, bits=bits, tables=_PAIRS_TABLES, dim=64, seed=7
     )
     return S.semantic_dedup(emb, threshold=0.35, candidates=cand)
 

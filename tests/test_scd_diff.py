@@ -74,3 +74,19 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
     assert statuses[1] == "unchanged"
     assert statuses[2] == "unchanged"  # null == null, null-safely
     assert len(statuses) == 5
+
+
+def test_adaptive_lsh_bits_formula():
+    """Pins the bits schedule: oracle-checked SFs (<= 2000 vectors)
+    must return exactly the historical 4 bits (static SQL oracles and
+    recorded hashes depend on it); larger corpora grow as
+    log2(n/125) and cap at 16."""
+    from nyc_taxi_etl_spark.operators.similarity import adaptive_lsh_bits
+
+    assert adaptive_lsh_bits(0) == 4
+    assert adaptive_lsh_bits(125) == 4
+    assert adaptive_lsh_bits(500) == 4     # sf0.001 / sf0.01
+    assert adaptive_lsh_bits(2000) == 4    # sf0.1
+    assert adaptive_lsh_bits(2001) == 5    # first step past the gate
+    assert adaptive_lsh_bits(20000) == 8   # sf1
+    assert adaptive_lsh_bits(10**9) == 16  # capped

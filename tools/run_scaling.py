@@ -140,9 +140,19 @@ def main() -> None:
             f"scaling-{label}", shuffle_partitions=args.shuffle
         )
         try:
-            results[label] = run_sf(spark, label, path, entries, args.passes)
+            leg = run_sf(spark, label, path, entries, args.passes)
         finally:
             spark.stop()
+        if args.entries and label in results:
+            # re-measure of named entries after a fix: merge per-entry
+            # stats into the existing leg instead of replacing it
+            old = results[label]
+            for sect in ("min_s", "median_s", "rows"):
+                old[sect].update(leg[sect])
+            old.setdefault("remeasured", []).extend(entries)
+            old["calibration_per_pass_s"] += leg["calibration_per_pass_s"]
+        else:
+            results[label] = leg
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as fh:
             json.dump(results, fh, indent=1)
