@@ -263,12 +263,16 @@ def build_report(
     segmentation, region revenue, daily two-series comparison, ETL
     audit — from the engine's catalog queries into ONE self-contained
     HTML file. Returns ``out_path``."""
-    from .plans import QUERIES
+    # merged registry: the driver-window rotation (plans/__init__.py)
+    # moves entries between the two dicts round-over-round, and the
+    # report cares about the query, not its snapshot slot
+    from .plans import QUERIES, QUERIES_EXTRA
 
+    all_queries = {**QUERIES, **QUERIES_EXTRA}
     sections: list[str] = []
 
     def run(name: str) -> tuple[list[str], list[tuple]]:
-        return _collect(QUERIES[name](spark, sf_dir))
+        return _collect(all_queries[name](spark, sf_dir))
 
     # ETL audit → stat tiles (a single headline number is not a chart)
     cols, rows = run("etl_filter_audit")

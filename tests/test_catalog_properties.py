@@ -32,7 +32,9 @@ _STREAMING = {n for n in QUERIES if n.startswith("streaming_")}
 _GLOBAL_AGG = {"etl_filter_audit", "gopher_rule_funnel",
                "lineitem_correlations",
                # 1-row global moment aggregates (r5): null/0 on empty
-               "customer_revenue_gini", "purchase_click_value_ttest"}
+               "customer_revenue_gini", "purchase_click_value_ttest",
+               # 1-row global AUC/KS evaluation (r6): null/0 on empty
+               "classifier_lang_auc"}
 # fixed-shape reports: one row per declared check/stage, zero-counted
 # (an empty table vacuously passes every check / converts nobody)
 _EMPTY_REPORTS = {"lineitem_quality_report": 8, "event_funnel": 3}
@@ -120,5 +122,8 @@ def test_catalog_plan_hygiene(spark, name):
         "hard_negative_mining",  # bounded query-side broadcast, non-equi label filter
         "semantic_decontamination",  # bounded eval-suite broadcast (decontam contract)
         "daily_value_ewma",  # 1-row first-day (x1, u1) scalar broadcast
+        "classifier_lang_auc",  # 1-row pos/neg totals broadcast (evalmetrics)
+        "source_shingle_overlap_kmv",  # bounded per-source sketch grid,
+        # non-equi source_a < source_b pairing (k-sized arrays)
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name
