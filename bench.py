@@ -122,6 +122,8 @@ EXTENSION = [
     "orders_snapshot_diff",
     "incremental_near_dup_ingest",
     "ccnet_perplexity_buckets",
+    "local_supplier_revenue",
+    "shipping_priority_top10",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

@@ -1243,3 +1243,138 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_p",
         "new_p",
     ).withColumnsRenamed({"old_p": "old_price", "new_p": "new_price"})
+
+
+@query(
+    "local_supplier_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996
+    GROUP BY 1
+    """,
+    extra=True,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5's shape — the 6-table join chain (lineitem ⋈ orders ⋈
+    customer ⋈ supplier ⋈ nation ⋈ region) with the classic
+    "local supplier" twist: the supplier join carries BOTH the
+    equi-key and the same-nation predicate, so revenue counts only
+    lines a customer bought from a supplier in their own nation. The
+    widest join tree in the catalog — the entry that exercises
+    Catalyst's join reordering + AQE runtime strategy choice end to
+    end.
+
+    Scale: nation/region are fixed-cardinality → explicit broadcast;
+    customer/supplier scale with SF → NO hint, AQE picks broadcast vs
+    shuffle from measured sizes (region_order_revenue's documented
+    posture). Revenue sums as exact integer cents (the
+    orders_upsert_status_totals convention — a double Σ over 10⁵⁺
+    rows is order-dependent past the 4th decimal)."""
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    su = t(spark, sf_dir, "supplier")
+    na = t(spark, sf_dir, "nation")
+    re = t(spark, sf_dir, "region")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(
+            su,
+            (li.l_suppkey == su.s_suppkey)
+            & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .filter((F.col("r_name") == "ASIA") & (F.year("o_orderdate") == 1996))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100,
+                        0,
+                    ).cast("long")
+                ).cast("double")
+                / 100
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "shipping_priority_top10",
+    """
+    SELECT CAST(l.l_orderkey AS BIGINT) AS orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+    extra=True,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3's shape: the 10 highest-revenue orders from BUILDING
+    customers placed before a cutoff with lines still unshipped after
+    it — the "what should we expedite" dashboard.
+
+    Scale: two equi-joins with filters pushed below them (segment
+    filter prunes customer before the join; both date predicates reach
+    the scans — plan-asserted pushdown family), one hash-agg on the
+    order grain, TakeOrdered(10) instead of a global sort. Revenue in
+    exact integer cents makes the DESC order deterministic (ties
+    broken by orderkey), so the top-10 cut is stable cross-engine."""
+    cu = t(spark, sf_dir, "customer")
+    od = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cutoff = "1996-03-15"
+    return (
+        cu.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(od, cu.c_custkey == od.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .groupBy(
+            F.col("l_orderkey").cast("long").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100,
+                        0,
+                    ).cast("long")
+                ).cast("double")
+                / 100
+            ).alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate", "priority")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
