@@ -124,6 +124,7 @@ EXTENSION = [
     "ccnet_perplexity_buckets",
     "local_supplier_revenue",
     "shipping_priority_top10",
+    "event_value_ddsketch",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

@@ -366,3 +366,86 @@ def source_shingle_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_common"
         ),
     )
+
+
+def _ddsketch_sql(alpha: float = 0.01) -> str:
+    import math
+
+    g = (1 + alpha) / (1 - alpha)
+    lng = math.log(g)
+    # Both engines divide ln(value) by the SAME Python-computed double
+    # literal (repr round-trips exactly), so the only cross-engine
+    # freedom is the 1-ulp class in ln/pow — absorbed by ROUND(,4),
+    # the LM-score convention.
+    def pick(q: float) -> str:
+        return (
+            f"min(CASE WHEN cum >= floor({q!r} * (n - 1)) + 1 "
+            f"THEN bucket END)"
+        )
+
+    return f"""
+    WITH pos AS (
+      SELECT event_type,
+             CAST(ceil(ln(value) / {lng!r}) AS BIGINT) AS bucket
+      FROM events WHERE value > 0),
+    sk AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
+           FROM pos GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM sk),
+    agg AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_values,
+             {pick(0.5)} AS b50,
+             {pick(0.9)} AS b90,
+             {pick(0.99)} AS b99
+      FROM cum GROUP BY 1),
+    np AS (SELECT event_type,
+                  CAST(count(*) FILTER (WHERE value <= 0) AS BIGINT)
+                    AS n_nonpositive
+           FROM events GROUP BY 1)
+    SELECT a.event_type, a.n_values, np.n_nonpositive,
+           ROUND(2.0 * power({g!r}, b50) / {g + 1!r}, 4) AS p50,
+           ROUND(2.0 * power({g!r}, b90) / {g + 1!r}, 4) AS p90,
+           ROUND(2.0 * power({g!r}, b99) / {g + 1!r}, 4) AS p99
+    FROM agg a JOIN np USING (event_type)
+    """
+
+
+@query("event_value_ddsketch", _ddsketch_sql(), extra=True)
+def event_value_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch relative-error quantiles (Masson/Lee/Law, VLDB 2019;
+    ``operators/ddsketch.py``) of the event value stream per type —
+    the fourth classical sketch beside HLL/CMS/KMV: a STORABLE,
+    mergeable quantile pre-aggregate. p50/p90/p99 read out of the
+    (type, bucket) count table are each within 1% relative error of
+    the true quantile, with merge = per-bucket count addition (daily
+    sketches roll to monthly exactly like the HLL rollup; pinned in
+    tests/test_ddsketch.py).
+
+    Unlike ``event_value_quantiles`` (exact percentile — needs the
+    per-group sorted values, swap-to-approx documented at 100 TB) this
+    IS the 100 TB plan: one map-combinable hash-agg over the raw rows,
+    then a cumulative window over the BOUNDED bucket table (~hundreds
+    of rows per group at alpha=0.01 for any realistic value range).
+    Every step is closed-form arithmetic, so the DuckDB oracle
+    replays the sketch and its read-out bit-for-bit — a full hash
+    gate, which order-dependent sketches (GK/t-digest) cannot offer.
+    ``n_nonpositive`` makes the dropped-domain contract explicit
+    (logarithmic buckets hold positives only)."""
+    from ..operators.ddsketch import ddsketch_buckets, ddsketch_quantiles
+
+    ev = t(spark, sf_dir, "events")
+    sk = ddsketch_buckets(ev, "value", ["event_type"], alpha=0.01)
+    qt = ddsketch_quantiles(
+        sk, [0.5, 0.9, 0.99], ["event_type"], alpha=0.01
+    )
+    npos = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonpositive")
+    )
+    return qt.join(npos, "event_type").select(
+        "event_type", "n_values", "n_nonpositive", "p50", "p90", "p99"
+    )
