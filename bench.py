@@ -125,6 +125,7 @@ EXTENSION = [
     "local_supplier_revenue",
     "shipping_priority_top10",
     "event_value_ddsketch",
+    "orders_priority_point_in_time",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

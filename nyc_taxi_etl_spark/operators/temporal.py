@@ -167,3 +167,52 @@ def interval_join(
         )
         .drop("_bkt")
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    on: str | Sequence[str],
+    fact_ts: str,
+    attrs: Sequence[str],
+    dim_from: str = "effective_from",
+    version_col: str | None = "version",
+    prefix: str = "pit_",
+) -> DataFrame:
+    """Point-in-time join: attach to every fact row the dimension
+    attributes that were VALID at the fact's timestamp, from an SCD2
+    history (``operators/scd.py``) — the consumer side of slowly
+    changing dimensions ("what tier was this customer on when the
+    order shipped"). Joining the CURRENT dimension instead is the
+    classic silent-leakage bug in both BI and training-data pipelines
+    (features computed with future attribute values).
+
+    Semantics: the version with the greatest ``dim_from <= fact_ts``
+    wins (ties on ``dim_from`` — several versions starting the same
+    instant — resolved to the highest ``version_col``, i.e. the
+    last-written one); facts before the key's first version keep
+    nulls. Because SCD2 intervals are contiguous, checking
+    ``effective_to`` is redundant — backward as-of on the interval
+    START is the whole join.
+
+    Scale: delegates to ``asof_join`` — one union + one key-partition
+    window, no interval range-join expansion (the naive
+    from<=ts<to join expands every fact by its key's version count
+    before filtering).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    renamed = dim_history.select(
+        *keys,
+        F.col(dim_from).alias(fact_ts),
+        *[F.col(c) for c in attrs],
+        *( [F.col(version_col)] if version_col and version_col not in attrs else [] ),
+    )
+    return asof_join(
+        facts,
+        renamed,
+        on=keys,
+        ts_col=fact_ts,
+        right_cols=list(attrs) + ([version_col] if version_col else []),
+        prefix=prefix,
+        tiebreak_col=version_col,
+    )

@@ -242,3 +242,88 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return agg
+
+
+@query(
+    "orders_priority_point_in_time",
+    """
+    WITH log AS (
+      SELECT CAST(o_custkey AS BIGINT) AS custkey,
+             o_orderpriority AS priority,
+             o_orderdate AS d, o_orderkey AS k
+      FROM orders),
+    flagged AS (
+      SELECT custkey, priority, d, k,
+             CASE WHEN (lag(d) OVER w IS NULL)
+                    OR (lag(priority) OVER w IS DISTINCT FROM priority)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM log WINDOW w AS (PARTITION BY custkey ORDER BY d, k)),
+    hist AS (
+      SELECT custkey, priority,
+             CAST(row_number() OVER w2 AS INT) AS version,
+             d AS effective_from
+      FROM (SELECT * FROM flagged WHERE new_run = 1)
+      WINDOW w2 AS (PARTITION BY custkey ORDER BY d, k)),
+    pit AS (
+      SELECT o.o_orderpriority AS actual,
+             (SELECT h.priority FROM hist h
+              WHERE h.custkey = o.o_custkey
+                AND h.effective_from <= o.o_orderdate
+              ORDER BY h.effective_from DESC, h.version DESC
+              LIMIT 1) AS reconstructed
+      FROM orders o)
+    SELECT actual AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE reconstructed = actual) AS BIGINT)
+             AS n_reconstructed
+    FROM pit GROUP BY 1
+    """,
+    extra=True,
+)
+def orders_priority_point_in_time(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time join (``operators/temporal.py::point_in_time_join``)
+    — the consumer side of SCD2: rebuild each order's priority from
+    the ``customer_priority_scd2`` history AS OF the order date and
+    count, per priority, how many orders the date-grain history
+    reconstructs exactly. Joining the CURRENT dimension instead of the
+    point-in-time version is the classic silent-leakage bug in BI and
+    feature pipelines; this entry makes the fidelity measurable — the
+    gap between n_orders and n_reconstructed is exactly the orders
+    involved in same-day priority flips, which a DATE-grained history
+    cannot resolve (the tiebreak awards the whole day to the
+    last-written version).
+
+    Scale: history build is the single-exchange SCD2 plan; the PIT
+    join is ``asof_join``'s union + key-window (no interval-expansion
+    range join). The oracle replays history + a correlated
+    latest-version lookup (DuckDB decorrelates it to the same
+    window)."""
+    from ..operators.scd import scd2_history
+    from ..operators.temporal import point_in_time_join
+
+    od = t(spark, sf_dir, "orders")
+    log = od.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+    )
+    hist = scd2_history(log, ["custkey"], ["priority"], "d", tiebreak=["k"])
+    facts = od.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderpriority").alias("actual"),
+        F.col("o_orderdate").alias("d"),
+    )
+    pit = point_in_time_join(
+        facts, hist, on="custkey", fact_ts="d", attrs=["priority"]
+    )
+    return pit.groupBy(F.col("actual").alias("priority")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(
+            F.when(F.col("pit_priority") == F.col("actual"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_reconstructed"),
+    )

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from nyc_taxi_etl_spark.operators.diff import snapshot_diff
 from nyc_taxi_etl_spark.operators.scd import scd2_history
 
@@ -90,3 +92,49 @@ def test_adaptive_lsh_bits_formula():
     assert adaptive_lsh_bits(2001) == 5    # first step past the gate
     assert adaptive_lsh_bits(20000) == 8   # sf1
     assert adaptive_lsh_bits(10**9) == 16  # capped
+
+
+def test_point_in_time_join_semantics(spark):
+    """Facts before the first version keep nulls; facts inside an
+    interval get that interval's attrs; same-instant versions resolve
+    to the highest version (last-written wins for the whole instant)."""
+    from nyc_taxi_etl_spark.operators.temporal import point_in_time_join
+
+    hist = spark.createDataFrame(
+        [
+            (1, "A", 1, D(2024, 1, 10)),
+            (1, "B", 2, D(2024, 1, 20)),
+            # key 2: two versions starting the same day
+            (2, "X", 1, D(2024, 2, 1)),
+            (2, "Y", 2, D(2024, 2, 1)),
+        ],
+        "key int, attr string, version int, effective_from date",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, D(2024, 1, 5)),   # before first version -> null
+            (2, D(2024, 1, 10)),  # exactly at v1 start -> A
+            (3, D(2024, 1, 15)),  # inside v1 -> A
+            (4, D(2024, 1, 20)),  # at v2 start -> B
+            (5, D(2024, 3, 1)),   # open interval -> B
+        ],
+        "fact_id int, ts date",
+    ).withColumn("key", F.lit(1))
+    got = {
+        r["fact_id"]: r["pit_attr"]
+        for r in point_in_time_join(
+            facts, hist, on="key", fact_ts="ts", attrs=["attr"]
+        ).collect()
+    }
+    assert got == {1: None, 2: "A", 3: "A", 4: "B", 5: "B"}
+
+    f2 = spark.createDataFrame(
+        [(6, D(2024, 2, 1)), (7, D(2024, 2, 5))], "fact_id int, ts date"
+    ).withColumn("key", F.lit(2))
+    got2 = {
+        r["fact_id"]: r["pit_attr"]
+        for r in point_in_time_join(
+            f2, hist, on="key", fact_ts="ts", attrs=["attr"]
+        ).collect()
+    }
+    assert got2 == {6: "Y", 7: "Y"}  # same-instant tie -> max version
