@@ -405,7 +405,9 @@ def daily_pct_of_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT s.s_nationkey AS nation_key, l.l_suppkey AS supp_key,
-             ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS revenue
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2
     )
@@ -428,6 +430,12 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows out. Deterministic tiebreak on supp_key.  supplier scales with
     SF (10K rows/SF), so no forced broadcast — AQE size-picks the join
     strategy (broadcast at small SF, shuffle join at cluster scale).
+
+    Revenue sums as exact integer cents (the
+    orders_upsert_status_totals convention): the sf1 oracle rehearsal
+    caught the plain double Σ flipping a ROUND(,2) cent at ~600 lines
+    per supplier — and an inexact revenue also makes the DESC rank
+    order itself load-dependent, which integer cents forecloses.
     """
     li = t(spark, sf_dir, "lineitem")
     su = t(spark, sf_dir, "supplier")
@@ -438,8 +446,16 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").cast("long").alias("supp_key"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100,
+                        0,
+                    ).cast("long")
+                ).cast("double")
+                / 100
             ).alias("revenue")
         )
     )

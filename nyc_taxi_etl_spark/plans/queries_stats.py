@@ -362,7 +362,8 @@ def orders_global_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AS BIGINT) AS seq
            FROM rev)
     SELECT CAST(max(seq) AS BIGINT) AS n_customers,
-           ROUND(sum(rev), 4) AS total_revenue,
+           CAST(sum(CAST(round(rev * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_revenue,
            ROUND(2.0 * sum(seq * rev) / (max(seq) * sum(rev))
                  - (max(seq) + 1.0) / max(seq), 4) AS gini
     FROM rk
@@ -378,8 +379,11 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the ranks come from ``global_sequence`` (distributed range
     sort + offset add), so the only global sort in the pipeline is a
     PARALLEL one; the moments are a single hash agg. Σ(i·xᵢ) is an
-    order-dependent double sum — r4-rounded for the cross-engine
-    hash, like every float aggregate in the catalog."""
+    order-dependent double sum — but it only ever appears inside the
+    gini RATIO (relative error ~1e-12, safely inside r4), while
+    total_revenue is PUBLISHED and sums as exact integer cents: the
+    sf1 oracle rehearsal caught the plain double Σ (~3.8e11) drifting
+    past the 4th decimal between engines."""
     from ..operators.sequence import global_sequence
 
     rev = (
@@ -390,7 +394,12 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_sequence(rev, ["rev", "o_custkey"], out_col="seq")
     return ranked.agg(
         F.max("seq").cast("long").alias("n_customers"),
-        r4(F.sum("rev")).alias("total_revenue"),
+        (
+            F.sum(F.round(F.col("rev") * 100, 0).cast("long")).cast(
+                "double"
+            )
+            / 100
+        ).alias("total_revenue"),
         r4(
             F.lit(2.0)
             * F.sum(F.col("seq") * F.col("rev"))

@@ -16,7 +16,16 @@ SF_DIR_MED = "/root/testdata/sf0.01"
 # sweep finishes in bounded time. Other suites stay at sf0.001: they
 # pin dataset-specific values (exact counts, tie-free top-k prefixes).
 _ORACLE_SF = os.environ.get("SPARK_GRAFT_SF")
-ORACLE_SF_DIR = f"/root/testdata/{_ORACLE_SF}" if _ORACLE_SF else SF_DIR
+# a bare label (sf0.1) resolves under /root/testdata; a path (e.g.
+# .scaledata/sf1 from tools/gen_scale_data.py) is used as-is, so the
+# oracle gate can run against generated scale factors too
+ORACLE_SF_DIR = (
+    _ORACLE_SF
+    if _ORACLE_SF and "/" in _ORACLE_SF
+    else f"/root/testdata/{_ORACLE_SF}"
+    if _ORACLE_SF
+    else SF_DIR
+)
 TABLES = (
     "region",
     "nation",
@@ -40,8 +49,13 @@ def spark():
 
 def _register(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written dataset (directory of part files): DuckDB
+            # needs the glob form
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'"
         )
 
 
