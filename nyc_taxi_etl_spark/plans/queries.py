@@ -144,7 +144,8 @@ def top_users_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
            CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
            CAST(count(*) AS BIGINT) AS order_count,
-           ROUND(sum(o_totalprice), 2) AS total_revenue
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total_revenue
     FROM orders GROUP BY ROLLUP(1, 2)
     """,
 )
@@ -164,7 +165,13 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("order_year", "order_quarter")
         .agg(
             F.count("*").alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            # exact integer cents: the grand-total row (~1e11 at sf1)
+            # sits within double sum-order noise of its ROUND grain
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("double")
+                / 100
+            ).alias("total_revenue"),
         )
     )
 
@@ -174,7 +181,8 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
            CAST(count(*) AS BIGINT) AS order_count,
-           ROUND(sum(o_totalprice), 2) AS sum_price,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS sum_price,
            ROUND(avg(o_totalprice), 4) AS avg_price,
            ROUND(median(o_totalprice), 4) AS median_price
     FROM orders GROUP BY 1
@@ -187,7 +195,11 @@ def monthly_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = t(spark, sf_dir, "orders")
     return od.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
         F.count("*").alias("order_count"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("double")
+            / 100
+        ).alias("sum_price"),
         r4(F.avg("o_totalprice")).alias("avg_price"),
         r4(F.median("o_totalprice")).alias("median_price"),
     )
@@ -230,7 +242,8 @@ def returnflag_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r.r_name AS region_name,
            CAST(count(*) AS BIGINT) AS order_count,
-           ROUND(sum(o.o_totalprice), 2) AS total_revenue
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total_revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -261,7 +274,11 @@ def region_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count("*").alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("double")
+                / 100
+            ).alias("total_revenue"),
         )
     )
 
@@ -527,7 +544,8 @@ def valid_lines_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o.o_orderpriority AS priority,
            CAST(count(*) AS BIGINT) AS order_count,
-           ROUND(sum(o.o_totalprice), 2) AS total_price
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_nationkey IN (1, 8, 14, 24)
        OR o.o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -551,7 +569,11 @@ def priority_nation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.count("*").alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("double")
+                / 100
+            ).alias("total_price"),
         )
     )
 

@@ -248,7 +248,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT date_trunc('month', o_orderdate) AS mo,
-             ROUND(sum(o_totalprice), 4) AS revenue
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS revenue
       FROM orders GROUP BY 1)
     SELECT strftime(mo, '%Y-%m') AS order_month, revenue,
            ROUND(revenue - lag(revenue) OVER w, 4) AS mom_delta,
@@ -264,15 +265,21 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas the reference's monthly tables display side by side but
     never derive (`scripts/analytics_summary.py:58-60`).
 
-    Portability: growth ratios divide the SAME r4-rounded monthly
-    aggregates both engines computed, so the quotients are
-    bit-identical and stay UNROUNDED; only the subtraction-of-rounded
-    delta is r4 (exact anyway). Scale: post-agg month table, bounded
+    Portability: monthly revenue sums as exact integer cents (the sf1
+    oracle sweep showed ~1e9-magnitude double sums drifting into their
+    rounding grain), so the growth ratios divide bit-identical inputs
+    and stay UNROUNDED; the delta subtraction is exact. Scale: post-agg month table, bounded
     rows — the single-partition window is the established posture."""
     orders = t(spark, sf_dir, "orders")
     m = orders.groupBy(
         F.date_trunc("month", "o_orderdate").alias("mo")
-    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    ).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("double")
+            / 100
+        ).alias("revenue")
+    )
     w = Window.orderBy("mo")
     return m.select(
         F.date_format("mo", "yyyy-MM").alias("order_month"),

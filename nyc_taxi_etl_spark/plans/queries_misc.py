@@ -142,7 +142,8 @@ def etl_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
            CAST(count(*) AS BIGINT) AS n_orders,
-           ROUND(sum(o_totalprice), 4) AS revenue
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS revenue
     FROM orders
     WHERE year(o_orderdate) BETWEEN 1994 AND 1996
     GROUP BY CUBE (o_orderstatus, year(o_orderdate))
@@ -167,7 +168,14 @@ def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube(F.col("o_orderstatus"), F.year("o_orderdate").alias("order_year"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            # exact integer cents: the sf1 oracle sweep caught the
+            # plain double SUM (~1e11 at the ALL grain) drifting past
+            # the 4-decimal rounding between engines
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("double")
+                / 100
+            ).alias("revenue"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
@@ -546,7 +554,8 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
            CAST(count(*) AS BIGINT) AS n_orders,
-           ROUND(sum(o_totalprice), 4) AS revenue,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS revenue,
            ROUND(min(o_totalprice), 4) AS min_price,
            ROUND(max(o_totalprice), 4) AS max_price
     FROM orders GROUP BY 1
@@ -570,8 +579,14 @@ def orders_matview_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     from ..sources.matview import MaterializedAgg
     from ..sources.versioned import VersionedTable
 
-    od = t(spark, sf_dir, "orders").withColumn(
-        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    od = (
+        t(spark, sf_dir, "orders")
+        .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        # exact integer cents BEFORE the matview: partial sums then
+        # merge as longs, so refresh order can never perturb the total
+        .withColumn(
+            "o_cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        )
     )
     root = tempfile.mkdtemp(prefix="mv_src_")
     src = VersionedTable(spark, root)
@@ -581,7 +596,7 @@ def orders_matview_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         ["order_month"],
         {
             "n_orders": ("count", None),
-            "revenue": ("sum", "o_totalprice"),
+            "revenue_cents": ("sum", "o_cents"),
             "min_price": ("min", "o_totalprice"),
             "max_price": ("max", "o_totalprice"),
         },
@@ -597,7 +612,7 @@ def orders_matview_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select(
         "order_month",
         F.col("n_orders").cast("long").alias("n_orders"),
-        F.round("revenue", 4).alias("revenue"),
+        (F.col("revenue_cents").cast("double") / 100).alias("revenue"),
         F.round("min_price", 4).alias("min_price"),
         F.round("max_price", 4).alias("max_price"),
     )
@@ -857,7 +872,8 @@ def part_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              max(o_orderdate) AS last_order,
              CAST(count(*) AS BIGINT) AS frequency,
-             ROUND(sum(o_totalprice), 4) AS monetary
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS monetary
       FROM orders GROUP BY 1),
     scored AS (
       SELECT o_custkey, last_order, frequency, monetary,
@@ -868,7 +884,8 @@ def part_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(r AS BIGINT) AS r_quartile, CAST(f AS BIGINT) AS f_quartile,
            CAST(m AS BIGINT) AS m_quartile,
            CAST(count(*) AS BIGINT) AS n_customers,
-           ROUND(sum(monetary), 4) AS segment_revenue
+           CAST(sum(CAST(round(monetary * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS segment_revenue
     FROM scored GROUP BY 1, 2, 3
     """,
     extra=True,
@@ -892,7 +909,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+        # exact integer cents: monetary feeds BOTH the published
+        # segment totals and the ntile ORDERING — sum-order ulp noise
+        # in a raw double sum could flip quartile membership
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("double")
+            / 100
+        ).alias("monetary"),
     )
     wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
     wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
@@ -909,7 +933,11 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("m_quartile"),
     ).agg(
         F.count("*").alias("n_customers"),
-        F.round(F.sum("monetary"), 4).alias("segment_revenue"),
+        (
+            F.sum(F.round(F.col("monetary") * 100, 0).cast("long"))
+            .cast("double")
+            / 100
+        ).alias("segment_revenue"),
     )
 
 
