@@ -246,4 +246,8 @@ def test_presample_leaves_no_cached_frames(spark):
     df = spark.createDataFrame(pdf)
     for seed in (1, 2, 3):
         presample_per_group(df, "g", 50, seed=seed).count()
-    assert len(sc._jsc.sc().getRDDStorageInfo()) == before
+    # leak-directional: a presample leak ADDS one entry per call; in a
+    # full-suite session the ContextCleaner may concurrently GC OTHER
+    # tests' checkpoint RDDs, so exact equality of the global count is
+    # order-sensitive (observed 19 -> 16 with zero presample entries)
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= before
