@@ -137,7 +137,23 @@ def main() -> None:
     for spec in args.dirs:
         label, path = spec.split("=", 1)
         spark = get_spark(
-            f"scaling-{label}", shuffle_partitions=args.shuffle
+            f"scaling-{label}",
+            shuffle_partitions=args.shuffle,
+            # the streaming entries drain through the in-memory sink (a
+            # TEST harness for oracle comparison — production streams
+            # write to real sinks); at sf10 the collected drain exceeds
+            # the 1g default maxResultSize, which says nothing about
+            # the operators' own plans
+            extra_conf={
+                "spark.driver.maxResultSize": "8g",
+                # big-SF legs spill tens of GB of shuffle temp; keep it
+                # out of /tmp (where a cleaner nuked a live blockmgr
+                # dir mid-run on the first sf10 attempt) and on the
+                # large volume
+                "spark.local.dir": os.path.join(
+                    os.path.dirname(args.out), "sparktmp"
+                ),
+            },
         )
         try:
             leg = run_sf(spark, label, path, entries, args.passes)
