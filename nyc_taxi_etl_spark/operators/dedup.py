@@ -323,12 +323,19 @@ def ngram_jaccard_pairs(
     base = _ensure_parallelism(df)
     if candidates is not None:
         # the candidate frame feeds THREE plan sites (two semi-join
-        # prunes via cand_ids + the pair join below); without a persist
-        # Spark would re-execute the upstream LSH banding subtree per
-        # site. The frame is sub-quadratic by construction (that is the
-        # point of LSH) so caching it is bounded; MEMORY_AND_DISK
-        # spills rather than OOMs on huge candidate sets.
-        candidates = candidates.select("id_a", "id_b").persist()
+        # prunes via cand_ids + the pair join below); without
+        # materialization Spark would re-execute the upstream LSH
+        # banding subtree per site. The frame is sub-quadratic by
+        # construction (that is the point of LSH) so materializing it
+        # is bounded. Eager localCheckpoint, not persist: the returned
+        # frame is lazy, so a persist here could never be unpersisted
+        # and would accumulate cached blocks across repeated calls
+        # (incremental ingestion drives this path per batch); the
+        # checkpoint's blocks are released by the ContextCleaner once
+        # the frame is unreferenced.
+        candidates = candidates.select("id_a", "id_b").localCheckpoint(
+            eager=True
+        )
         cand_ids = (
             candidates.select(F.col("id_a").alias(id_col))
             .union(candidates.select(F.col("id_b").alias(id_col)))

@@ -52,12 +52,16 @@ def snapshot_diff(
         *[F.col(c).alias(f"new_{c}") for c in compare],
     )
     j = b.join(r, on=list(keys), how="full_outer")
+    # F.lit(False) initializer: an empty compare list means no column
+    # can differ, so every both-sides key is 'unchanged' (instead of
+    # reduce() raising TypeError on an empty sequence)
     any_diff = reduce(
         lambda a, c: a | c,
         [
             ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
             for c in compare
         ],
+        F.lit(False),
     )
     status = (
         F.when(F.col("_in_base").isNull(), F.lit("added"))

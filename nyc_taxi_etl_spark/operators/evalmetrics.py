@@ -51,7 +51,16 @@ def binary_rank_metrics(
     4-decimal probs), never over raw rows — same bounded-domain
     posture as the daily-rolling entries. AUC uses the tie-aware
     Mann-Whitney formulation (ties contribute ½); degenerate inputs
-    (a single class) yield null auc/ks rather than a misleading 0."""
+    (a single class) yield null auc/ks rather than a misleading 0.
+
+    Null scores and null labels are dropped up front (an unscored or
+    unlabeled row carries no ranking information): Spark's window
+    default is nulls-FIRST while DuckDB's is nulls-LAST, so a null
+    score reaching the cumulative windows would silently diverge the
+    two engines' AUC/KS — the filter pins one semantics for both."""
+    df = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
     lab = F.col(label_col).cast("long")
     g = df.groupBy(score_col).agg(
         F.sum(lab).alias("pos"),

@@ -50,6 +50,13 @@ def rolling_calendar_frame(
     (correct for bounded daily tables); ``True`` (default) the
     year-partitioned + ghost-tail form with identical results.
     """
+    reserved = {"_day_num", "_pyear", "_ghost", "_keep"}
+    clash = reserved.intersection(daily.columns)
+    if clash:
+        raise ValueError(
+            "rolling_calendar_frame reserves internal column names "
+            f"{sorted(clash)}; rename them in the input frame"
+        )
     day_num = F.datediff(F.col(date_col), F.lit("1970-01-01"))
     base = daily.withColumn("_day_num", day_num)
     if not partition_years:

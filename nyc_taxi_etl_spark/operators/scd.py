@@ -66,9 +66,13 @@ def scd2_history(
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w1 = Window.partitionBy(*keys).orderBy(*order)
     prev_ts = F.lag(ts_col).over(w1)
+    # F.lit(False) initializer: empty attrs degenerates to "one run
+    # per key" (only the first observation starts a run) instead of
+    # reduce() raising TypeError on an empty sequence
     attr_changed: Column = reduce(
         lambda a, b: a | b,
         [~F.col(a).eqNullSafe(F.lag(a).over(w1)) for a in attrs],
+        F.lit(False),
     )
     starts = (
         df.withColumn(

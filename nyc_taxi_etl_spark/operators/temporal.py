@@ -212,7 +212,12 @@ def point_in_time_join(
         renamed,
         on=keys,
         ts_col=fact_ts,
-        right_cols=list(attrs) + ([version_col] if version_col else []),
+        right_cols=list(attrs)
+        + (
+            [version_col]
+            if version_col and version_col not in attrs
+            else []
+        ),
         prefix=prefix,
         tiebreak_col=version_col,
     )

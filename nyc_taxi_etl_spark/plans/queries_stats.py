@@ -590,7 +590,8 @@ def _auc_sql() -> str:
     WITH scored AS ({_classifier_sql()}),
     j AS (SELECT s.quality_prob AS score,
                  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
-          FROM scored s JOIN documents d USING (doc_id)),
+          FROM scored s JOIN documents d USING (doc_id)
+          WHERE s.quality_prob IS NOT NULL AND d.lang IS NOT NULL),
     g AS (SELECT score, CAST(sum(y) AS BIGINT) AS pos,
                  CAST(sum(1 - y) AS BIGINT) AS neg
           FROM j GROUP BY 1),

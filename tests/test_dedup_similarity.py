@@ -748,3 +748,31 @@ def test_winnow_max_doc_freq_drops_boilerplate(spark):
     found = {(r.id_a, r.id_b) for r in pairs}
     assert (100, 101) in found
     assert not any(p[0] < 100 and p[1] < 100 for p in found)
+
+
+def test_ngram_jaccard_candidates_leave_no_cached_frames(spark):
+    """ADVICE r6: the candidates frame used to be persist()ed with no
+    unpersist, accumulating CacheManager entries per call (incremental
+    ingestion drives this path once per batch). Now an eager
+    localCheckpoint materializes it instead: the CacheManager must
+    stay exactly as empty as before the calls."""
+    from nyc_taxi_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm is not None
+    before_empty = cm.isEmpty()
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no overlap here"),
+        ],
+        "doc_id int, text string",
+    )
+    cands = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    for _ in range(3):
+        ngram_jaccard_pairs(
+            docs, k=3, min_jaccard=0.1, candidates=cands
+        ).count()
+    # directional: the old persist() leak ADDED an entry per call
+    assert cm.isEmpty() or not before_empty

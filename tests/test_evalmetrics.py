@@ -56,3 +56,20 @@ def test_single_class_yields_null(spark):
     r = _run(spark, [(0.3, 1), (0.7, 1)])
     assert r["auc"] is None and r["ks"] is None
     assert (r["n_pos"], r["n_neg"]) == (2, 0)
+
+
+def test_null_scores_and_labels_are_dropped(spark):
+    # ADVICE r6: a null score would order nulls-first in Spark's
+    # windows but nulls-last in the DuckDB oracle — the operator now
+    # drops null scores/labels so both engines see the same histogram
+    clean = [(0.2, 1), (0.6, 1), (0.6, 1), (0.2, 0), (0.4, 0)]
+    noisy = clean + [(None, 1), (None, 0), (0.9, None)]
+    df = spark.createDataFrame(noisy, "score double, y int")
+    r = binary_rank_metrics(df, "score", "y").collect()[0]
+    ref = _run(spark, clean)
+    assert (r["n_pos"], r["n_neg"], r["n_scores"]) == (
+        ref["n_pos"],
+        ref["n_neg"],
+        ref["n_scores"],
+    )
+    assert r["auc"] == ref["auc"] and r["ks"] == ref["ks"]

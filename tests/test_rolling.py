@@ -103,3 +103,18 @@ def test_rolling_entries_have_no_single_partition_window(spark):
         assert "SinglePartition" not in phys, (name, phys)
         assert "_pyear" in plan, (name, plan)
         assert df.rdd.getNumPartitions() >= 1
+
+
+def test_reserved_internal_names_raise(spark):
+    """ADVICE r6: caller columns named like the operator's internals
+    must be rejected, not silently overwritten."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_spark.operators.rolling import rolling_calendar_frame
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1.0, 7)], "d string, v double, _pyear int"
+    ).withColumn("d", F.to_date("d"))
+    with pytest.raises(ValueError, match="_pyear"):
+        rolling_calendar_frame(df, {"s": F.sum("v")}, date_col="d")

@@ -138,3 +138,51 @@ def test_point_in_time_join_semantics(spark):
         ).collect()
     }
     assert got2 == {6: "Y", 7: "Y"}  # same-instant tie -> max version
+
+
+def test_point_in_time_join_version_col_in_attrs(spark):
+    """ADVICE r6: version_col also listed in attrs used to duplicate
+    the payload column and fail with an ambiguous-column error."""
+    from nyc_taxi_etl_spark.operators.temporal import point_in_time_join
+
+    hist = spark.createDataFrame(
+        [(1, "A", 1, D(2024, 1, 10)), (1, "B", 2, D(2024, 1, 20))],
+        "key int, attr string, version int, effective_from date",
+    )
+    facts = spark.createDataFrame(
+        [(1, 1, D(2024, 1, 15)), (2, 1, D(2024, 1, 25))],
+        "fact_id int, key int, ts date",
+    )
+    out = point_in_time_join(
+        facts, hist, on="key", fact_ts="ts", attrs=["attr", "version"]
+    )
+    assert out.columns.count("pit_version") == 1
+    got = {
+        r["fact_id"]: (r["pit_attr"], r["pit_version"])
+        for r in out.collect()
+    }
+    assert got == {1: ("A", 1), 2: ("B", 2)}
+
+
+def test_snapshot_diff_empty_compare_is_membership_only(spark):
+    """ADVICE r6: empty compare used to raise TypeError from reduce();
+    now it degrades to pure membership diff (no column can differ)."""
+    base = spark.createDataFrame([(1,), (2,)], "k int")
+    revised = spark.createDataFrame([(2,), (3,)], "k int")
+    full = snapshot_diff(base, revised, ["k"], [], drop_unchanged=False)
+    got = {r["k"]: r["status"] for r in full.collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "added"}
+
+
+def test_scd2_empty_attrs_one_run_per_key(spark):
+    """ADVICE r6 sibling: empty attrs used to raise TypeError; now
+    only the first observation of each key starts a run."""
+    rows = [
+        (1, D(2024, 1, 1), 1),
+        (1, D(2024, 1, 5), 2),
+        (2, D(2024, 2, 1), 3),
+    ]
+    df = spark.createDataFrame(rows, "key int, ts date, k int")
+    out = scd2_history(df, ["key"], [], "ts", tiebreak=["k"]).collect()
+    assert {(r["key"], r["version"]) for r in out} == {(1, 1), (2, 1)}
+    assert all(r["is_current"] == 1 for r in out)
