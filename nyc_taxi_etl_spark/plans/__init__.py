@@ -17,6 +17,7 @@ from . import queries_events  # noqa: F401  (registers funnel/cohort/transition 
 from . import queries_sql  # noqa: F401  (registers recursive-CTE / lateral SQL entries)
 from . import queries_seasonal  # noqa: F401  (registers decomposition/MAD/collocations)
 from . import queries_pysource  # noqa: F401  (registers Python Data Source API entries)
+from . import queries_tpch  # noqa: F401  (registers the remaining TPC-H query shapes)
 
 # --------------------------------------------------------------------------
 # Driver-window rotation (round 6, VERDICT r5 task #3).
