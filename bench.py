@@ -126,6 +126,12 @@ EXTENSION = [
     "shipping_priority_top10",
     "event_value_ddsketch",
     "orders_priority_point_in_time",
+    # r7 additions: the structurally heaviest of the new TPC-H shapes
+    # (6-table bidirectional flow, left-outer distribution, and the
+    # three-level order-grain blame aggregation)
+    "nation_trade_flows",
+    "order_count_distribution",
+    "sole_blame_suppliers",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

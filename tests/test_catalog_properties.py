@@ -34,7 +34,10 @@ _GLOBAL_AGG = {"etl_filter_audit", "gopher_rule_funnel",
                # 1-row global moment aggregates (r5): null/0 on empty
                "customer_revenue_gini", "purchase_click_value_ttest",
                # 1-row global AUC/KS evaluation (r6): null/0 on empty
-               "classifier_lang_auc"}
+               "classifier_lang_auc",
+               # 1-row global TPC-H-shape aggregates (r7): null/0 on empty
+               "promo_revenue_share", "small_quantity_avg_loss",
+               "disjunctive_basket_revenue"}
 # fixed-shape reports: one row per declared check/stage, zero-counted
 # (an empty table vacuously passes every check / converts nobody)
 _EMPTY_REPORTS = {"lineitem_quality_report": 8, "event_funnel": 3}
@@ -125,5 +128,8 @@ def test_catalog_plan_hygiene(spark, name):
         "classifier_lang_auc",  # 1-row pos/neg totals broadcast (evalmetrics)
         "source_shingle_overlap_kmv",  # bounded per-source sketch grid,
         # non-equi source_a < source_b pairing (k-sized arrays)
+        "idle_rich_customers",  # 1-row avg-balance threshold broadcast
+        "important_parts_value",  # 1-row grand-total broadcast
+        "top_revenue_supplier",  # 1-row scalar-max broadcast
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name
