@@ -244,19 +244,74 @@ def streaming_purchase_error_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     return out
 
 
-@query("streaming_ewma_anomalies", None, extra=True)
+@query(
+    "streaming_ewma_anomalies",
+    """
+    WITH per_user AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY 1
+    ),
+    folded AS (
+      SELECT user_id, len(vals) AS n_scored,
+             list_reduce(
+               list_prepend(
+                 struct_pack(x := 0.0::DOUBLE, n_anom := 0::BIGINT,
+                             max_dev := 0.0::DOUBLE, var := 0.0::DOUBLE,
+                             mean := 0.0::DOUBLE, n := 0::BIGINT),
+                 list_transform(vals, v -> struct_pack(
+                     x := v, n_anom := 0::BIGINT, max_dev := 0.0::DOUBLE,
+                     var := 0.0::DOUBLE, mean := 0.0::DOUBLE,
+                     n := 0::BIGINT))),
+               (acc, e) -> struct_pack(
+                 x := e.x,
+                 n_anom := acc.n_anom + CASE WHEN acc.n >= 5 AND
+                     (CASE WHEN acc.n > 0 AND acc.var > 0
+                           THEN abs(e.x - acc.mean) / sqrt(acc.var)
+                           ELSE 0.0::DOUBLE END) > 3.0::DOUBLE
+                     THEN 1 ELSE 0 END,
+                 max_dev := greatest(acc.max_dev,
+                     CASE WHEN acc.n > 0 AND acc.var > 0
+                          THEN abs(e.x - acc.mean) / sqrt(acc.var)
+                          ELSE 0.0::DOUBLE END),
+                 var := CASE WHEN acc.n = 0 THEN 0.0::DOUBLE
+                        ELSE (1.0::DOUBLE - 0.2::DOUBLE)
+                             * (acc.var + 0.2::DOUBLE * (e.x - acc.mean)
+                                          * (e.x - acc.mean)) END,
+                 mean := CASE WHEN acc.n = 0 THEN e.x
+                         ELSE acc.mean
+                              + 0.2::DOUBLE * (e.x - acc.mean) END,
+                 n := acc.n + 1)
+             ) AS s
+      FROM per_user
+    )
+    SELECT user_id, n_scored::BIGINT AS n_scored,
+           (s.n_anom)::BIGINT AS n_anomalies,
+           s.max_dev AS max_deviation
+    FROM folded
+    """,
+    extra=True,
+)
 def streaming_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (§2.10/§2.11 north star):
     per-user EWMA anomaly scoring through the arbitrary-state API
     (streaming/stateful.py — transformWithStateInPandas when protobuf
     is present, applyInPandasWithState fallback otherwise), rolled up
-    per user. Rows-only by design: the recurrence is sequential per
-    key (not SQL-expressible); exact stream-vs-batch-replay parity
-    incl. cross-micro-batch state carry is pinned in
+    per user. Exact stream-vs-batch-replay parity incl.
+    cross-micro-batch state carry is pinned in
     tests/test_stateful_streaming.py.
 
+    FULL oracle since r7 (was rows-only "not SQL-expressible"): the
+    sequential per-key recurrence IS expressible as a DuckDB
+    list_reduce fold over the per-user (ts, event_id)-ordered value
+    list, with every float op in the identical IEEE order the Python
+    state machine runs — so counts AND the (unrounded) max deviation
+    are bit-identical cross-engine. Struct fields in the fold are
+    ordered so each assignment reads only pre-update state under both
+    simultaneous and sequential struct-evaluation semantics.
+
     Scale: O(1) state per user (three doubles); one shuffle on
-    user_id; Arrow-batched processing per key group."""
+    user_id; Arrow-batched processing per key group (chunks of one
+    key concatenated before the in-order fold — see stateful.py)."""
     from ..streaming.stateful import ewma_anomaly_stream
 
     out = _drain(
@@ -267,7 +322,7 @@ def streaming_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_scored"),
             F.sum("is_anomaly").cast("long").alias("n_anomalies"),
-            F.round(F.max("deviation_sigma"), 4).alias("max_deviation"),
+            F.max("deviation_sigma").alias("max_deviation"),
         )
     )
 

@@ -60,6 +60,19 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def _ordered_batch(chunks) -> "pd.DataFrame":
+    """Concatenate a key's Arrow chunks and sort ONCE by
+    (ts, event_id): the fold must run in global event order, and a
+    per-chunk sort would interleave chunks of a multi-chunk key out of
+    order (r7 fix, shared by both stateful backends)."""
+    frames = [p for p in chunks if len(p)]
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True).sort_values(
+        ["ts", "event_id"]
+    )
+
+
 def _step(mean: float, var: float, n: int, x: float, alpha: float):
     """One EWMA update (West 1979 exponentially-weighted moments):
     score first, then fold x into (mean, var)."""
@@ -92,9 +105,9 @@ class EwmaAnomalyProcessor(StatefulProcessor):
             self.state.get() if self.state.exists() else (0.0, 0.0, 0)
         )
         out = []
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for r in pdf.itertuples(index=False):
+        batch = _ordered_batch(rows)
+        if len(batch):
+            for r in batch.itertuples(index=False):
                 x = float(r.value)
                 pre_mean = x if n == 0 else mean  # what it's scored against
                 pre_n = n
@@ -163,9 +176,9 @@ def ewma_anomaly_stream(
     def fn(key, pdfs, state):
         mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for r in pdf.itertuples(index=False):
+        batch = _ordered_batch(pdfs)
+        if len(batch):
+            for r in batch.itertuples(index=False):
                 x = float(r.value)
                 pre_mean = x if n == 0 else mean
                 pre_n = n

@@ -107,3 +107,30 @@ def test_stateful_backend_gate_reports_active_path(capsys):
         else "applyInPandasWithState (GroupState fallback)"
     )
     print(f"stateful parity ran on: {active}")
+
+
+def test_multi_chunk_key_folds_in_global_order():
+    """r7 fix: a key whose micro-batch arrives as SEVERAL Arrow chunks
+    must fold in global (ts, event_id) order — the old per-chunk sort
+    interleaved chunks out of order. _ordered_batch is the shared
+    concat-then-sort both stateful backends now run their fold over."""
+    import pandas as pd
+
+    from nyc_taxi_etl_spark.streaming.stateful import _ordered_batch
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts", "value"]
+        ).astype({"ts": "datetime64[ns]"})
+
+    rows = [
+        (1, i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), v)
+        for i, v in enumerate([10.0, 12.0, 11.0, 30.0, 9.0, 10.5, 80.0])
+    ]
+    # later events arrive in the FIRST chunk; a same-instant pair
+    # (event_ids 7 vs 3 at minute 3) must break ties by event_id
+    tied = (1, 7, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=3), 5.0)
+    batch = _ordered_batch(iter([mk(rows[4:] + [tied]), mk(rows[:4]), mk([])]))
+    assert batch["event_id"].tolist() == [0, 1, 2, 3, 7, 4, 5, 6]
+    assert _ordered_batch(iter([mk([])])).empty
+    assert _ordered_batch(iter([])).empty
