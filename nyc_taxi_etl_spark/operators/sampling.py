@@ -135,6 +135,73 @@ def mixture_resample(
     )
 
 
+def temperature_rates(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source keep rates realizing TEMPERATURE sampling (the
+    multilingual-LM mixture knob: sample source i with probability
+    ∝ n_i^α, α < 1 upweighting low-resource sources — XLM-R /
+    mBERT-style exponent smoothing) at the largest feasible output:
+    the smallest source is kept whole, and every other source keeps
+    ``rate_i = (n_min / n_i)^(1-α)`` of its rows, which realizes the
+    n^α share profile exactly.
+
+    Determinism: rates are ``floor(1000 · pow(n_min/n_i, 1−α))``.
+    With the default α = 0.5 the power IS ``sqrt``, which IEEE-754
+    requires to be correctly rounded — so the rate table is
+    bit-identical cross-engine (the catalog oracle relies on this).
+    Other α values use ``pow``, whose last-ulp behavior is libm-
+    dependent; they are fine for production use but are not offered
+    an oracle guarantee.
+
+    Scale: one low-cardinality hash agg (map-side partials), a 1-row
+    broadcast scalar for n_min — same shape as :func:`mixture_rates`.
+    Returns (source, n_src, rate_pm)."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_src"))
+    n_min = counts.agg(F.min("n_src").alias("n_min"))
+    ratio = F.col("n_min").cast("double") / F.col("n_src").cast("double")
+    smoothed = (
+        F.sqrt(ratio)
+        if alpha == 0.5
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            source_col,
+            "n_src",
+            F.floor(F.lit(1000.0) * smoothed).cast("long").alias(
+                "rate_pm"
+            ),
+        )
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    salt: str = "temp:0:",
+) -> DataFrame:
+    """Deterministically resample ``df`` to the temperature-α mixture:
+    keep a row iff its salted key-hash per-mille bucket falls under
+    its source's :func:`temperature_rates` rate. Same broadcast-rates
+    + narrow-filter shape as :func:`mixture_resample` (no corpus
+    shuffle, skew-immune, idempotent across retries)."""
+    rates = temperature_rates(df, source_col, alpha)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            _salted_bucket_permille(F.col(key_col), salt)
+            < F.col("rate_pm")
+        )
+        .select(*df.columns)
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

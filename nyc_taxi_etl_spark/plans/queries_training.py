@@ -739,6 +739,70 @@ def mixture_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "temperature_mixture_counts",
+    """
+    WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+    m AS (SELECT min(n_src) AS n_min FROM c),
+    r AS (SELECT source, n_src,
+                 CAST(floor(1000.0 * sqrt(CAST(n_min AS DOUBLE)
+                                          / CAST(n_src AS DOUBLE)))
+                      AS BIGINT) AS rate_pm
+          FROM c, m),
+    k AS (SELECT d.source, count(*) AS n_kept
+          FROM documents d JOIN r USING (source)
+          WHERE ('0x' || substr(md5('temp:0:' || CAST(doc_id AS VARCHAR)),
+                                1, 6))::BIGINT % 1000 < r.rate_pm
+          GROUP BY 1)
+    SELECT r.source AS source,
+           CAST(r.n_src AS BIGINT) AS n_docs_in,
+           CAST(r.rate_pm AS BIGINT) AS rate_permille,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_docs_kept
+    FROM r LEFT JOIN k USING (source)
+    """,
+    extra=True,
+)
+def temperature_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α-power) mixture resampling audit
+    (``operators/sampling.py`` ``temperature_rates``/
+    ``temperature_resample``): the multilingual-LM mixture knob —
+    sample source i ∝ n_i^α with α=0.5, so low-resource sources are
+    upweighted relative to their inventory (XLM-R/mBERT exponent
+    smoothing) — beside the EXPLICIT-weights knob
+    (``mixture_source_counts``); reports per source the inventory,
+    the realized integer keep rate, and what the salted-hash gate
+    actually kept.
+
+    α=0.5 makes the rate ``floor(1000·sqrt(n_min/n_i))`` — sqrt is
+    IEEE-correctly-rounded in BOTH engines, so even the float leg of
+    the rate computation is bit-identical and the oracle is full.
+
+    Scale: one low-cardinality hash agg for rates, 1-row broadcast
+    n_min scalar, then a narrow skew-immune per-row filter — the
+    corpus never shuffles; idempotent across retries (hash, not
+    RNG)."""
+    from ..operators.sampling import temperature_rates, temperature_resample
+
+    docs = t(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, "source", alpha=0.5)
+    kept = (
+        temperature_resample(docs, "doc_id", "source", alpha=0.5)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_src").cast("long").alias("n_docs_in"),
+            F.col("rate_pm").cast("long").alias("rate_permille"),
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_kept"),
+        )
+    )
+
+
 _DSIR_TOP = 50
 
 

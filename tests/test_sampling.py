@@ -95,3 +95,59 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     out = weighted_sample(df, "id", "w", k=10)
     assert sorted(r.id for r in out.collect()) == [1, 5]
+
+
+def test_temperature_rates_realize_alpha_profile(spark):
+    """α=0.5 temperature rates: the smallest source keeps 1000‰, and
+    every rate equals floor(1000·sqrt(n_min/n_i)) — which realizes the
+    n^α share profile (expected kept ∝ sqrt(n_i))."""
+    import math
+
+    from nyc_taxi_etl_spark.operators.sampling import (
+        temperature_rates,
+        temperature_resample,
+    )
+
+    rows = (
+        [("web", i) for i in range(1600)]
+        + [("books", i + 10_000) for i in range(400)]
+        + [("code", i + 20_000) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    got = {
+        r["source"]: (r["n_src"], r["rate_pm"])
+        for r in temperature_rates(df, "source").collect()
+    }
+    assert got == {
+        "web": (1600, math.floor(1000 * math.sqrt(100 / 1600))),
+        "books": (400, math.floor(1000 * math.sqrt(100 / 400))),
+        "code": (100, 1000),
+    }
+    # rate ∝ 1/sqrt(n) ⇒ expected kept ∝ sqrt(n): web keeps 250‰ of
+    # 1600 (~400), books 500‰ of 400 (~200), code all 100 — 4:2:1,
+    # exactly the sqrt(16):sqrt(4):sqrt(1) profile
+    kept = (
+        temperature_resample(df, "doc_id", "source")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    counts = {r["source"]: r["count"] for r in kept}
+    assert counts["code"] == 100  # smallest source kept whole
+    # hash noise is ~±3% at these sizes; the profile must still order
+    assert counts["web"] > counts["books"] > counts["code"]
+
+
+def test_temperature_resample_is_deterministic(spark):
+    from nyc_taxi_etl_spark.operators.sampling import temperature_resample
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(300)] + [("b", i + 1000) for i in range(75)],
+        "source string, doc_id long",
+    )
+    one = sorted(r["doc_id"] for r in temperature_resample(df, "doc_id", "source").collect())
+    two = sorted(
+        r["doc_id"]
+        for r in temperature_resample(df.repartition(7), "doc_id", "source").collect()
+    )
+    assert one == two  # layout-independent (hash, not RNG)
