@@ -70,3 +70,41 @@ for _n in _PROMOTE_R6:
     if _n in ORACLE_EXTRA:
         ORACLE[_n] = ORACLE_EXTRA.pop(_n)
 assert len(QUERIES) == 50, len(QUERIES)
+
+# --------------------------------------------------------------------------
+# Round-7 rotation: the r6 promotions earned their driver-side green
+# rows in CORRECTNESS_r06; swap six of them (plus two family-redundant
+# long-stable slots) for the round-7 operators that have never had a
+# driver row — the newly full-oracle streaming EWMA (previously
+# rows-only), the temperature mixture, and four of the new TPC-H
+# shapes. Family coverage after the swap (same constraint as r6):
+# dedup keeps exact/ngram/minhash/components/curate/semantic/fuzzy in
+# the window; embeddings keep knn/ann_lsh/semantic_dedup; graph keeps
+# purchase_graph_hits; stats keep orders_global_seq + extreme_days_
+# zscore + dsir; training keeps chunks/pii/lm/splits/mixture/dsir.
+# Demoted entries remain fully oracle-tested in the local suite.
+_PROMOTE_R7 = [
+    "streaming_ewma_anomalies",
+    "temperature_mixture_counts",
+    "sole_blame_suppliers",
+    "nation_trade_flows",
+    "small_quantity_avg_loss",
+    "order_count_distribution",
+]
+_DEMOTE_R7 = [
+    "simhash_near_pairs",
+    "embedding_near_pairs",
+    "winnow_near_pairs",
+    "near_dup_triangles",
+    "customer_revenue_gini",
+    "doc_boilerplate_removal",
+]
+for _n in _DEMOTE_R7:
+    QUERIES_EXTRA[_n] = QUERIES.pop(_n)
+    if _n in ORACLE:
+        ORACLE_EXTRA[_n] = ORACLE.pop(_n)
+for _n in _PROMOTE_R7:
+    QUERIES[_n] = QUERIES_EXTRA.pop(_n)
+    if _n in ORACLE_EXTRA:
+        ORACLE[_n] = ORACLE_EXTRA.pop(_n)
+assert len(QUERIES) == 50, len(QUERIES)
