@@ -128,6 +128,7 @@ def test_catalog_plan_hygiene(spark, name):
         "classifier_lang_auc",  # 1-row pos/neg totals broadcast (evalmetrics)
         "source_shingle_overlap_kmv",  # bounded per-source sketch grid,
         # non-equi source_a < source_b pairing (k-sized arrays)
+        "temperature_mixture_counts",  # 1-row n_min scalar broadcast
         "idle_rich_customers",  # 1-row avg-balance threshold broadcast
         "important_parts_value",  # 1-row grand-total broadcast
         "top_revenue_supplier",  # 1-row scalar-max broadcast
