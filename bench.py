@@ -132,6 +132,9 @@ EXTENSION = [
     "nation_trade_flows",
     "order_count_distribution",
     "sole_blame_suppliers",
+    # r7: the lossless prefix-filtered set-similarity join — benched so
+    # a regression in its postings truncation shows round-over-round
+    "ppjoin_near_pairs",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

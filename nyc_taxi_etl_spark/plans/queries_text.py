@@ -306,6 +306,44 @@ def ngram_jaccard_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ppjoin_near_pairs",
+    f"""
+    WITH {_SQL_NGRAM_PAIR_CTES}
+    SELECT id_a, id_b,
+           {_SQL_NGRAM_JACCARD} AS jaccard
+    FROM shared JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+    WHERE {_SQL_NGRAM_JACCARD} >= 0.5
+    """,
+    extra=True,
+)
+def ppjoin_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard near-dup pairs (j >= 0.5 on word
+    3-shingles; ``operators/ppjoin.py`` — PPJoin family, Chaudhuri et
+    al. ICDE'06 / Xiao et al. WWW'08): the LOSSLESS sub-quadratic
+    member of the dedup family. MinHash-LSH and SimHash buy their
+    sub-quadratic candidate sets with probabilistic recall; prefix
+    filtering buys the same reduction with a proof — order shingles by
+    global rarity, index only each set's first |x|−⌈t|x|⌉+1, and every
+    true pair still shares an indexed shingle.
+
+    The oracle is deliberately the BRUTE-FORCE inverted-index join:
+    the optimized plan must reproduce the unoptimized replay pair for
+    pair, which is precisely the losslessness claim. Jaccard is an
+    exact-integer ratio — bit-identical cross-engine, no rounding.
+
+    Scale: postings truncated to prefixes (~t/(1+t) shorter, and the
+    RARE shingles are the ones kept, so surviving lists are short); a
+    size filter prunes cross-size pairs pre-verify; verification is
+    row-local array_intersect. One doc-partitioned window, never a
+    global sort."""
+    from ..operators.ppjoin import ppjoin_pairs
+
+    return ppjoin_pairs(
+        t(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+
+
+@query(
     "doc_decontamination",
     f"""
     WITH {_SQL_SHINGLES_CTE},

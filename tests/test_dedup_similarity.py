@@ -776,3 +776,45 @@ def test_ngram_jaccard_candidates_leave_no_cached_frames(spark):
         ).count()
     # directional: the old persist() leak ADDED an entry per call
     assert cm.isEmpty() or not before_empty
+
+
+def test_ppjoin_equals_brute_force_and_keeps_boundary(spark):
+    """PPJoin's prefix filter is LOSSLESS: its pair set must equal the
+    plain inverted-index join at the same threshold — including a pair
+    constructed to sit EXACTLY at j = 0.5 (4 shared shingles, sizes
+    6/6 -> 4/8), and across a corpus with graded overlaps."""
+    from nyc_taxi_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from nyc_taxi_etl_spark.operators.ppjoin import ppjoin_pairs
+
+    base = "w{} " * 8
+    docs = [
+        # boundary pair: shingles {abc bcd cde def efg fgh} vs
+        # {abc bcd cde def efx fxy} share exactly 4 of 6+6
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f x y"),
+        # identical pair
+        (3, "p q r s t u"),
+        (4, "p q r s t u"),
+        # sub-threshold overlap
+        (5, "p q r m n o"),
+        # graded filler with partial shared runs
+        *[
+            (10 + i, base.format(*range(i, i + 8)).strip())
+            for i in range(12)
+        ],
+        # singleton vocabulary
+        (50, "zz yy xx ww vv"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    pp = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ppjoin_pairs(df, k=3, threshold=0.5).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, k=3, min_jaccard=0.5).collect()
+    }
+    assert pp == brute
+    assert pp[(1, 2)] == 0.5  # the exact-boundary pair survives
+    assert (3, 4) in pp and pp[(3, 4)] == 1.0
+    assert not any(5 in p for p in pp)
