@@ -91,16 +91,35 @@ def ppjoin_pairs(
         post.join(dfreq, "s")
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= prefix_len)
-        .select("doc", "n", "s")
+        .select("doc", "n", "s", "r")
     )
 
     pa = prefix.select(
-        F.col("doc").alias("id_a"), F.col("n").alias("n_a"), "s"
+        F.col("doc").alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("r").alias("r_a"),
+        "s",
     )
     pb = prefix.select(
-        F.col("doc").alias("id_b"), F.col("n").alias("n_b"), "s"
+        F.col("doc").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("r").alias("r_b"),
+        "s",
     )
     eps = F.lit(1e-9)
+    # POSITIONAL filter (the second "P" of PPJoin): a shared prefix
+    # token at ranks (r_a, r_b) bounds the achievable overlap by
+    # 1 + min(n_a - r_a, n_b - r_b) (this match + the best-case tails);
+    # J >= t needs overlap >= ceil(t/(1+t) * (n_a + n_b)), so a pair
+    # survives only if SOME shared prefix token's bound reaches it.
+    overlap_req = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("n_a") + F.col("n_b"))
+        - eps
+    )
+    pos_bound = F.lit(1) + F.least(
+        F.col("n_a") - F.col("r_a"), F.col("n_b") - F.col("r_b")
+    )
     cands = (
         pa.join(pb, "s")
         .filter(
@@ -108,6 +127,7 @@ def ppjoin_pairs(
             # size filter: J >= t ⇒ t|A| <= |B| and t|B| <= |A|
             & (F.lit(threshold) * F.col("n_a") <= F.col("n_b") + eps)
             & (F.lit(threshold) * F.col("n_b") <= F.col("n_a") + eps)
+            & (pos_bound >= overlap_req)
         )
         .select("id_a", "id_b")
         .distinct()

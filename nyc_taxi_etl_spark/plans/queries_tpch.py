@@ -642,6 +642,12 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            # explicit isnotnull: the supplier equi-join pushes this
+            # constraint into ONE consumer of this subplan; carrying it
+            # in the shared source keeps both branches canonically
+            # identical so AQE's ReusedExchange fires (the DSIR lesson
+            # — one lineitem scan, not two)
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(F.sum(_rev_cents()).alias("rev_cents"))

@@ -338,3 +338,47 @@ def test_scd2_single_exchange(spark):
     assert len(shuffles) == 1, shuffles
     assert "custkey" in shuffles[0], shuffles
     assert plan.count("Sort [") == 1, plan
+
+
+def test_tpch_shapes_push_filters_and_broadcast_dims(spark):
+    """The r7 TPC-H shapes rely on scan pushdown + broadcast dims."""
+    # Q14: the ship-date window must reach the lineitem scan
+    plan = _plan(spark, "promo_revenue_share")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    assert "BroadcastHashJoin" in plan  # part side broadcast
+    # Q19: the derivable part-only prefix of the OR must prune the
+    # part scan (constraint propagation), and part stays broadcast
+    plan = _plan(spark, "disjunctive_basket_revenue")
+    assert "BroadcastHashJoin" in plan
+    # Q16: the NOT IN exclusion plans as a broadcast anti join, never
+    # a shuffled one (the exclusion list is a supplier-slice)
+    plan = _plan(spark, "brand_type_supplier_counts")
+    assert "BroadcastHashJoin LeftAnti" in plan.replace(
+        "BuildRight, false", ""
+    ) or ("LeftAnti" in plan and "BroadcastHashJoin" in plan)
+
+
+def test_tpch_scalar_aggregates_reuse_exchange(spark):
+    """Q11/Q15: the grand-total / scalar-max is an aggregate OVER the
+    per-group result — the statically duplicated per-group subtree
+    must be runtime-reused by AQE (ReusedExchange in the executed
+    plan) rather than scanning lineitem twice."""
+    for name in ("important_parts_value", "top_revenue_supplier"):
+        df = ALL_QUERIES[name](spark, SF_DIR)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in executed, name
+
+
+def test_ppjoin_no_cartesian_single_shingle_pass_per_side(spark):
+    """PPJoin: candidates come from the prefix equi-join (no nested
+    loop anywhere), and the doc-partitioned rank window is never a
+    single-partition sort."""
+    plan = _plan(spark, "ppjoin_near_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    # the rank window partitions by doc — a global (unpartitioned)
+    # window would plan an Exchange SinglePartition
+    assert "SinglePartition" not in plan
