@@ -95,3 +95,97 @@ def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+_PROFILE_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_PROFILE_STR = ["l_returnflag", "l_linestatus"]
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_NUM:
+        parts.append(f"""
+    SELECT '{c}' AS column,
+           CAST(count({c}) AS BIGINT) AS n_nonnull,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+           CAST(min({c}) AS DOUBLE) AS min_num,
+           CAST(max({c}) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem""")
+    for c in _PROFILE_STR:
+        parts.append(f"""
+    SELECT '{c}' AS column,
+           CAST(count({c}) AS BIGINT) AS n_nonnull,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+           CAST(NULL AS DOUBLE) AS min_num,
+           CAST(NULL AS DOUBLE) AS max_num,
+           min({c}) AS min_str,
+           max({c}) AS max_str
+    FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+@query("lineitem_column_profile", _profile_sql(), extra=True)
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style column statistics over lineitem: per column
+    the non-null/null counts, EXACT distinct count, and min/max
+    (numeric columns in their own type; string columns as byte-wise
+    lexicographic min/max — identical collation both engines for this
+    ASCII data) — the statistics table a warehouse publishes for the
+    optimizer and a data-quality dashboard reads for drift. The
+    profile companion to ``lineitem_quality_report`` (which checks
+    DECLARED expectations; this DESCRIBES the data).
+
+    Scale: ONE aggregation pass over the table. Multiple exact
+    count(DISTINCT)s plan through Spark's Expand (one input row per
+    distinct column — rows × 6 here), then a single shuffle with
+    map-side partials; at 100 TB swap exact ndv for HLL
+    (``queries_sketches``' approx path) — the exact form is the
+    oracle-checkable one. The long-form output is a row-local
+    explode of the 1-row wide aggregate, not six scans (the oracle
+    replays it as six UNION ALL passes — DuckDB's optimizer fuses
+    them; cross-checking differently-shaped plans is the point)."""
+    li = t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("__total"))
+    wide = li.agg(*aggs)
+    rows = []
+    for c in _PROFILE_NUM:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__nn").alias("n_nonnull"),
+                (F.col("__total") - F.col(f"{c}__nn")).alias("n_null"),
+                F.col(f"{c}__ndv").alias("ndv"),
+                F.col(f"{c}__min").cast("double").alias("min_num"),
+                F.col(f"{c}__max").cast("double").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in _PROFILE_STR:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__nn").alias("n_nonnull"),
+                (F.col("__total") - F.col(f"{c}__nn")).alias("n_null"),
+                F.col(f"{c}__ndv").alias("ndv"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"{c}__min").cast("string").alias("min_str"),
+                F.col(f"{c}__max").cast("string").alias("max_str"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")
