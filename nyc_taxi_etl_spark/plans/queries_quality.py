@@ -139,26 +139,37 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile companion to ``lineitem_quality_report`` (which checks
     DECLARED expectations; this DESCRIBES the data).
 
-    Scale: ONE aggregation pass over the table. Multiple exact
-    count(DISTINCT)s plan through Spark's Expand (one input row per
-    distinct column — rows × 6 here), then a single shuffle with
-    map-side partials; at 100 TB swap exact ndv for HLL
-    (``queries_sketches``' approx path) — the exact form is the
-    oracle-checkable one. The long-form output is a row-local
-    explode of the 1-row wide aggregate, not six scans (the oracle
-    replays it as six UNION ALL passes — DuckDB's optimizer fuses
-    them; cross-checking differently-shaped plans is the point)."""
+    Scale: multiple exact count(DISTINCT)s plan through Spark's
+    Expand — every distinct column multiplies the shuffle by one copy
+    of the SCAN rows, so a ~unique column (l_extendedprice, ndv ≈
+    rows) dragged through the shared Expand made the whole profile
+    carry rows × 7 through one exchange (measured α* 1.43 sf1→sf10,
+    242 s — the r7 scaling sweep caught it). The fix is cost-based
+    splitting: the five low-NDV columns stay in the fused Expand
+    (their partials collapse map-side to a few hundred groups) and
+    the high-NDV column gets a DEDICATED two-phase distinct whose
+    shuffle carries just that one column — total shuffle ≈ rows, not
+    rows × 7. At 100 TB swap exact ndv for HLL (``queries_sketches``'
+    approx path); the exact form is the oracle-checkable one. The
+    long-form output is a row-local explode of the 1-row wide
+    aggregate, not six scans (the oracle replays it as six UNION ALL
+    passes — cross-checking differently-shaped plans is the point)."""
     li = t(spark, sf_dir, "lineitem")
+    high_ndv = "l_extendedprice"
     aggs = []
     for c in _PROFILE_NUM + _PROFILE_STR:
         aggs += [
             F.count(c).alias(f"{c}__nn"),
-            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
         ]
+        if c != high_ndv:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__ndv"))
     aggs.append(F.count(F.lit(1)).alias("__total"))
-    wide = li.agg(*aggs)
+    ep = li.agg(
+        F.count_distinct(F.col(high_ndv)).alias(f"{high_ndv}__ndv")
+    )
+    wide = li.agg(*aggs).crossJoin(F.broadcast(ep))
     rows = []
     for c in _PROFILE_NUM:
         rows.append(

@@ -118,6 +118,7 @@ def test_catalog_plan_hygiene(spark, name):
         "bm25_scores",  # 1-row N/avgdl broadcast into scoring
         "lang_source_chisq",  # bounded marginal tables (langs×sources grid)
         "lineitem_quality_report",  # 1-row n × 1-row violation combine
+        "lineitem_column_profile",  # 1-row high-ndv count broadcast
         "value_psi_drift",  # 1-row breakpoint array + 1-row totals
         "mad_outlier_days",  # 1-row median + 1-row MAD broadcasts
         "bigram_collocations",  # 1-row gram-total broadcast
