@@ -33,11 +33,21 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     version_col: str | None = None,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> DataFrame:
     """One row per key: the updates row if the key is updated, else the
     base row. With ``version_col``, the highest version wins and
     updates beat base only on equal versions. Update rows may omit
-    columns (filled as null via unionByName)."""
+    columns (filled as null via unionByName).
+
+    ``op_col`` (r7): CDC feeds (Debezium-style) carry an operation
+    marker — when given, update rows whose ``op_col`` equals
+    ``delete_op`` are TOMBSTONES: they win the per-key contest like
+    any other change (so a later re-insert still resurrects the key)
+    and then erase it from the output. Deletes ride the same single
+    shuffle — no extra anti-join pass. The op column is consumed (not
+    emitted); base rows need no marker."""
     tagged = base.withColumn("_src", F.lit(0)).unionByName(
         updates.withColumn("_src", F.lit(1)), allowMissingColumns=True
     )
@@ -46,8 +56,13 @@ def merge_upsert(
         order.append(F.col(version_col).desc_nulls_last())
     order.append(F.col("_src").desc())
     w = Window.partitionBy(*keys).orderBy(*order)
-    return (
+    out = (
         tagged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_src", "_rn")
     )
+    if op_col is not None:
+        out = out.filter(
+            ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+        ).drop(op_col)
+    return out

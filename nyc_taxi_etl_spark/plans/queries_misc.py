@@ -189,6 +189,70 @@ def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_cdc_delete_totals",
+    """
+    WITH feed AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+             'U' AS op
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'D' AS op
+      FROM orders WHERE o_orderkey % 13 = 0),
+    merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM feed WHERE op = 'U'
+      UNION ALL
+      SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
+      LEFT JOIN feed f ON o.o_orderkey = f.o_orderkey
+      WHERE f.o_orderkey IS NULL)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total_price
+    FROM merged GROUP BY 1
+    """,
+    extra=True,
+)
+def orders_cdc_delete_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge WITH TOMBSTONES (operators/merge.py ``op_col`` — the
+    delete half of a Debezium-style feed the upsert-only entry cannot
+    exercise): one deterministic change batch carries both updates
+    (10% price correction, every 7th key) and deletes (every 13th
+    key), merged in ONE shuffle — the tombstone wins its key like any
+    change and then erases it, no extra anti-join pass. Rolled up per
+    status in exact integer cents (the upsert entry's convention).
+
+    The oracle replays the feed as updates + anti-joined base minus
+    deleted keys — same result through a two-join plan, cross-checking
+    the single-shuffle window formulation."""
+    from ..operators.merge import merge_upsert
+
+    od = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = od.select(*cols)
+    feed = (
+        base.filter((k % 7 == 0) & (k % 13 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            base.filter(k % 13 == 0).withColumn("op", F.lit("D"))
+        )
+    )
+    merged = merge_upsert(
+        base, feed, keys=["o_orderkey"], op_col="op"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("double")
+            / 100
+        ).alias("total_price"),
+    )
+
+
+@query(
     "orders_upsert_status_totals",
     """
     WITH updates AS (

@@ -53,3 +53,30 @@ def test_merge_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_merge_upsert_tombstones(spark):
+    """r7 op_col: a delete tombstone wins its key and erases it; a
+    HIGHER-version re-insert after a delete resurrects the key; the
+    op column is consumed."""
+    from nyc_taxi_etl_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, ver int"
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, None, 2, "D"),        # delete key 2
+            (3, "c2", 2, "U"),        # update key 3
+            (4, "d", 2, "U"),         # insert key 4
+            (1, None, 2, "D"),        # delete key 1 ...
+            (1, "a2", 3, "U"),        # ... then re-insert at higher ver
+        ],
+        "k int, v string, ver int, op string",
+    )
+    out = merge_upsert(
+        base, updates, keys=["k"], version_col="ver", op_col="op"
+    )
+    assert "op" not in out.columns
+    got = {r["k"]: (r["v"], r["ver"]) for r in out.collect()}
+    assert got == {1: ("a2", 3), 3: ("c2", 2), 4: ("d", 2)}
