@@ -254,8 +254,21 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
         )
 
-    rc = _binned(ref).withColumnRenamed("n", "n_ref").persist()
-    cc = _binned(cur).withColumnRenamed("n", "n_cur").persist()
+    # eager localCheckpoint, not persist (r7, same class as the ngram
+    # candidates fix): each <=10-row bin table feeds two plan sites,
+    # the return is lazy so a persist here could never be unpersisted
+    # and would accumulate cache entries per bench/oracle call; the
+    # checkpoint blocks are ContextCleaner-released when unreferenced
+    rc = (
+        _binned(ref)
+        .withColumnRenamed("n", "n_ref")
+        .localCheckpoint(eager=True)
+    )
+    cc = (
+        _binned(cur)
+        .withColumnRenamed("n", "n_cur")
+        .localCheckpoint(eager=True)
+    )
     # window totals derive from the 10-row bin tables (every row lands
     # in exactly one bin) — not from two more full-window scans
     tot = rc.agg(F.sum("n_ref").cast("double").alias("tr")).crossJoin(

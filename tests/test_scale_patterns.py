@@ -297,3 +297,18 @@ def test_global_sequence_rejects_column_collisions(spark):
         spark.range(5).select("id"), ["id"], out_col="rownum"
     )
     assert [r["rownum"] for r in out.orderBy("id").collect()] == [1, 2, 3, 4, 5]
+
+
+def test_value_psi_drift_leaves_no_cached_frames(spark):
+    """r7 self-audit: the PSI entry's two bin tables used to be
+    persist()ed with no unpersist — the same cache-leak class as the
+    r6 ngram-candidates advice. Now eager localCheckpoints: repeated
+    calls must not accumulate CacheManager entries."""
+    from nyc_taxi_etl_spark.plans import QUERIES_EXTRA, QUERIES
+
+    fn = {**QUERIES, **QUERIES_EXTRA}["value_psi_drift"]
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before_empty = cm.isEmpty()
+    for _ in range(2):
+        fn(spark, "/root/testdata/sf0.001").count()
+    assert cm.isEmpty() or not before_empty
