@@ -48,6 +48,14 @@ def merge_upsert(
     and then erase it from the output. Deletes ride the same single
     shuffle — no extra anti-join pass. The op column is consumed (not
     emitted); base rows need no marker."""
+    clash = {"_src", "_rn"}.intersection(base.columns).union(
+        {"_src", "_rn"}.intersection(updates.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"merge_upsert reserves internal column names "
+            f"{sorted(clash)}; rename them in the input frames"
+        )
     tagged = base.withColumn("_src", F.lit(0)).unionByName(
         updates.withColumn("_src", F.lit(1)), allowMissingColumns=True
     )

@@ -134,6 +134,8 @@ def unify(dfs: dict[str, DataFrame]) -> DataFrame:
     unified trip table (U1; the reference's planned normalizer,
     SURVEY.md §1.3). ``allowMissingColumns`` keeps the op total even if
     a future schema adds fields."""
+    if not dfs:
+        raise ValueError("unify requires at least one input frame")
     normed = [normalize(df, cab) for cab, df in dfs.items()]
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), normed

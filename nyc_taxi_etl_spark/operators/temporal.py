@@ -59,6 +59,11 @@ def asof_join(
     ``tolerance_us`` nulls matches older than the given microseconds.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if "_side" in left.columns or "_side" in right.columns:
+        raise ValueError(
+            "asof_join reserves the internal column name '_side'; "
+            "rename it in the input frames"
+        )
     payload = [c for c in right_cols if c not in keys]
     out_names = {c: f"{prefix}{c}" for c in payload}
 

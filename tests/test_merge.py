@@ -80,3 +80,13 @@ def test_merge_upsert_tombstones(spark):
     assert "op" not in out.columns
     got = {r["k"]: (r["v"], r["ver"]) for r in out.collect()}
     assert got == {1: ("a2", 3), 3: ("c2", 2), 4: ("d", 2)}
+
+
+def test_merge_upsert_rejects_reserved_names(spark):
+    import pytest
+
+    from nyc_taxi_etl_spark.operators.merge import merge_upsert
+
+    df = spark.createDataFrame([(1, 0)], "k int, _src int")
+    with pytest.raises(ValueError, match="_src"):
+        merge_upsert(df, df, keys=["k"])

@@ -91,3 +91,12 @@ def test_subset_of_yellow_schema_resolves_consistently(data):
         full_val = det_full[key]
         if full_val in keep:
             assert sub_val == full_val
+
+
+def test_unify_empty_input_raises():
+    import pytest
+
+    from nyc_taxi_etl_spark.operators.normalize import unify
+
+    with pytest.raises(ValueError, match="at least one"):
+        unify({})

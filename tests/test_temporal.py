@@ -121,3 +121,18 @@ def test_interval_join_inclusive_bounds_and_bucket_spans(spark):
     # each qualifying pair appears exactly once despite the interval
     # covering two buckets
     assert out.count() == 3
+
+
+def test_asof_join_rejects_reserved_side_column(spark):
+    import pytest
+
+    from nyc_taxi_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 0)], "k int, ts string, _side int"
+    )
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "k int, ts string, v double"
+    )
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(left, right, on="k", ts_col="ts", right_cols=["v"])
