@@ -23,6 +23,18 @@ optimizer/physical capability, and each carries a full DuckDB oracle:
   sides (the OR-of-ANDs predicate that cannot ride the equi-key).
 * Q7 — bidirectional two-nation flow matrix (join-reorder stress).
 * Q15 — argmax-with-ties against a scalar max (view-over-aggregate).
+* Q8 — market share: the CASE numerator over an 8-table two-role tree.
+* Q9 — profit decomposition: a measure spanning two fact-dim joins.
+* Q10 — top-k by filtered-fact revenue with a deterministic cents cut.
+* Q18 — HAVING-IN membership subquery (decorrelated agg-then-join).
+* Q20 — nested aggregates at two grains + integer majority test.
+
+With these the full TPC-H query set is represented: Q1/Q2/Q3/Q5 from
+earlier rounds, Q4 ≡ the semi-join shape (returning_customers_semi),
+Q6 ≡ single-table filter-aggregate (valid_lines_unit_price), Q12 ≡
+join + conditional aggregation by category (promo_revenue_share's
+shape; this schema has no shipmode column) — every other number has
+a dedicated entry in this module.
 
 Reference intent: the reference's notebooks run pandas groupbys on
 one flat trip table (`notebooks/comprehensive_trip_analysis.ipynb`);
@@ -663,4 +675,355 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_revenue"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — market share within a region
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_market_share",
+    f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+                         THEN {_REV_SQL} ELSE 0 END) AS DOUBLE) / 100
+             AS nation_revenue,
+           CAST(sum({_REV_SQL}) AS DOUBLE) / 100 AS total_revenue,
+           sum(CASE WHEN ns.n_name = 'NATION_3'
+                    THEN {_REV_SQL} ELSE 0 END) * 1.0 / sum({_REV_SQL})
+             AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    JOIN region r ON nc.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+      AND year(o.o_orderdate) IN (1996, 1997)
+    GROUP BY 1
+    """,
+    extra=True,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8's shape: one nation's market share — the fraction of
+    PROMO-part revenue bought by EUROPE-region customers that was
+    supplied by NATION_3, per year. The structural stress is the
+    8-table join tree with the nation dim under TWO roles where the
+    share numerator depends on one role and the denominator on
+    neither — the optimizer must keep both probes and let the CASE
+    ride the aggregate.
+
+    Scale: nations/region/part broadcast; the share is a ratio of two
+    exact-integer Σ — bit-identical cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    su = t(spark, sf_dir, "supplier")
+    na = t(spark, sf_dir, "nation")
+    re = t(spark, sf_dir, "region")
+    pa = t(spark, sf_dir, "part")
+    nc = na.select(
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_regionkey").alias("nc_region"),
+    )
+    ns = na.select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", _rev_cents()).otherwise(
+            F.lit(0)
+        )
+    )
+    tot = F.sum(_rev_cents())
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(nc), cu.c_nationkey == F.col("nc_key"))
+        .join(
+            F.broadcast(re.filter(F.col("r_name") == "EUROPE")),
+            F.col("nc_region") == F.col("r_regionkey"),
+        )
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(ns), su.s_nationkey == F.col("ns_key"))
+        .join(
+            F.broadcast(pa.filter(F.col("p_type") == "PROMO")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (nat.cast("double") / 100).alias("nation_revenue"),
+            (tot.cast("double") / 100).alias("total_revenue"),
+            (nat * F.lit(1.0) / tot).alias("mkt_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_profit_by_year",
+    f"""
+    SELECT ns.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum({_REV_SQL} * 1000
+                    - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT) * 600) AS DOUBLE)
+             / 100000 AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+    extra=True,
+)
+def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9's shape: profit decomposition per supplier nation per
+    year — revenue minus a 60%-of-retail unit-cost proxy (this schema
+    has no partsupp supply cost; the retail price stands in). The
+    structural point is an aggregate whose measure SPANS two fact-dim
+    joins (price from lineitem, cost from part) over the full history
+    — the widest measure expression in the catalog.
+
+    Numeric posture: profit sums in 1/1000-cent integer units
+    (rev_cents·1000 − retail_cents·qty·600 — quantities are
+    integer-valued), so the Σ is order-independent and the /100000
+    into dollars is a single exact division."""
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    su = t(spark, sf_dir, "supplier")
+    na = t(spark, sf_dir, "nation")
+    pa = t(spark, sf_dir, "part")
+    profit_units = F.sum(
+        _rev_cents() * F.lit(1000)
+        - _cents(F.col("p_retailprice"))
+        * F.col("l_quantity").cast("long")
+        * F.lit(600)
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((profit_units.cast("double") / 100000).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-revenue top customers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "returned_revenue_top_customers",
+    f"""
+    SELECT CAST(c.c_custkey AS BIGINT) AS custkey,
+           c.c_name AS customer,
+           n.n_name AS nation,
+           CAST(sum({_REV_SQL}) AS DOUBLE) / 100 AS returned_revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+    GROUP BY 1, 2, 3
+    ORDER BY sum({_REV_SQL}) DESC, custkey
+    LIMIT 20
+    """,
+    extra=True,
+)
+def returned_revenue_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10's shape: the 20 customers who returned the most
+    revenue in one quarter — the "who should support call first"
+    list. Join tree + filtered fact + top-k; the DESC cut is taken on
+    exact integer cents with a custkey tiebreak, so the top-20
+    membership is deterministic cross-engine (a double-Σ cut could
+    flip tail members by ulp).
+
+    Scale: date filter prunes orders at the scan, returnflag prunes
+    lineitem; TakeOrdered(20), never a global sort."""
+    cu = t(spark, sf_dir, "customer")
+    od = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    na = t(spark, sf_dir, "nation")
+    rev = F.sum(_rev_cents())
+    return (
+        cu.join(
+            od.filter(
+                (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+            ),
+            cu.c_custkey == od.o_custkey,
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == od.o_orderkey,
+        )
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_name").alias("customer"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            rev.alias("_cents"),
+        )
+        .orderBy(F.desc("_cents"), F.asc("custkey"))
+        .limit(20)
+        .select(
+            "custkey",
+            "customer",
+            "nation",
+            (F.col("_cents").cast("double") / 100).alias(
+                "returned_revenue"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume orders (HAVING-IN subquery)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "large_volume_orders",
+    """
+    SELECT c.c_name AS customer,
+           CAST(o.o_custkey AS BIGINT) AS custkey,
+           CAST(o.o_orderkey AS BIGINT) AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_totalprice AS totalprice,
+           CAST(q.total_qty AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180) q
+      ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    extra=True,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18's shape: orders whose total line quantity exceeds a
+    threshold (the bulk-buyer watchlist) — the HAVING-subquery
+    membership filter (the spec writes it as IN (GROUP BY ... HAVING);
+    every planner decorrelates it to the agg-then-join used here, and
+    the oracle keeps the join form DuckDB produces from the IN).
+
+    Numeric posture: quantities are integer-valued doubles, so the
+    HAVING cut (Σ > 180) is exact in both engines. totalprice passes
+    through unrounded — same parquet bits both sides.
+
+    Scale: ONE hash agg to the order grain, then key joins; the agg
+    output (only above-threshold orders survive) is the small side and
+    AQE broadcast-converts it."""
+    od = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cu = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        od.join(big, od.o_orderkey == big.l_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .select(
+            F.col("c_name").alias("customer"),
+            F.col("o_custkey").cast("long").alias("custkey"),
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant part suppliers (nested aggregate semi-join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dominant_part_suppliers",
+    """
+    WITH pl AS (
+      SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+             CAST(sum(l.l_quantity) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2),
+    pt AS (SELECT pk, CAST(sum(q) AS BIGINT) AS tq FROM pl GROUP BY 1)
+    SELECT s.s_name AS supplier, n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS dominated_parts
+    FROM pl JOIN pt USING (pk)
+    JOIN supplier s ON pl.sk = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE 2 * pl.q > pt.tq
+    GROUP BY 1, 2
+    """,
+    extra=True,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's shape: suppliers who dominated a part's supply —
+    shipped MORE THAN HALF of a PROMO part's 1996 volume (the spec's
+    availqty > 0.5·Σqty correlated check, with shipped volume standing
+    in for the absent partsupp stock). Nested aggregates at two grains
+    — (part, supplier) then part — joined back with an integer-exact
+    majority test (2·q > total), rolled up to the supplier.
+
+    Scale: both aggs share one shuffle lineage (the part-grain agg is
+    an aggregate OVER the (part, supplier) result — reused exchange,
+    one lineitem scan); quantities summed as exact integers so the
+    strict-majority cut cannot straddle a float boundary."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = t(spark, sf_dir, "part")
+    su = t(spark, sf_dir, "supplier")
+    na = t(spark, sf_dir, "nation")
+    pl = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_partkey").isNotNull()
+        )
+        .join(
+            F.broadcast(
+                pa.filter(F.col("p_type") == "PROMO").select("p_partkey")
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("q"))
+    )
+    pt = pl.groupBy("pk").agg(F.sum("q").cast("long").alias("tq"))
+    return (
+        pl.join(pt, "pk")
+        .filter(2 * F.col("q") > F.col("tq"))
+        .join(F.broadcast(su), F.col("sk") == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+        .groupBy(
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.count(F.lit(1)).alias("dominated_parts"))
     )
