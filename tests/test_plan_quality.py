@@ -382,3 +382,35 @@ def test_ppjoin_no_cartesian_single_shingle_pass_per_side(spark):
     # the rank window partitions by doc — a global (unpartitioned)
     # window would plan an Exchange SinglePartition
     assert "SinglePartition" not in plan
+
+
+def test_completing_tpch_shapes_plan_posture(spark):
+    """Q8/Q9/Q10/Q18/Q20 (r7 completion): dims broadcast, filters
+    pushed, no nested loops anywhere."""
+    for name, pushed in (
+        ("nation_market_share", None),
+        ("nation_profit_by_year", None),
+        (
+            "returned_revenue_top_customers",
+            "GreaterThanOrEqual(o_orderdate",
+        ),
+        ("large_volume_orders", None),
+        ("dominant_part_suppliers", "GreaterThanOrEqual(l_shipdate"),
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        if pushed:
+            # the predicate reaches ITS table's parquet scan (the plan
+            # has several scans; search the whole formatted output)
+            assert pushed in plan, name
+    # Q10 must cut with TakeOrdered(20), never a global sort
+    plan = _plan(spark, "returned_revenue_top_customers")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    # Q20's part-grain aggregate is an aggregate OVER the
+    # (part, supplier) result — runtime exchange reuse, one scan
+    df = ALL_QUERIES["dominant_part_suppliers"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
