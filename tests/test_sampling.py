@@ -151,3 +151,22 @@ def test_temperature_resample_is_deterministic(spark):
         for r in temperature_resample(df.repartition(7), "doc_id", "source").collect()
     )
     assert one == two  # layout-independent (hash, not RNG)
+
+
+def test_temperature_rates_general_alpha_pow_path(spark):
+    """alpha != 0.5 goes through pow(n_min/n_i, 1-alpha) — production
+    path, no oracle guarantee; pin the arithmetic on a simple case."""
+    import math
+
+    from nyc_taxi_etl_spark.operators.sampling import temperature_rates
+
+    df = spark.createDataFrame(
+        [("big", i) for i in range(1000)] + [("small", i + 10_000) for i in range(10)],
+        "source string, doc_id long",
+    )
+    got = {
+        r["source"]: r["rate_pm"]
+        for r in temperature_rates(df, "source", alpha=0.7).collect()
+    }
+    assert got["small"] == 1000
+    assert got["big"] == math.floor(1000 * (10 / 1000) ** 0.3)
