@@ -453,6 +453,55 @@ def streaming_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_ddsketch_sql(alpha: float = 0.01) -> str:
+    import math
+
+    g = (1 + alpha) / (1 - alpha)
+    lng = math.log(g)
+    return f"""
+    SELECT event_type,
+           CAST(ceil(ln(value) / {lng!r}) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events WHERE value > 0
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "streaming_value_ddsketch",
+    _stream_ddsketch_sql(),
+    extra=True,
+)
+def streaming_value_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch maintained BY THE STREAMING ENGINE: the bucket build
+    (positive filter -> groupBy (type, log-bucket) count) IS a
+    streaming aggregation, so the state store merges the quantile
+    sketch incrementally per micro-batch — the live twin of the batch
+    ``event_value_ddsketch`` pre-aggregate, closing the sketch-family
+    symmetry (HLL rollup / CMS batch+stream / DDSketch batch+stream).
+    Because DDSketch merge is EXACT (per-bucket counter sums), the
+    drained complete-mode state must equal the batch-built sketch
+    bit-for-bit — the oracle replays exactly that bucket table (the
+    ln-divide uses the same Python double literal both sides; bucket
+    ids are integers, so there is nothing to round).
+
+    Scale: state is bounded at ~ln(max/min)/ln(gamma) counters per
+    event type (~hundreds at alpha=0.01) regardless of stream volume —
+    the same smallest-possible-stateful-footprint posture as the
+    streaming CMS; quantile read-out stays a bounded batch window over
+    the drained table (see the batch entry)."""
+    from ..operators.ddsketch import ddsketch_buckets
+
+    s = _events_stream(spark, sf_dir).select("event_type", "value")
+    sketch = ddsketch_buckets(s, "value", ["event_type"], alpha=0.01)
+    out = _drain(sketch, "complete")
+    return out.select(
+        F.col("event_type"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("c").cast("long").alias("c"),
+    )
+
+
 @query(
     "streaming_purchase_error_left",
     """
