@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from .text import token_count, tokens
 
@@ -148,12 +147,15 @@ def pack_sequences(
     doc_id = F.col(id_col)
     # Three consumers read this projection (min/max probe, phase-1
     # cumsum, phase-2 totals) and Spark does not reuse the exchange
-    # across them — without a persist that is three scans of the full
-    # text. The projection is two longs per document (no text), so
-    # caching it trades O(16 bytes × docs) memory/disk for two scans.
+    # across them — without materialization that is three scans of the
+    # full text. The projection is two longs per document (no text), so
+    # storing it trades O(16 bytes × docs) memory/disk for two scans.
+    # Eager localCheckpoint, not persist: the return is lazy so a
+    # persist could never be unpersisted and would accumulate
+    # CacheManager entries per call.
     base = df.select(
         doc_id, token_count(F.col(text_col)).alias("n_tokens")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     hi_lo = base.agg(
         F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi")
     )

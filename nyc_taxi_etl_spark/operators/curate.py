@@ -20,15 +20,14 @@ Scale posture (100 TB): stage order is the whole point — quality filter
 and exact dedup shrink the corpus before the expensive shingle/minhash
 pass; LSH keeps candidate generation sub-quadratic; component finding
 never materializes the graph on the driver. The surviving corpus is
-persisted once because two downstream subtrees (pair generation and the
-final anti-join) both consume it.
+materialized once (eager localCheckpoint) because two downstream
+subtrees (pair generation and the final anti-join) both consume it.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from .dedup import connected_components, minhash_lsh_pairs
 from .text import fingerprint, quality_score
@@ -53,9 +52,14 @@ def curate_documents(
 
     fp = passed.withColumn("fingerprint", fingerprint(F.col(text_col)))
     keeper_ids = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    exact_kept = fp.join(keeper_ids, ["fingerprint", id_col], "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the exact-kept frame feeds both the LSH pair stage and the final
+    # anti-join; eager localCheckpoint, not persist: the return is lazy
+    # so a persist could never be unpersisted and would accumulate
+    # CacheManager entries per call (blocks spill to disk and are
+    # ContextCleaner-released when the frame is unreferenced)
+    exact_kept = fp.join(
+        keeper_ids, ["fingerprint", id_col], "left_semi"
+    ).localCheckpoint(eager=True)
 
     pairs = minhash_lsh_pairs(
         exact_kept,
@@ -106,10 +110,11 @@ def curation_audit(
         fp.groupBy("fingerprint").agg(F.min(id_col).alias("ex_keeper")),
         "fingerprint",
     ).select(id_col, "ex_keeper")
+    # eager localCheckpoint, not persist — see curate_documents above
     exact_kept = (
         fp.join(ex, id_col)
         .filter(F.col(id_col) == F.col("ex_keeper"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     pairs = minhash_lsh_pairs(
         exact_kept,

@@ -888,7 +888,12 @@ def part_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders; marginals broadcast."""
     li = t(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    items = items.persist()  # shared by pairs, marginals, and N
+    # shared by pairs, marginals, and N — eager localCheckpoint, not
+    # persist (same class as the r6 ngram-candidates fix): the return
+    # is lazy so a persist could never be unpersisted and would
+    # accumulate CacheManager entries per bench/oracle call; the
+    # checkpoint blocks are ContextCleaner-released when unreferenced
+    items = items.localCheckpoint(eager=True)
     n_orders = items.agg(
         F.count_distinct("l_orderkey").cast("double").alias("n")
     )

@@ -91,7 +91,11 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = docs.groupBy("lang", "source").agg(
         F.count("*").cast("double").alias("o")
     )
-    obs = obs.persist()  # marginals + cells share it
+    # marginals + cells share it — eager localCheckpoint, not persist
+    # (same class as the r6 ngram-candidates fix): the return is lazy
+    # so a persist could never be unpersisted and would accumulate
+    # CacheManager entries per bench/oracle call
+    obs = obs.localCheckpoint(eager=True)
     langs = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
     srcs = obs.groupBy("source").agg(F.sum("o").alias("cs"))
     n = obs.agg(F.sum("o").alias("n"))

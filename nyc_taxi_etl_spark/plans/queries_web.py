@@ -204,7 +204,11 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, w in enumerate(_BM25_TERMS)
         ],
     )
-    per_doc = per_doc.persist()  # shared by stats, dfreq, and scoring
+    # shared by stats, dfreq, and scoring — eager localCheckpoint, not
+    # persist (same class as the r6 ngram-candidates fix): the return
+    # is lazy so a persist could never be unpersisted and would
+    # accumulate CacheManager entries per bench/oracle call
+    per_doc = per_doc.localCheckpoint(eager=True)
     stats = per_doc.agg(
         F.avg("dl").alias("avgdl"),
         *[

@@ -299,16 +299,56 @@ def test_global_sequence_rejects_column_collisions(spark):
     assert [r["rownum"] for r in out.orderBy("id").collect()] == [1, 2, 3, 4, 5]
 
 
-def test_value_psi_drift_leaves_no_cached_frames(spark):
-    """r7 self-audit: the PSI entry's two bin tables used to be
+@pytest.mark.parametrize(
+    "entry",
+    [
+        "value_psi_drift",  # two <=10-row bin tables (r7 self-audit)
+        "part_basket_affinity",  # distinct (order, part) item frame
+        "bm25_scores",  # per-doc tf table shared by 3 subtrees
+        "lang_source_chisq",  # observed-cell table shared by marginals
+        "curate_documents",  # exact-kept corpus shared by LSH + anti-join
+        "doc_chunks_packed",  # (id, n_tokens) projection, 3 consumers
+    ],
+)
+def test_entry_leaves_no_cached_frames(spark, entry):
+    """r7 self-audit: these entries' shared subframes used to be
     persist()ed with no unpersist — the same cache-leak class as the
-    r6 ngram-candidates advice. Now eager localCheckpoints: repeated
-    calls must not accumulate CacheManager entries."""
+    r6 ngram-candidates advice (the entry returns a LAZY frame, so an
+    in-entry persist can never be released and CacheManager entries
+    accumulate per bench/oracle call). Now eager localCheckpoints:
+    repeated calls must not accumulate CacheManager entries."""
     from nyc_taxi_etl_spark.plans import QUERIES_EXTRA, QUERIES
 
-    fn = {**QUERIES, **QUERIES_EXTRA}["value_psi_drift"]
+    fn = {**QUERIES, **QUERIES_EXTRA}[entry]
     cm = spark._jsparkSession.sharedState().cacheManager()
     before_empty = cm.isEmpty()
     for _ in range(2):
         fn(spark, "/root/testdata/sf0.001").count()
     assert cm.isEmpty() or not before_empty
+
+
+def test_no_entry_level_persist_without_release():
+    """Static guard for the whole leak class: no plans/ module and no
+    operator on a lazy-return path may call .persist() — every
+    multi-consumer subframe must use an eager localCheckpoint (blocks
+    are ContextCleaner-released when the frame is unreferenced) or be
+    released in-function. Operators that DO materialize eagerly and
+    unpersist in-function are listed explicitly."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "nyc_taxi_etl_spark"
+    # graph.py unpersists after its iterative loops; versioned.py
+    # persists inside eager write paths and unpersists in finally.
+    allowed = {"operators/graph.py", "sources/versioned.py"}
+    offenders = []
+    for py in root.rglob("*.py"):
+        rel = str(py.relative_to(root))
+        if rel in allowed:
+            continue
+        if re.search(r"\.persist\(", py.read_text()):
+            offenders.append(rel)
+    assert offenders == [], (
+        f"persist() without a release path in {offenders}; use an eager "
+        "localCheckpoint (or unpersist in-function) instead"
+    )
