@@ -135,6 +135,10 @@ EXTENSION = [
     # r7: the lossless prefix-filtered set-similarity join — benched so
     # a regression in its postings truncation shows round-over-round
     "ppjoin_near_pairs",
+    # r7: the two new blocking/frontier operators (sorted-neighborhood
+    # banded equi-join; bucketed two-phase windowed skyline)
+    "part_name_linkage",
+    "part_price_skyline",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

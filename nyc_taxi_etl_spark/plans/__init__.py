@@ -18,6 +18,7 @@ from . import queries_sql  # noqa: F401  (registers recursive-CTE / lateral SQL 
 from . import queries_seasonal  # noqa: F401  (registers decomposition/MAD/collocations)
 from . import queries_pysource  # noqa: F401  (registers Python Data Source API entries)
 from . import queries_tpch  # noqa: F401  (registers the remaining TPC-H query shapes)
+from . import queries_linkage  # noqa: F401  (registers sorted-neighborhood linkage + skyline)
 
 # --------------------------------------------------------------------------
 # Driver-window rotation (round 6, VERDICT r5 task #3).

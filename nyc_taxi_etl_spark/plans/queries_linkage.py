@@ -1,0 +1,144 @@
+"""Record-linkage blocking and Pareto-frontier selection entries.
+
+Two operator families the catalog did not yet carry, both classic
+published operators re-expressed on Spark's scale paths:
+
+* ``part_name_linkage`` — sorted-neighborhood record linkage
+  (Hernández & Stolfo, SIGMOD 1995): the windowed-adjacency blocker
+  that complements the engine's content-hash blockers (shingle LSH /
+  q-gram blocking) on SHORT strings, at a guaranteed O(n·w) pair
+  budget. Reference intent: the reference's pandas scripts dedup
+  zone/vendor lookup rows by exact name match
+  (``scripts/analytics_pandas.py:30-71`` candidate matching); the
+  sorted neighborhood is the master-data generalization that also
+  finds the near-matches.
+* ``part_price_skyline`` — the 2-D skyline operator (Börzsönyi,
+  Kossmann, Stocker, ICDE 2001): "no part is both cheaper and
+  bigger" — dominance analysis, computed windowed (O(n log n)), never
+  as the O(n²) dominance self-join.
+
+Both carry full DuckDB oracles (the oracle keeps the textbook
+formulation — an explicit band join / a direct windowed dominance
+test — so the Spark scale path is verified against the published
+semantics, not against itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.neighborhood import sorted_neighborhood_pairs
+from ..operators.skyline import skyline_2d
+from .queries import query, t
+
+_LINKAGE_WINDOW = 5
+_LINKAGE_MAX_DIST = 2
+
+
+@query(
+    "part_name_linkage",
+    f"""
+    WITH s AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part)
+    SELECT CAST(a.p_partkey AS BIGINT) AS part_a,
+           CAST(b.p_partkey AS BIGINT) AS part_b,
+           a.p_name AS name_a,
+           b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS name_dist
+    FROM s a JOIN s b
+      ON b.rn > a.rn AND b.rn <= a.rn + {_LINKAGE_WINDOW}
+    WHERE levenshtein(a.p_name, b.p_name) <= {_LINKAGE_MAX_DIST}
+    """,
+    extra=True,
+)
+def part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage over part names: candidate
+    duplicate-entity pairs whose names sort within 5 positions of
+    each other and agree within edit distance 2 — the
+    merge/purge blocking strategy (Hernández & Stolfo, SIGMOD'95).
+
+    Why another blocker: shingle-LSH (minhash_lsh_near_pairs) and
+    q-gram blocking (fuzzy_near_pairs) need shared n-grams to collide,
+    which degrades on SHORT strings like names and codes; sorted
+    adjacency exploits lexicographic locality instead and its pair
+    budget is exactly n·w no matter how skewed the values are.
+
+    Scale: the global order comes from global_sequence (range exchange
+    + driver prefix-sum — no single-partition row_number); the band
+    predicate rides an exploded two-key EQUI-join (see
+    operators/neighborhood.py); levenshtein is the JVM built-in.
+    The oracle keeps the textbook formulation (row_number + band
+    join), so the banded equi-join is verified against the published
+    semantics."""
+    parts = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = sorted_neighborhood_pairs(
+        parts, ["p_name", "p_partkey"], window=_LINKAGE_WINDOW
+    )
+    dist = F.levenshtein(F.col("a_p_name"), F.col("b_p_name"))
+    return (
+        pairs.withColumn("name_dist", dist.cast("long"))
+        .filter(F.col("name_dist") <= _LINKAGE_MAX_DIST)
+        .select(
+            F.col("a_p_partkey").cast("long").alias("part_a"),
+            F.col("b_p_partkey").cast("long").alias("part_b"),
+            F.col("a_p_name").alias("name_a"),
+            F.col("b_p_name").alias("name_b"),
+            "name_dist",
+        )
+    )
+
+
+@query(
+    "part_price_skyline",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
+             CAST(p_size AS BIGINT) AS sz
+      FROM part),
+    m AS (
+      SELECT *,
+             max(sz) OVER (ORDER BY pc RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS cheap_max,
+             max(sz) OVER (PARTITION BY pc) AS same_max
+      FROM p)
+    SELECT CAST(p_partkey AS BIGINT) AS part_key,
+           p_name,
+           CAST(pc AS DOUBLE) / 100 AS retail_price,
+           sz AS p_size
+    FROM m
+    WHERE sz = same_max AND sz > coalesce(cheap_max, -1)
+    """,
+    extra=True,
+)
+def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The price/size Pareto frontier of the part catalog: every part
+    for which no other part is at-least-as-cheap AND at-least-as-big
+    (one strictly better) — the skyline operator (Börzsönyi et al.,
+    ICDE 2001), the shape behind every "best tradeoff" shortlist.
+
+    Scale: computed by the bucketed two-phase windowed identity in
+    operators/skyline.py — a partitioned RANGE window within fixed
+    price buckets plus a bucket-grain prefix max broadcast back —
+    never the O(n²) dominance self-join and never an unpartitioned
+    data-sized window. Price compares in exact integer cents (catalog
+    convention), so the frontier is boundary-stable cross-engine.
+    The oracle keeps the single-window textbook form."""
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("part_key"),
+        "p_name",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    sky = skyline_2d(p, "price_cents", "p_size", bucket_width=5000)
+    return sky.select(
+        "part_key",
+        "p_name",
+        (F.col("price_cents").cast("double") / 100).alias("retail_price"),
+        "p_size",
+    )

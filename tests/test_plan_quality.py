@@ -414,3 +414,38 @@ def test_completing_tpch_shapes_plan_posture(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_skyline_windows_partitioned_bucket_grain_bounded(spark):
+    """part_price_skyline exists to avoid both skyline traps: the
+    O(n²) dominance self-join (no cartesian/BNLJ anywhere) and the
+    unpartitioned data-sized RANGE window. The data-sized windows are
+    partitioned (by _sky_bucket / by the price value); the ONLY
+    SinglePartition exchange is the bucket-GRAIN prefix-max window,
+    which is bounded metadata (value-range / bucket_width rows) and
+    sits above a map-side partial max, so the global exchange moves
+    one row per (task, bucket), never the part table."""
+    plan = _plan(spark, "part_price_skyline")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("SinglePartition") == 1, plan
+    assert "partial_max" in plan or "partial" in plan.lower(), plan
+    # the per-row windows carry a partition spec (never a global sort
+    # of the data): every Window's partition list is non-empty except
+    # the bucket-grain one, which orders by _sky_bucket
+    assert "_sky_bucket" in plan
+
+
+def test_sorted_neighborhood_banded_equijoin(spark):
+    """part_name_linkage's band predicate must ride a shuffled
+    EQUI-join on the exploded band key — never a cross join, a
+    broadcast nested loop, or a window: the O(n·w) pair budget is the
+    operator's whole contract. global_sequence supplies the order, so
+    no Window operator and no SinglePartition exchange appear at all
+    (the range exchange lives inside the pinned checkpoint)."""
+    plan = _plan(spark, "part_name_linkage")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "_snb_g" in plan  # the band key IS the join key
