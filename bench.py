@@ -139,6 +139,7 @@ EXTENSION = [
     # banded equi-join; bucketed two-phase windowed skyline)
     "part_name_linkage",
     "part_price_skyline",
+    "part_entity_resolution",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

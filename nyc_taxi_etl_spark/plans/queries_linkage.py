@@ -1,7 +1,8 @@
-"""Record-linkage blocking and Pareto-frontier selection entries.
+"""Record-linkage blocking, golden-record entity resolution, and
+Pareto-frontier selection entries.
 
-Two operator families the catalog did not yet carry, both classic
-published operators re-expressed on Spark's scale paths:
+Operator families the catalog did not yet carry, classic published
+operators re-expressed on Spark's scale paths:
 
 * ``part_name_linkage`` — sorted-neighborhood record linkage
   (Hernández & Stolfo, SIGMOD 1995): the windowed-adjacency blocker
@@ -12,12 +13,15 @@ published operators re-expressed on Spark's scale paths:
   (``scripts/analytics_pandas.py:30-71`` candidate matching); the
   sorted neighborhood is the master-data generalization that also
   finds the near-matches.
+* ``part_entity_resolution`` — the full merge/purge pipeline:
+  blocking → match → connected components → golden-record
+  survivorship, composed from the standalone operators.
 * ``part_price_skyline`` — the 2-D skyline operator (Börzsönyi,
   Kossmann, Stocker, ICDE 2001): "no part is both cheaper and
   bigger" — dominance analysis, computed windowed (O(n log n)), never
   as the O(n²) dominance self-join.
 
-Both carry full DuckDB oracles (the oracle keeps the textbook
+All carry full DuckDB oracles (the oracle keeps the textbook
 formulation — an explicit band join / a direct windowed dominance
 test — so the Spark scale path is verified against the published
 semantics, not against itself).
@@ -28,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import connected_components
 from ..operators.neighborhood import sorted_neighborhood_pairs
 from ..operators.skyline import skyline_2d
 from .queries import query, t
@@ -141,4 +146,100 @@ def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         (F.col("price_cents").cast("double") / 100).alias("retail_price"),
         "p_size",
+    )
+
+
+def _er_sql() -> str:
+    from .queries_text import _closure_ctes
+
+    return f"""
+    WITH s AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part),
+    raw AS (
+      SELECT a.p_partkey AS pa, b.p_partkey AS pb
+      FROM s a JOIN s b
+        ON b.rn > a.rn AND b.rn <= a.rn + {_LINKAGE_WINDOW}
+      WHERE levenshtein(a.p_name, b.p_name) <= {_LINKAGE_MAX_DIST}),
+    edges AS MATERIALIZED (
+      SELECT pa AS a, pb AS b FROM raw
+      UNION ALL SELECT pb AS a, pa AS b FROM raw),
+    {_closure_ctes()},
+    lab AS (
+      SELECT p.p_partkey,
+             coalesce(c.component, p.p_partkey) AS entity_id
+      FROM part p LEFT JOIN comp c ON c.id = p.p_partkey)
+    SELECT CAST(l.entity_id AS BIGINT) AS entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT p.p_name) AS BIGINT) AS n_names,
+           arg_min(p.p_name, p.p_partkey) AS canonical_name,
+           min(CAST(round(p.p_retailprice * 100) AS BIGINT))
+             AS min_price_cents,
+           max(CAST(round(p.p_retailprice * 100) AS BIGINT))
+             AS max_price_cents
+    FROM lab l JOIN part p ON p.p_partkey = l.p_partkey
+    GROUP BY 1
+    """
+
+
+@query("part_entity_resolution", _er_sql(), extra=True)
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution with golden-record survivorship:
+    sorted-neighborhood blocking → edit-distance match → connected-
+    components entity clusters → one canonical row per entity. The
+    full merge/purge pipeline (Hernández & Stolfo) composed from the
+    engine's standalone operators, each individually oracle-checked.
+
+    Survivorship rules (the "golden record"): ``entity_id`` is the
+    MIN member key (the components operator's deterministic
+    representative), ``canonical_name`` the name of that min-key
+    member (min_by — no tie possible on a unique key), and the price
+    span is min/max in exact cents. Singletons (parts with no match
+    edge) survive as their own entity via the left join + coalesce.
+
+    On this catalog's synthetic vocabulary no two DISTINCT names sit
+    within edit distance 2, so entities here equal exact-name groups —
+    but the transitive closure is genuinely exercised: a 30-member
+    name group enters as a CHAIN of window-5 adjacencies, which
+    large-star/small-star must collapse across ~log rounds.
+
+    Scale: blocking is the O(n·w) banded equi-join; components never
+    hold driver-side graph state (≤2²⁰-edge small-graph short-circuit
+    under an explicit contract, large-star/small-star above); the
+    golden-record pass is ONE hash agg over the labeled parts. The
+    oracle replays the same pipeline textbook-form: band join +
+    hop/jump min-label closure (_closure_ctes) + the same
+    survivorship aggregate."""
+    parts = t(spark, sf_dir, "part")
+    pairs = sorted_neighborhood_pairs(
+        parts.select("p_partkey", "p_name"),
+        ["p_name", "p_partkey"],
+        window=_LINKAGE_WINDOW,
+    )
+    edges = pairs.filter(
+        F.levenshtein(F.col("a_p_name"), F.col("b_p_name"))
+        <= _LINKAGE_MAX_DIST
+    ).select(
+        F.col("a_p_partkey").alias("id_a"),
+        F.col("b_p_partkey").alias("id_b"),
+    )
+    comp = connected_components(edges)
+    labeled = parts.join(
+        comp.select(
+            F.col("node").alias("p_partkey"), F.col("component")
+        ),
+        "p_partkey",
+        "left",
+    ).withColumn(
+        "entity_id",
+        F.coalesce("component", "p_partkey").cast("long"),
+    )
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    return labeled.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.count_distinct("p_name").cast("long").alias("n_names"),
+        F.min_by("p_name", "p_partkey").alias("canonical_name"),
+        F.min(cents).alias("min_price_cents"),
+        F.max(cents).alias("max_price_cents"),
     )
