@@ -140,6 +140,8 @@ EXTENSION = [
     "part_name_linkage",
     "part_price_skyline",
     "part_entity_resolution",
+    # r7: five exact distinct-count aggs in one report
+    "order_line_fd_audit",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

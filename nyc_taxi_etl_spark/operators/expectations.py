@@ -41,6 +41,7 @@ __all__ = [
     "unique",
     "referential",
     "run_checks",
+    "fd_check",
 ]
 
 
@@ -200,3 +201,56 @@ def run_checks(df: DataFrame, checks: list) -> DataFrame:
     return res.withColumn(
         "passed", (F.col("n_violations") == 0).cast("long")
     )
+
+
+def fd_check(
+    df: DataFrame, fds: list[tuple[list[str], str]]
+) -> DataFrame:
+    """Functional-dependency audit: for each declared FD
+    ``lhs_cols → rhs_col``, does every LHS group determine exactly one
+    RHS value? The profiling primitive behind key discovery,
+    denormalization safety ("can I collapse this dim?"), and
+    dimensional-integrity monitoring — Deequ's uniqueness check is the
+    special case where LHS is the key and RHS is the whole row.
+
+    Returns one row per FD: ``(fd, n_groups, violating_groups,
+    max_rhs_variants, passed)`` — ``violating_groups`` counts LHS
+    groups seeing >1 distinct RHS value, ``max_rhs_variants`` the
+    worst group's variant count (how badly the FD fails, not just
+    whether), ``passed`` 1/0 with the vacuous-pass convention on
+    empty input.
+
+    Scale: each FD is ONE exact distinct-count aggregation (map-side
+    partial over the (lhs, rhs) projection — Catalyst plans
+    count(distinct) as the two-phase expand/merge) reduced to a 1-row
+    summary; the per-FD rows union. No joins, no windows, no collects.
+    """
+    if not fds:
+        raise ValueError("fd_check: fds must be non-empty")
+    out = []
+    for lhs, rhs in fds:
+        lhs = list(lhs)
+        if not lhs:
+            raise ValueError("fd_check: FD lhs must be non-empty")
+        label = f"{', '.join(lhs)} -> {rhs}"
+        per = df.groupBy(*lhs).agg(
+            F.count_distinct(F.col(rhs)).alias("_nd")
+        )
+        viol = F.coalesce(
+            F.sum((F.col("_nd") > 1).cast("long")), F.lit(0)
+        )
+        out.append(
+            per.agg(
+                F.lit(label).alias("fd"),
+                F.count("*").cast("long").alias("n_groups"),
+                viol.cast("long").alias("violating_groups"),
+                F.coalesce(F.max("_nd"), F.lit(0))
+                .cast("long")
+                .alias("max_rhs_variants"),
+                (viol == 0).cast("long").alias("passed"),
+            )
+        )
+    res = out[0]
+    for other in out[1:]:
+        res = res.unionByName(other)
+    return res

@@ -207,7 +207,13 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: blocking is the O(n·w) banded equi-join; components never
     hold driver-side graph state (≤2²⁰-edge small-graph short-circuit
     under an explicit contract, large-star/small-star above); the
-    golden-record pass is ONE hash agg over the labeled parts. The
+    golden-record pass is ONE hash agg over the labeled parts.
+    Measured (SCALING.md): sub-linear to sf1, α* 1.19 on sf1→sf10 —
+    n·log n by construction on THIS corpus, where every name group
+    (and with it the longest adjacency chain) grows 10× per SF and the
+    component rounds grow with log(chain); with duplicate-group sizes
+    independent of corpus size (the realistic master-data case) the
+    round count pins and the entry is linear. The
     oracle replays the same pipeline textbook-form: band join +
     hop/jump min-label closure (_closure_ctes) + the same
     survivorship aggregate."""

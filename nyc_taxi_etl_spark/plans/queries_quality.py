@@ -200,3 +200,88 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.explode(F.array(*rows)).alias("p")
     ).select("p.*")
+
+
+_FD_SQL = """
+    SELECT 'o_orderkey -> o_custkey' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS violating_groups,
+           CAST(coalesce(max(nd), 0) AS BIGINT) AS max_rhs_variants,
+           CAST(CASE WHEN coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0
+                END), 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+          FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'o_custkey -> o_orderpriority',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT),
+           CAST(coalesce(max(nd), 0) AS BIGINT),
+           CAST(CASE WHEN coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0
+                END), 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+    FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+          FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'l_orderkey, l_linenumber -> l_partkey',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT),
+           CAST(coalesce(max(nd), 0) AS BIGINT),
+           CAST(CASE WHEN coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0
+                END), 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+    FROM (SELECT l_orderkey, l_linenumber,
+                 count(DISTINCT l_partkey) AS nd
+          FROM lineitem GROUP BY 1, 2)
+    UNION ALL
+    SELECT 'l_orderkey -> l_returnflag',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT),
+           CAST(coalesce(max(nd), 0) AS BIGINT),
+           CAST(CASE WHEN coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0
+                END), 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+    FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nd
+          FROM lineitem GROUP BY 1)
+    UNION ALL
+    SELECT 'l_partkey -> l_suppkey',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT),
+           CAST(coalesce(max(nd), 0) AS BIGINT),
+           CAST(CASE WHEN coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0
+                END), 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+    FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
+          FROM lineitem GROUP BY 1)
+"""
+
+
+@query("order_line_fd_audit", _FD_SQL, extra=True)
+def order_line_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over orders+lineitem: five declared
+    FDs profiled in one report — the key-discovery / denormalization-
+    safety primitive (operators/expectations.py::fd_check). On this
+    synthetic data only ``o_orderkey → o_custkey`` holds; the report's
+    job is to SAY so with violation counts and the worst group's
+    variant count, not to assume the schema's nominal keys (notably,
+    (l_orderkey, l_linenumber) does NOT determine l_partkey here —
+    line numbers repeat within an order in the generator).
+
+    Scale: one exact distinct-count aggregation per FD (map-side
+    partial expand/merge), each reduced to a 1-row summary before the
+    union — no joins, no windows, nothing driver-side."""
+    od = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return ex.fd_check(
+        od,
+        [(["o_orderkey"], "o_custkey"), (["o_custkey"], "o_orderpriority")],
+    ).unionByName(
+        ex.fd_check(
+            li,
+            [
+                (["l_orderkey", "l_linenumber"], "l_partkey"),
+                (["l_orderkey"], "l_returnflag"),
+                (["l_partkey"], "l_suppkey"),
+            ],
+        )
+    )

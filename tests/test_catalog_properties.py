@@ -42,7 +42,9 @@ _GLOBAL_AGG = {"etl_filter_audit", "gopher_rule_funnel",
 # (an empty table vacuously passes every check / converts nobody)
 _EMPTY_REPORTS = {"lineitem_quality_report": 8, "event_funnel": 3,
                   # one zero-counted row per profiled column
-                  "lineitem_column_profile": 6}
+                  "lineitem_column_profile": 6,
+                  # one vacuous-pass row per declared FD (r7)
+                  "order_line_fd_audit": 5}
 # media queries synthesize their blobs (no media table in testdata),
 # and the Python-data-source entry GENERATES its corpus — input-
 # independent by design, so 'empty input' doesn't apply to them
