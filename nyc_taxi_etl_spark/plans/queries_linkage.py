@@ -47,7 +47,7 @@ _LINKAGE_MAX_DIST = 2
     WITH s AS (
       SELECT p_partkey, p_name,
              row_number() OVER (ORDER BY p_name, p_partkey) AS rn
-      FROM part)
+      FROM part WHERE p_name IS NOT NULL)
     SELECT CAST(a.p_partkey AS BIGINT) AS part_a,
            CAST(b.p_partkey AS BIGINT) AS part_b,
            a.p_name AS name_a,
@@ -77,8 +77,15 @@ def part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/neighborhood.py); levenshtein is the JVM built-in.
     The oracle keeps the textbook formulation (row_number + band
     join), so the banded equi-join is verified against the published
-    semantics."""
-    parts = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    semantics. Null names are excluded on BOTH sides: Spark sorts
+    nulls first, SQL row_number defaults nulls last — the silent
+    cross-engine order divergence the r6 AUC advice flagged — and a
+    null name has no linkage semantics anyway."""
+    parts = (
+        t(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .filter(F.col("p_name").isNotNull())
+    )
     pairs = sorted_neighborhood_pairs(
         parts, ["p_name", "p_partkey"], window=_LINKAGE_WINDOW
     )
@@ -103,7 +110,8 @@ def part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p_partkey, p_name,
              CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
              CAST(p_size AS BIGINT) AS sz
-      FROM part),
+      FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
     m AS (
       SELECT *,
              max(sz) OVER (ORDER BY pc RANGE BETWEEN UNBOUNDED PRECEDING
@@ -131,8 +139,13 @@ def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the O(n²) dominance self-join and never an unpartitioned
     data-sized window. Price compares in exact integer cents (catalog
     convention), so the frontier is boundary-stable cross-engine.
-    The oracle keeps the single-window textbook form."""
-    p = t(spark, sf_dir, "part").select(
+    The oracle keeps the single-window textbook form. Rows with a
+    NULL price or size are excluded on both sides — dominance is
+    undefined over unknowns, and Spark/SQL null-ordering conventions
+    differ."""
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    ).select(
         F.col("p_partkey").cast("long").alias("part_key"),
         "p_name",
         F.round(F.col("p_retailprice") * 100)
@@ -156,7 +169,7 @@ def _er_sql() -> str:
     WITH s AS (
       SELECT p_partkey, p_name,
              row_number() OVER (ORDER BY p_name, p_partkey) AS rn
-      FROM part),
+      FROM part WHERE p_name IS NOT NULL),
     raw AS (
       SELECT a.p_partkey AS pa, b.p_partkey AS pb
       FROM s a JOIN s b
@@ -218,8 +231,14 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop/jump min-label closure (_closure_ctes) + the same
     survivorship aggregate."""
     parts = t(spark, sf_dir, "part")
+    # null names are excluded from BLOCKING on both engines (Spark
+    # sorts nulls first, SQL row_number nulls last — the r6 AUC
+    # advice's divergence class); null-named parts still surface as
+    # singleton entities through the left join below
     pairs = sorted_neighborhood_pairs(
-        parts.select("p_partkey", "p_name"),
+        parts.select("p_partkey", "p_name").filter(
+            F.col("p_name").isNotNull()
+        ),
         ["p_name", "p_partkey"],
         window=_LINKAGE_WINDOW,
     )
