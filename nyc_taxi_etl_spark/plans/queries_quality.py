@@ -285,3 +285,70 @@ def order_line_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+
+
+_KANON_SQL = """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS n,
+             count(DISTINCT floor(c_acctbal / 1000)) AS l
+      FROM customer GROUP BY 1, 2),
+    ks AS (SELECT unnest([2, 5, 10, 25]) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+             AS rows_below_k,
+           CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(sum(n) AS DOUBLE) AS pct_rows_below_k,
+           CAST(min(n) AS BIGINT) AS min_group_size,
+           CAST(min(l) AS BIGINT) AS min_l_diversity
+    FROM g CROSS JOIN ks GROUP BY k
+"""
+
+
+@query("customer_k_anonymity", _KANON_SQL, extra=True)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    et al. 2006) over the customer table: with quasi-identifier
+    (mktsegment, nationkey) and sensitive attribute acctbal (bucketed
+    to $1000), how many re-identification groups fall below each k,
+    how many ROWS that exposes, and the worst group's sensitive-value
+    diversity. The release-gate report a governance pipeline runs
+    before publishing microdata or training extracts — the
+    counterpart of the row-level PII redaction in operators/redact.py
+    (redaction hides direct identifiers; this audits INDIRECT
+    re-identification).
+
+    Scale: one hash agg to the QI-group table (bounded by the QI
+    domain, metadata scale), exploded against the four declared k
+    thresholds and re-aggregated — the customer table is scanned
+    once; no joins, no windows, nothing driver-side."""
+    cu = t(spark, sf_dir, "customer")
+    sens = F.floor(F.col("c_acctbal") / F.lit(1000.0))
+    g = cu.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.count_distinct(sens).alias("l"),
+    )
+    ks = F.array([F.lit(k) for k in (2, 5, 10, 25)])
+    below = F.col("n") < F.col("k")
+    return (
+        g.select(F.explode(ks).alias("k"), "n", "l")
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(below.cast("long")).cast("long").alias("groups_below_k"),
+            F.sum(F.when(below, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("rows_below_k"),
+            (
+                F.sum(
+                    F.when(below, F.col("n")).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("n").cast("double")
+            ).alias("pct_rows_below_k"),
+            F.min("n").cast("long").alias("min_group_size"),
+            F.min("l").cast("long").alias("min_l_diversity"),
+        )
+        .withColumn("k", F.col("k").cast("long"))
+    )
