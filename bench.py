@@ -142,6 +142,8 @@ EXTENSION = [
     "part_entity_resolution",
     # r7: five exact distinct-count aggs in one report
     "order_line_fd_audit",
+    # r7: Holt level+trend stateful twin (bit-exact list_reduce oracle)
+    "streaming_holt_trend",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

@@ -554,3 +554,92 @@ def streaming_purchase_error_left(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         "append",
     )
+
+
+@query(
+    "streaming_holt_trend",
+    """
+    WITH per_user AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY 1
+    ),
+    folded AS (
+      SELECT user_id, len(vals) AS n_scored,
+             list_reduce(
+               list_prepend(
+                 [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE],
+                 list_transform(vals, v ->
+                   [v, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE])),
+               -- acc = [level, trend, max_res, n]; LIST state, not a
+               -- struct: DuckDB's executed (non-constant-folded)
+               -- list_reduce REBINDS struct fields sequentially inside
+               -- struct_pack, so a field assigned later reads the
+               -- UPDATED earlier field — fatal for Holt, whose level
+               -- and trend both need the pre-update pair (a genuine
+               -- 2-cycle, unlike the EWMA fold where var->mean is
+               -- one-directional and field ordering sufficed). List
+               -- construction has no named fields to rebind; measured
+               -- bit-exact against the Python recurrence.
+               (acc, e) -> [
+                 CASE WHEN acc[4] = 0.0::DOUBLE THEN e[1]
+                      ELSE 0.3::DOUBLE * e[1]
+                           + (1.0::DOUBLE - 0.3::DOUBLE)
+                             * (acc[1] + acc[2]) END,
+                 CASE WHEN acc[4] = 0.0::DOUBLE THEN 0.0::DOUBLE
+                      ELSE 0.1::DOUBLE
+                           * ((0.3::DOUBLE * e[1]
+                               + (1.0::DOUBLE - 0.3::DOUBLE)
+                                 * (acc[1] + acc[2]))
+                              - acc[1])
+                           + (1.0::DOUBLE - 0.1::DOUBLE) * acc[2] END,
+                 greatest(acc[3],
+                     CASE WHEN acc[4] = 0.0::DOUBLE THEN 0.0::DOUBLE
+                          ELSE abs(e[1] - (acc[1] + acc[2])) END),
+                 acc[4] + 1.0::DOUBLE]
+             ) AS s
+      FROM per_user
+    )
+    SELECT user_id, n_scored::BIGINT AS n_scored,
+           s[1] AS last_level, s[2] AS last_trend,
+           s[3] AS max_abs_residual
+    FROM folded
+    """,
+    extra=True,
+)
+def streaming_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double exponential smoothing (level + trend,
+    Holt 1957) through the arbitrary-state streaming API — the
+    trend-aware sibling of streaming_ewma_anomalies: an EWMA lags a
+    steadily-trending series forever (and a z-score flags the trend
+    itself); Holt folds the slope into the one-step-ahead forecast, so
+    the residual measures surprise AGAINST the trend. Rolled up per
+    user: final level/trend (the per-key forecast state a serving
+    layer would read) and the max one-step-ahead absolute residual.
+
+    FULL oracle, same discipline as the EWMA fold: the recurrence
+    replays as a DuckDB list_reduce over the (ts, event_id)-ordered
+    per-user values with every float op in the identical IEEE order.
+    One hard-won difference: the accumulator is a LIST, not a struct —
+    DuckDB's executed list_reduce rebinds struct_pack fields
+    SEQUENTIALLY (a later field reads the UPDATED earlier field),
+    which the EWMA fold survives by ordering its one-directional
+    var→mean dependency but which breaks Holt's genuine level↔trend
+    2-cycle; list construction has no named fields to rebind (see the
+    oracle's inline comment; measured bit-exact against the Python
+    recurrence). Level, trend, and the unrounded max residual are
+    bit-identical cross-engine. Stream-vs-replay parity incl.
+    cross-micro-batch state carry is pinned in
+    tests/test_stateful_streaming.py.
+
+    Scale: O(1) state per user (two doubles + a count); one shuffle
+    on user_id; Arrow-batched per-key fold (chunks concatenated then
+    sorted once — see _ordered_batch)."""
+    from ..streaming.stateful import holt_trend_stream
+
+    out = _drain(holt_trend_stream(_events_stream(spark, sf_dir)), "append")
+    return out.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.max_by("level_after", "n_after").alias("last_level"),
+        F.max_by("trend_after", "n_after").alias("last_trend"),
+        F.max("abs_residual").alias("max_abs_residual"),
+    )

@@ -37,7 +37,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["EwmaAnomalyProcessor", "ewma_anomaly_stream", "ewma_replay_pandas"]
+__all__ = [
+    "EwmaAnomalyProcessor",
+    "ewma_anomaly_stream",
+    "ewma_replay_pandas",
+    "HoltTrendProcessor",
+    "holt_trend_stream",
+    "holt_replay_pandas",
+]
 
 _OUT_SCHEMA = StructType(
     [
@@ -231,3 +238,173 @@ def ewma_replay_pandas(
                 1 if (pre_n >= min_periods and dev > threshold) else 0,
             )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend twin (double exponential smoothing, Holt 1957)
+# ---------------------------------------------------------------------------
+
+_HOLT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_str", StringType()),
+        StructField("value", DoubleType()),
+        StructField("forecast_before", DoubleType()),
+        StructField("abs_residual", DoubleType()),
+        StructField("level_after", DoubleType()),
+        StructField("trend_after", DoubleType()),
+        StructField("n_after", LongType()),
+    ]
+)
+
+_HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _holt_step(
+    level: float, trend: float, n: int, x: float, alpha: float, beta: float
+):
+    """One Holt update: one-step-ahead forecast + residual against the
+    PRE-update state, then fold x into (level, trend). The first
+    observation initializes level (trend 0) and scores residual 0 —
+    there is no forecast to be wrong yet."""
+    if n == 0:
+        return x, 0.0, x, 0.0, 1
+    forecast = level + trend
+    res = abs(x - forecast)
+    new_level = alpha * x + (1.0 - alpha) * (level + trend)
+    new_trend = beta * (new_level - level) + (1.0 - beta) * trend
+    return forecast, res, new_level, new_trend, n + 1
+
+
+class HoltTrendProcessor(StatefulProcessor):
+    """Per-key double exponential smoothing (level + trend) with
+    one-step-ahead forecast residuals — the trend-aware sibling of the
+    EWMA detector (an EWMA lags a steadily-trending series forever and
+    flags the trend itself; Holt folds the slope into the forecast).
+    Same dual-backend contract and chunk-ordering discipline."""
+
+    def __init__(self, alpha: float = 0.3, beta: float = 0.1):
+        self.alpha = alpha
+        self.beta = beta
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.state = handle.getValueState("holt", _HOLT_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        level, trend, n = (
+            self.state.get() if self.state.exists() else (0.0, 0.0, 0)
+        )
+        out = []
+        batch = _ordered_batch(rows)
+        if len(batch):
+            for r in batch.itertuples(index=False):
+                x = float(r.value)
+                forecast, res, level, trend, n = _holt_step(
+                    level, trend, n, x, self.alpha, self.beta
+                )
+                out.append(
+                    (
+                        int(key[0]),
+                        int(r.event_id),
+                        r.ts.strftime("%Y-%m-%d %H:%M:%S"),
+                        x,
+                        forecast,
+                        res,
+                        level,
+                        trend,
+                        n,
+                    )
+                )
+        self.state.update((level, trend, n))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in _HOLT_OUT_SCHEMA.fields]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def holt_trend_stream(
+    events: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    use_transform_with_state: bool | None = None,
+) -> DataFrame:
+    """Wire the Holt smoother onto a streaming events frame (expects
+    user_id, event_id, ts, value) — same backend gate as
+    :func:`ewma_anomaly_stream`: transformWithStateInPandas when
+    protobuf is present, applyInPandasWithState otherwise."""
+    src = events.select("user_id", "event_id", "ts", "value")
+    if use_transform_with_state is None:
+        use_transform_with_state = has_transform_with_state()
+    if use_transform_with_state:
+        return src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=HoltTrendProcessor(alpha, beta),
+            outputStructType=_HOLT_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+
+    def fn(key, pdfs, state):
+        level, trend, n = state.get if state.exists else (0.0, 0.0, 0)
+        out = []
+        batch = _ordered_batch(pdfs)
+        if len(batch):
+            for r in batch.itertuples(index=False):
+                x = float(r.value)
+                forecast, res, level, trend, n = _holt_step(
+                    level, trend, n, x, alpha, beta
+                )
+                out.append(
+                    (
+                        int(key[0]),
+                        int(r.event_id),
+                        r.ts.strftime("%Y-%m-%d %H:%M:%S"),
+                        x,
+                        forecast,
+                        res,
+                        level,
+                        trend,
+                        n,
+                    )
+                )
+        state.update((level, trend, n))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in _HOLT_OUT_SCHEMA.fields]
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_HOLT_OUT_SCHEMA,
+        stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def holt_replay_pandas(
+    rows: list, alpha: float = 0.3, beta: float = 0.1
+) -> dict:
+    """Reference replay over (user_id, event_id, ts, value) tuples —
+    parity oracle: per-event (rounded residual) plus each user's final
+    (level, trend, n)."""
+    by_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        by_user.setdefault(r[0], []).append(r)
+    events, finals = {}, {}
+    for uid, evs in by_user.items():
+        level, trend, n = 0.0, 0.0, 0
+        for _, event_id, ts, value in evs:
+            forecast, res, level, trend, n = _holt_step(
+                level, trend, n, float(value), alpha, beta
+            )
+            events[event_id] = round(res, 9)
+        finals[uid] = (level, trend, n)
+    return {"events": events, "finals": finals}

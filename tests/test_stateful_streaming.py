@@ -134,3 +134,90 @@ def test_multi_chunk_key_folds_in_global_order():
     assert batch["event_id"].tolist() == [0, 1, 2, 3, 7, 4, 5, 6]
     assert _ordered_batch(iter([mk([])])).empty
     assert _ordered_batch(iter([])).empty
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, None])
+def test_holt_stream_matches_batch_replay(spark, tmp_path, files_per_trigger):
+    """Holt level+trend twin: the streamed per-event residuals and the
+    final (level, trend) state must reproduce the exact batch
+    recurrence replay — with maxFilesPerTrigger=1 the state crosses a
+    real micro-batch boundary. The staged series TRENDS (slope +1 per
+    step with a small wiggle), the case an EWMA-based detector
+    structurally lags."""
+    from nyc_taxi_etl_spark.streaming.stateful import (
+        holt_replay_pandas,
+        holt_trend_stream,
+    )
+
+    rows1, rows2 = [], []
+    for uid in range(4):
+        for i in range(15):
+            val = float(uid * 100 + i) + (0.3 if i % 2 else -0.3)
+            rows1.append((uid, uid * 1000 + i, 1_700_000_000 + i * 60, val))
+        for i in range(15, 30):
+            val = float(uid * 100 + i) + (0.3 if i % 2 else -0.3)
+            if i == 20:
+                val += 50.0  # level shock against the trend forecast
+            rows2.append((uid, uid * 1000 + i, 1_700_000_000 + i * 60, val))
+
+    def write(rows, name):
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[2] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / name))
+
+    write(rows1, "batch-000.parquet")
+    write(rows2, "batch-001.parquet")
+    rows = rows1 + rows2
+
+    schema = spark.read.parquet(str(tmp_path)).schema
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    sdf = reader.parquet(str(tmp_path))
+
+    out = holt_trend_stream(sdf)
+    name = "holt_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table(name).collect()
+    got_events = {r.event_id: round(r.abs_residual, 9) for r in emitted}
+    got_finals = {}
+    for r in emitted:
+        cur = got_finals.get(r.user_id)
+        if cur is None or r.n_after > cur[2]:
+            got_finals[r.user_id] = (r.level_after, r.trend_after, r.n_after)
+
+    want = holt_replay_pandas(rows)
+    assert len(got_events) == len(want["events"]) == 120
+    ev_mismatch = {
+        k: (got_events[k], want["events"][k])
+        for k in want["events"]
+        if got_events[k] != want["events"][k]
+    }
+    assert not ev_mismatch, dict(list(ev_mismatch.items())[:5])
+    assert got_finals == want["finals"]
+    # the level shock at i=20 must be each user's max residual: Holt
+    # tracks the trend, so steady slope is NOT surprising but the
+    # shock is
+    for uid in range(4):
+        shock = got_events[uid * 1000 + 20]
+        others = [
+            v for k, v in got_events.items()
+            if k // 1000 == uid and k != uid * 1000 + 20
+        ]
+        assert shock > max(others)
