@@ -93,7 +93,16 @@ def skyline_2d(
         .orderBy(minimize_col)
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    w_same = Window.partitionBy(minimize_col)
+    # same-minimize peers via a RANGE (0, 0) frame on the SAME window
+    # spec: the frame is exactly the rows with equal minimize value
+    # (which always share a bucket), so both maxima come out of ONE
+    # Window operator over one exchange — a partitionBy(minimize_col)
+    # formulation would add a second hash exchange for nothing
+    w_same = (
+        Window.partitionBy("_sky_bucket")
+        .orderBy(minimize_col)
+        .rangeBetween(0, 0)
+    )
     e = b.withColumn("_sky_prev", F.max(mx).over(w_prev)).withColumn(
         "_sky_same", F.max(mx).over(w_same)
     )

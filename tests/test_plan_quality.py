@@ -434,6 +434,10 @@ def test_skyline_windows_partitioned_bucket_grain_bounded(spark):
     # of the data): every Window's partition list is non-empty except
     # the bucket-grain one, which orders by _sky_bucket
     assert "_sky_bucket" in plan
+    # window fusion: the same-price max rides a RANGE(0,0) frame on
+    # the SAME (bucket, price) window spec — a partitionBy(price)
+    # formulation would add a second data-sized hash exchange
+    assert "hashpartitioning(price_cents" not in plan, plan
 
 
 def test_sorted_neighborhood_banded_equijoin(spark):
