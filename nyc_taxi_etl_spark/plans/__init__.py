@@ -109,3 +109,32 @@ for _n in _PROMOTE_R7:
     if _n in ORACLE_EXTRA:
         ORACLE[_n] = ORACLE_EXTRA.pop(_n)
 assert len(QUERIES) == 50, len(QUERIES)
+
+# --------------------------------------------------------------------------
+# Round-7 continuation rotation: promote the two marquee operators built
+# after the main r7 swap — the golden-record entity-resolution pipeline
+# and the Holt level+trend stateful twin (its list_reduce oracle is
+# bit-exact, so a driver row is meaningful) — so CORRECTNESS_r07 stamps
+# them. Demotions keep every family green: dedup retains
+# exact/minhash/components/curate/semantic/fuzzy (ngram_jaccard demoted,
+# its inverted-index shape also exercised by winnow + fuzzy in the local
+# gate); the mixture family's window slot passes to the promoted
+# temperature_mixture_counts (same operator family, superset shape).
+# Demoted entries remain fully oracle-tested in the local suite.
+_PROMOTE_R7B = [
+    "part_entity_resolution",
+    "streaming_holt_trend",
+]
+_DEMOTE_R7B = [
+    "ngram_jaccard_near_pairs",
+    "mixture_source_counts",
+]
+for _n in _DEMOTE_R7B:
+    QUERIES_EXTRA[_n] = QUERIES.pop(_n)
+    if _n in ORACLE:
+        ORACLE_EXTRA[_n] = ORACLE.pop(_n)
+for _n in _PROMOTE_R7B:
+    QUERIES[_n] = QUERIES_EXTRA.pop(_n)
+    if _n in ORACLE_EXTRA:
+        ORACLE[_n] = ORACLE_EXTRA.pop(_n)
+assert len(QUERIES) == 50, len(QUERIES)
