@@ -65,6 +65,9 @@ def sorted_neighborhood_pairs(
                 f"collides with an internal column"
             )
     seq = global_sequence(df, order_cols, out_col="_snb_seq")
+    # long/int division promotes to DOUBLE; exact while seq < 2^53,
+    # comfortably above any real row count (and global_sequence's own
+    # 2^33-per-partition contract trips long before the mantissa does)
     g = F.floor(F.col("_snb_seq") / F.lit(window))
     # left side: each row joins buckets g and g+1 (covers every b with
     # seq in (a.seq, a.seq + window])
