@@ -144,6 +144,8 @@ EXTENSION = [
     "order_line_fd_audit",
     # r7: Holt level+trend stateful twin (bit-exact list_reduce oracle)
     "streaming_holt_trend",
+    # r7: incremental join-view maintenance (3 interleaved append pairs)
+    "customer_order_join_matview",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

@@ -1475,3 +1475,66 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "customer_order_join_matview",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    extra=True,
+)
+def customer_order_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized JOIN view, driver-verified
+    end-to-end: customers and orders each arrive as three interleaved
+    append batches into VersionedTables; after every batch pair the
+    MaterializedJoin refresh appends ONLY the delta-rule rows
+    (ΔA ⋈ B_new ∪ A_old ⋈ ΔB — sources/matview.py, with A_old a
+    time-travel read at the view's recorded watermark), so each
+    refresh from round two on exercises the two-sided delta INCLUDING
+    the ΔA⋈ΔB cross term (batch-i customers matching batch-i orders).
+    The final view rolled up per market segment must hash-match the
+    oracle's one-shot join + GROUP BY over everything.
+
+    Scale: this is the 100 TB denormalization-maintenance pattern —
+    refresh cost follows the append batch joined against one side
+    (bucket that side on the key and the probe co-locates), never the
+    full A ⋈ B recompute; revenue in exact integer cents so append
+    order can never perturb the total."""
+    import tempfile
+
+    from ..sources.matview import MaterializedJoin
+    from ..sources.versioned import VersionedTable
+
+    cu = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    od = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("o_cents"),
+    )
+    left = VersionedTable(spark, tempfile.mkdtemp(prefix="jmv_cust_"))
+    right = VersionedTable(spark, tempfile.mkdtemp(prefix="jmv_ord_"))
+    mv = MaterializedJoin(
+        left, right, tempfile.mkdtemp(prefix="jmv_view_"), ["c_custkey"]
+    )
+    for i in range(3):
+        cb = cu.filter(F.col("c_custkey") % 3 == i)
+        ob = od.filter(F.col("o_orderkey") % 3 == i)
+        if i == 0:
+            left.write(cb, operation="append")
+            right.write(ob, operation="append")
+        else:
+            left.append(cb)
+            right.append(ob)
+        mv.refresh()
+    return mv.read().groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        (F.sum("o_cents").cast("double") / 100).alias("revenue"),
+    )

@@ -1,5 +1,7 @@
-"""Incrementally-maintained materialized aggregate over a
-VersionedTable — the continuous-aggregate / materialized-view shape.
+"""Incrementally-maintained materialized views over VersionedTables:
+a grouped AGGREGATE view (MaterializedAgg — the continuous-aggregate
+shape) and an inner equi-JOIN view (MaterializedJoin — the delta-rule
+shape ΔV = ΔA⋈B ∪ A⋈ΔB).
 
 At 100 TB the recompute cost of a dashboard aggregate dwarfs the
 delta that changed it. This module maintains a grouped aggregate
@@ -26,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .versioned import VersionedTable
 
-__all__ = ["MaterializedAgg"]
+__all__ = ["MaterializedAgg", "MaterializedJoin"]
 
 _MERGE = {
     "count": (F.count, F.sum),  # partial count merges by summing
@@ -126,6 +128,132 @@ class MaterializedAgg:
                 "active": [rel],
                 "schema": self.state._schema_of(merged),
                 "file_stats": self.state._scan_stats(rel),
+            },
+        )
+        return version
+
+    def read(self) -> DataFrame:
+        return self.state.read()
+
+
+class MaterializedJoin:
+    """Materialized INNER equi-join ``left ⋈ right`` over two
+    VersionedTables, maintained by the classic delta rule for
+    append-only sources:
+
+        ΔV  =  ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+
+    (B_new includes B's delta, A_old predates A's delta, so the
+    ΔA ⋈ ΔB cross term lands exactly once). Appends keep an inner
+    join MONOTONE, so a refresh APPENDS the delta rows to the stored
+    view — nothing is rewritten, and refresh cost follows the delta
+    joined against ONE full side (bucket that side on the join key at
+    scale and the probe is co-located), never A ⋈ B recomputed.
+    ``A_old`` is a time-travel read of the source at the view's
+    recorded watermark — the commit log is what makes the delta rule
+    implementable without keeping a second copy of A.
+
+    Any non-append commit in either source (upsert / delete /
+    compact) voids directory-increment deltas; the refresh then falls
+    back to a full recompute published as an overwrite — correct for
+    any history, just not incremental for that one refresh (same
+    contract as MaterializedAgg).
+
+    The view state is itself a VersionedTable: refreshes are atomic
+    and crash-restartable (the commit records BOTH source versions;
+    an interrupted refresh re-runs from the recorded watermarks and
+    converges because the source ranges derive from commits, never
+    wall clock).
+    """
+
+    def __init__(
+        self,
+        left: VersionedTable,
+        right: VersionedTable,
+        root: str,
+        on: Sequence[str],
+    ):
+        if not on:
+            raise ValueError("MaterializedJoin: join keys must be non-empty")
+        self.left = left
+        self.right = right
+        self.on = list(on)
+        self.state = VersionedTable(left.spark, root)
+
+    def refreshed_source_versions(self) -> tuple | None:
+        v = self.state.latest_version()
+        if v is None:
+            return None
+        rec = self.state._read_commit(v)
+        return (
+            rec.get("source_left_version"),
+            rec.get("source_right_version"),
+        )
+
+    def _full(self, la: int, rb: int) -> DataFrame:
+        return self.left.read(la).join(self.right.read(rb), self.on)
+
+    def refresh(self) -> int | None:
+        """Bring the view up to both sources' latest versions. No-op
+        (returns None) when already current or either source is still
+        empty."""
+        la = self.left.latest_version()
+        rb = self.right.latest_version()
+        if la is None or rb is None:
+            return None
+        done = self.refreshed_source_versions()
+        if done == (la, rb):
+            return None
+        full = done is None
+        if full:
+            delta = self._full(la, rb)
+        else:
+            dl, dr = done
+            try:
+                parts = []
+                if la > dl:
+                    parts.append(
+                        self.left.read_changes_since(dl).join(
+                            self.right.read(rb), self.on
+                        )
+                    )
+                if rb > dr:
+                    parts.append(
+                        self.left.read(dl).join(
+                            self.right.read_changes_since(dr), self.on
+                        )
+                    )
+                delta = parts[0]
+                for p in parts[1:]:
+                    delta = delta.unionByName(p)
+            except ValueError:
+                # non-append commit in the range: delta rule invalid
+                delta = self._full(la, rb)
+                full = True
+        rel = self.state._write_data_dir(delta)
+        base = self.state.latest_version()
+        version = 0 if base is None else base + 1
+        if full or base is None:
+            active = [rel]
+            stats = self.state._scan_stats(rel)
+            op = "join_matview_full"
+        else:
+            prior_rec = self.state._read_commit(base)
+            prior = list(prior_rec.get("active", []))
+            active = prior + [rel]
+            stats = self.state._carry_stats(prior_rec, prior)
+            stats.update(self.state._scan_stats(rel))
+            op = "join_matview_refresh"
+        self.state._publish(
+            version,
+            {
+                "version": version,
+                "operation": op,
+                "active": active,
+                "schema": self.state._schema_of(delta),
+                "file_stats": stats,
+                "source_left_version": la,
+                "source_right_version": rb,
             },
         )
         return version

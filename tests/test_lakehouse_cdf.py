@@ -191,3 +191,103 @@ def test_matview_survives_source_rewrite(spark, tmp_path):
     src.append(spark.createDataFrame([(6, "c", 6.0)], schema))
     mv.refresh()
     assert {r.grp: r.total for r in mv.read().collect()}["c"] == 11.0
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_join_matview_incremental_equals_recompute(spark, tmp_path):
+    """MaterializedJoin delta rule vs full recompute after every
+    refresh shape: initial build, left-only append, right-only append,
+    and a SIMULTANEOUS two-side append whose only new match is
+    delta-to-delta (the ΔA⋈ΔB cross term — the case a naive
+    ΔA⋈B_old ∪ A_old⋈ΔB rule drops)."""
+    from nyc_taxi_etl_spark.sources.matview import MaterializedJoin
+
+    left = VersionedTable(spark, str(tmp_path / "left"))
+    right = VersionedTable(spark, str(tmp_path / "right"))
+    mv = MaterializedJoin(left, right, str(tmp_path / "view"), ["k"])
+
+    # either source empty -> no-op, view unborn
+    assert mv.refresh() is None
+
+    left.write(
+        spark.createDataFrame([(1, "a1"), (2, "a2")], "k: long, a: string"),
+        operation="append",
+    )
+    right.write(
+        spark.createDataFrame([(1, "b1"), (3, "b3")], "k: long, b: string"),
+        operation="append",
+    )
+    assert mv.refresh() == 0
+    assert _rows(mv.read()) == [(1, "a1", "b1")]
+    assert mv.refresh() is None  # current -> no-op
+
+    # left-only append: new match against the EXISTING right side
+    left.append(spark.createDataFrame([(3, "a3")], "k: long, a: string"))
+    assert mv.refresh() == 1
+    assert _rows(mv.read()) == [(1, "a1", "b1"), (3, "a3", "b3")]
+
+    # right-only append: new match against the EXISTING left side
+    right.append(spark.createDataFrame([(2, "b2")], "k: long, b: string"))
+    mv.refresh()
+    assert _rows(mv.read()) == [
+        (1, "a1", "b1"), (2, "a2", "b2"), (3, "a3", "b3")
+    ]
+
+    # simultaneous appends; key 9 exists ONLY in both deltas
+    left.append(
+        spark.createDataFrame([(9, "a9"), (4, "a4")], "k: long, a: string")
+    )
+    right.append(
+        spark.createDataFrame([(9, "b9"), (1, "b1x")], "k: long, b: string")
+    )
+    mv.refresh()
+    expect = _rows(left.read().join(right.read(), ["k"]))
+    assert _rows(mv.read()) == expect
+    assert (9, "a9", "b9") in expect  # the cross term really occurred
+
+    # refresh commits record both watermarks
+    assert mv.refreshed_source_versions() == (
+        left.latest_version(),
+        right.latest_version(),
+    )
+
+
+def test_join_matview_nonappend_falls_back_to_full(spark, tmp_path):
+    """An upsert in a source voids directory-increment deltas: the
+    refresh must publish a FULL recompute (correct view, overwrite
+    commit) rather than silently appending stale delta rows."""
+    from nyc_taxi_etl_spark.operators.merge import merge_upsert
+    from nyc_taxi_etl_spark.sources.matview import MaterializedJoin
+
+    left = VersionedTable(spark, str(tmp_path / "left"))
+    right = VersionedTable(spark, str(tmp_path / "right"))
+    mv = MaterializedJoin(left, right, str(tmp_path / "view"), ["k"])
+
+    left.write(
+        spark.createDataFrame([(1, "a1"), (2, "a2")], "k: long, a: string"),
+        operation="append",
+    )
+    right.write(
+        spark.createDataFrame([(1, "b1"), (2, "b2")], "k: long, b: string"),
+        operation="append",
+    )
+    mv.refresh()
+
+    # rewrite (upsert) left: key 1's payload changes in place
+    merged = merge_upsert(
+        left.read(),
+        spark.createDataFrame([(1, "a1-fixed")], "k: long, a: string"),
+        keys=["k"],
+    )
+    left.write(merged, operation="upsert")
+    v = mv.refresh()
+    rec = mv.state._read_commit(v)
+    assert rec["operation"] == "join_matview_full"
+    assert len(rec["active"]) == 1  # overwrite, not an append
+    assert _rows(mv.read()) == _rows(
+        left.read().join(right.read(), ["k"])
+    )
+    assert (1, "a1-fixed", "b1") in _rows(mv.read())
