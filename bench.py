@@ -146,6 +146,8 @@ EXTENSION = [
     "streaming_holt_trend",
     # r7: incremental join-view maintenance (3 interleaved append pairs)
     "customer_order_join_matview",
+    # r7: sparse+dense RRF fusion (BM25 top-k + cosine top-k)
+    "hybrid_retrieval_rrf",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

@@ -143,10 +143,11 @@ _BM25_TERMS = ("spark", "hash", "window")
 _K1, _B = 1.2, 0.75
 
 
-def _bm25_sql() -> str:
+def _bm25_ctes() -> str:
+    """BM25 scoring as a CTE chain (no WITH keyword, ends at
+    ``scored``) so other oracles — the RRF hybrid — can compose it."""
     terms = ", ".join(f"'{w}'" for w in _BM25_TERMS)
-    return f"""
-    WITH tok AS (
+    return f"""tok AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
       FROM documents),
     dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
@@ -168,7 +169,12 @@ def _bm25_sql() -> str:
       JOIN dfreq d USING (term)
       JOIN dl USING (doc_id)
       CROSS JOIN stats s
-      GROUP BY 1)
+      GROUP BY 1)"""
+
+
+def _bm25_sql() -> str:
+    return f"""
+    WITH {_bm25_ctes()}
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            ROUND(score, 4) AS bm25, terms_matched
     FROM scored
@@ -254,4 +260,101 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(sum(term_score), 4).alias("bm25"),
         n_matched.alias("terms_matched"),
+    )
+
+
+_RRF_K = 60
+_RRF_LIST = 50
+_RRF_TOP = 20
+
+
+def _hybrid_sql() -> str:
+    from .queries_text import _SQL_VEC, _cos_sql
+
+    return f"""
+    WITH {_bm25_ctes()},
+    sparse AS (SELECT doc_id, ROUND(score, 4) AS bm25 FROM scored),
+    sr AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM sparse)
+      WHERE r <= {_RRF_LIST}),
+    dd AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM dd WHERE vec_id = 0),
+    dscore AS (
+      SELECT c.vec_id, {_cos_sql("q.q", "c.v")} AS sim
+      FROM dd c CROSS JOIN qv q WHERE c.vec_id != 0),
+    dr AS (
+      SELECT vec_id, r FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+        FROM dscore)
+      WHERE r <= {_RRF_LIST}),
+    fused AS (
+      SELECT coalesce(sr.doc_id, dr.vec_id) AS doc_id,
+             sr.r AS sparse_rank, dr.r AS dense_rank,
+             coalesce(1.0 / ({_RRF_K} + sr.r), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + dr.r), 0.0) AS rrf
+      FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.vec_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(sparse_rank AS BIGINT) AS sparse_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank,
+           rrf AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {_RRF_TOP}
+    """
+
+
+@query("hybrid_retrieval_rrf", _hybrid_sql(), extra=True)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher, SIGIR 2009): the BM25 top-50 for the fixed keyword query
+    and the exact-cosine top-50 for a fixed query embedding ("more
+    like document 0") are fused by RRF(d) = Σ_lists 1/(60 + rank_d) —
+    the standard sparse+dense combiner behind modern RAG retrieval,
+    composed entirely from the engine's existing scorers (bm25_scores;
+    operators/similarity.py::brute_force_knn).
+
+    Determinism: both lists rank with a doc-id tiebreak; BM25 ranks on
+    the SAME 4-dp rounded score in both engines; the RRF sum is two
+    exact-integer reciprocals added in fixed order — bit-identical.
+
+    Scale: each list is a TakeOrdered top-50 (never a global sort);
+    the rank windows run over the ALREADY-CUT 50-row lists; the dense
+    side broadcasts ONE query vector over a single corpus pass; the
+    fusion joins two 50-row frames. Nothing here grows faster than the
+    corpus scans that feed it."""
+    from ..operators import similarity as S
+
+    sparse = bm25_scores(spark, sf_dir).select("doc_id", "bm25")
+    top_s = sparse.orderBy(F.col("bm25").desc(), "doc_id").limit(_RRF_LIST)
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    sr = top_s.withColumn("sparse_rank", F.row_number().over(w)).select(
+        "doc_id", "sparse_rank"
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dr = S.brute_force_knn(emb, q0, k=_RRF_LIST).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    fused = sr.join(dr, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("sparse_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rank")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("sparse_rank").cast("long").alias("sparse_rank"),
+            F.col("dense_rank").cast("long").alias("dense_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(_RRF_TOP)
     )

@@ -137,5 +137,8 @@ def test_catalog_plan_hygiene(spark, name):
         "idle_rich_customers",  # 1-row avg-balance threshold broadcast
         "important_parts_value",  # 1-row grand-total broadcast
         "top_revenue_supplier",  # 1-row scalar-max broadcast
+        "hybrid_retrieval_rrf",  # 1-query-vector broadcast via
+        # brute_force_knn's non-equi self-exclusion (same as
+        # knn_bruteforce_cosine) + the 1-row N/avgdl BM25 broadcast
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name
