@@ -64,6 +64,17 @@ def sorted_neighborhood_pairs(
                 f"sorted_neighborhood_pairs: df column {reserved!r} "
                 f"collides with an internal column"
             )
+    if a_prefix == b_prefix:
+        raise ValueError(
+            "sorted_neighborhood_pairs: a_prefix and b_prefix must differ"
+        )
+    a_names = {f"{a_prefix}{c}" for c in df.columns}
+    b_names = {f"{b_prefix}{c}" for c in df.columns}
+    clash = sorted((a_names & b_names) | ((a_names | b_names) & {"_a_seq", "_b_seq", *_RESERVED}))
+    if clash:
+        raise ValueError(
+            f"sorted_neighborhood_pairs: prefixed output columns collide: {clash}"
+        )
     seq = global_sequence(df, order_cols, out_col="_snb_seq")
     # long/int division promotes to DOUBLE; exact while seq < 2^53,
     # comfortably above any real row count (and global_sequence's own

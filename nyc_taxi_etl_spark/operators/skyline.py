@@ -57,7 +57,8 @@ def skyline_2d(
     df: DataFrame,
     minimize_col: str,
     maximize_col: str,
-    bucket_width: int = 1 << 16,
+    bucket_width: int | None = 1 << 16,
+    target_buckets: int = 4096,
 ) -> DataFrame:
     """Rows of ``df`` on the (minimize ↓, maximize ↑) Pareto frontier.
 
@@ -68,7 +69,15 @@ def skyline_2d(
     Ties on BOTH dimensions survive together (neither dominates).
 
     ``bucket_width`` trades bucket-table size against per-partition
-    window width; any positive value is correct.
+    window width; any positive value is CORRECT, but the bucket-grain
+    table it induces has ``value_range / bucket_width`` rows and is
+    broadcast, so size the width to keep that count broadcastable
+    (≲10⁵): the 2¹⁶ default suits cents-scale domains, NOT sparse
+    64-bit domains like epoch-micros timestamps. Pass
+    ``bucket_width=None`` to derive a width from the observed
+    min/max (one scalar-row probe — the bounded-collect contract) so
+    the bucket count is ≤ ``target_buckets`` by construction
+    regardless of the domain.
     """
     for reserved in _RESERVED:
         if reserved in df.columns:
@@ -76,14 +85,28 @@ def skyline_2d(
                 f"skyline_2d: df column {reserved!r} collides with an "
                 f"internal column"
             )
-    if bucket_width <= 0:
-        raise ValueError("skyline_2d: bucket_width must be positive")
     mn_type = dict(df.dtypes)[minimize_col]
     if mn_type not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
             f"skyline_2d: minimize_col must be integer-typed for the "
             f"RANGE frame and fixed-width buckets, got {mn_type}"
         )
+    if bucket_width is None:
+        if target_buckets <= 0:
+            raise ValueError("skyline_2d: target_buckets must be positive")
+        # bounded probe: ONE row of two longs — same contract as the
+        # #partitions collect in global_sequence
+        span = df.select(
+            F.min(minimize_col).alias("lo"), F.max(minimize_col).alias("hi")
+        ).first()
+        if span is None or span["lo"] is None:
+            bucket_width = 1  # empty/all-null input: width is moot
+        else:
+            bucket_width = max(
+                1, (int(span["hi"]) - int(span["lo"])) // target_buckets + 1
+            )
+    if bucket_width <= 0:
+        raise ValueError("skyline_2d: bucket_width must be positive")
     mx = F.col(maximize_col)
     b = df.withColumn(
         "_sky_bucket", F.floor(F.col(minimize_col) / F.lit(bucket_width))

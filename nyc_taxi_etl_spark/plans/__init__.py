@@ -138,3 +138,62 @@ for _n in _PROMOTE_R7B:
     if _n in ORACLE_EXTRA:
         ORACLE[_n] = ORACLE_EXTRA.pop(_n)
 assert len(QUERIES) == 50, len(QUERIES)
+
+# --------------------------------------------------------------------------
+# Round-8 rotation (VERDICT r7 task #2): promote the ten round-7 marquee
+# overflow operators that have never had a driver CORRECTNESS row —
+# PPJoin, sorted-neighborhood linkage, the 2-D skyline, the incremental
+# JOIN materialized view, hybrid sparse+dense retrieval with RRF, and the
+# four new governance/profiling audits (FD, k-anonymity, Benford, column
+# profile) plus CDC tombstone merges. Demotions are all long-stable green
+# rows whose §2 family keeps ≥1 in-window representative:
+#   dedup keeps exact/minhash/components/curate + promoted ppjoin
+#     (fuzzy + semantic demoted — both green in r6/r7 driver rows and the
+#     local gate);
+#   embeddings keep knn_bruteforce + ann_lsh (semantic_dedup demoted);
+#   retrieval window slot passes bm25 -> hybrid_retrieval_rrf (superset:
+#     RRF fuses the same BM25 ranking with dense cosine);
+#   training keeps chunks/pii/lm/splits + temperature mixture (dsir
+#     demoted, green since r6);
+#   sampling keeps temperature_mixture_counts (stratified demoted);
+#   lakehouse window slots pass orders_upsert_status_totals -> the
+#     promoted join-matview + CDC tombstone entries (same commit-log
+#     machinery, strictly wider coverage);
+#   the four TPC-H shapes promoted in r7 earned their green rows in
+#     CORRECTNESS_r07 and rotate back out (agg/join families stay green
+#     through the ten r1-era slots 1-13).
+# Demoted entries remain fully oracle-tested in the local suite
+# (tests/test_oracle.py runs QUERIES ∪ QUERIES_EXTRA).
+_PROMOTE_R8 = [
+    "ppjoin_near_pairs",
+    "part_name_linkage",
+    "part_price_skyline",
+    "customer_order_join_matview",
+    "hybrid_retrieval_rrf",
+    "order_line_fd_audit",
+    "customer_k_anonymity",
+    "orders_benford_profile",
+    "lineitem_column_profile",
+    "orders_cdc_delete_totals",
+]
+_DEMOTE_R8 = [
+    "fuzzy_near_pairs",
+    "semantic_dedup",
+    "bm25_scores",
+    "dsir_selected_docs",
+    "stratified_order_sample",
+    "orders_upsert_status_totals",
+    "sole_blame_suppliers",
+    "nation_trade_flows",
+    "small_quantity_avg_loss",
+    "order_count_distribution",
+]
+for _n in _DEMOTE_R8:
+    QUERIES_EXTRA[_n] = QUERIES.pop(_n)
+    if _n in ORACLE:
+        ORACLE_EXTRA[_n] = ORACLE.pop(_n)
+for _n in _PROMOTE_R8:
+    QUERIES[_n] = QUERIES_EXTRA.pop(_n)
+    if _n in ORACLE_EXTRA:
+        ORACLE[_n] = ORACLE_EXTRA.pop(_n)
+assert len(QUERIES) == 50, len(QUERIES)

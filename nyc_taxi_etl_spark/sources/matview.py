@@ -185,10 +185,15 @@ class MaterializedJoin:
         if v is None:
             return None
         rec = self.state._read_commit(v)
-        return (
-            rec.get("source_left_version"),
-            rec.get("source_right_version"),
-        )
+        la = rec.get("source_left_version")
+        rb = rec.get("source_right_version")
+        if la is None or rb is None:
+            # an external / non-refresh write to the state table dropped
+            # the delta bookkeeping: treat as never-refreshed so
+            # refresh() falls back to a full recompute instead of
+            # comparing integers against None
+            return None
+        return (la, rb)
 
     def _full(self, la: int, rb: int) -> DataFrame:
         return self.left.read(la).join(self.right.read(rb), self.on)

@@ -291,3 +291,38 @@ def test_join_matview_nonappend_falls_back_to_full(spark, tmp_path):
         left.read().join(right.read(), ["k"])
     )
     assert (1, "a1-fixed", "b1") in _rows(mv.read())
+
+
+def test_join_matview_external_state_write_falls_back_to_full(
+    spark, tmp_path
+):
+    """ADVICE r7: a commit on the view's state table that lacks the
+    source-version watermarks (any external / non-refresh write) must
+    read as 'never refreshed' so the next refresh() publishes a full
+    recompute instead of raising TypeError on `int > None`."""
+    from nyc_taxi_etl_spark.sources.matview import MaterializedJoin
+
+    left = VersionedTable(spark, str(tmp_path / "left"))
+    right = VersionedTable(spark, str(tmp_path / "right"))
+    mv = MaterializedJoin(left, right, str(tmp_path / "view"), ["k"])
+
+    left.write(
+        spark.createDataFrame([(1, "a1")], "k: long, a: string"),
+        operation="append",
+    )
+    right.write(
+        spark.createDataFrame([(1, "b1")], "k: long, b: string"),
+        operation="append",
+    )
+    mv.refresh()
+
+    # external write straight to the state table: no watermark keys
+    mv.state.write(mv.state.read(), operation="overwrite")
+    assert mv.refreshed_source_versions() is None
+
+    left.append(spark.createDataFrame([(2, "a2")], "k: long, a: string"))
+    right.append(spark.createDataFrame([(2, "b2")], "k: long, b: string"))
+    v = mv.refresh()  # must not raise
+    rec = mv.state._read_commit(v)
+    assert rec["operation"] == "join_matview_full"
+    assert _rows(mv.read()) == _rows(left.read().join(right.read(), ["k"]))

@@ -68,6 +68,27 @@ def test_skyline_rejects_bad_inputs(spark):
         skyline_2d(clash, "mn", "mx")
 
 
+def test_skyline_auto_width_bounds_buckets_on_sparse_domain(spark):
+    """ADVICE r7: bucket_width=None must derive a width from the
+    observed span so a sparse 64-bit domain (epoch-micros-like values)
+    yields a bounded bucket table — and the same frontier."""
+    rows = [
+        (1_600_000_000_000_000 + i * 37_000_000_000, (i * 7919) % 101)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "mn: long, mx: long")
+    got = sorted(
+        (r["mn"], r["mx"])
+        for r in skyline_2d(
+            df, "mn", "mx", bucket_width=None, target_buckets=16
+        ).collect()
+    )
+    assert got == _brute_skyline(rows)
+    # empty input with auto width must not divide by zero / probe-crash
+    empty = df.filter(F.lit(False))
+    assert skyline_2d(empty, "mn", "mx", bucket_width=None).count() == 0
+
+
 @pytest.mark.parametrize("window", [1, 3, 7])
 def test_sorted_neighborhood_matches_sequential_window(spark, window):
     """The banded equi-join must emit EXACTLY the pairs a sequential
@@ -99,3 +120,10 @@ def test_sorted_neighborhood_guards(spark):
     clash = df.withColumn("_snb_seq", F.lit(1))
     with pytest.raises(ValueError, match="_snb_seq"):
         sorted_neighborhood_pairs(clash, ["name"], window=2)
+    # ADVICE r7: equal prefixes (ambiguous output) must be rejected
+    with pytest.raises(ValueError, match="prefix"):
+        sorted_neighborhood_pairs(df, ["name"], window=2, a_prefix="x_", b_prefix="x_")
+    # prefixed-name collision across sides: 'x' vs 'a_x' under defaults
+    tricky = spark.createDataFrame([(1, 2)], "x: long, a_x: long")
+    with pytest.raises(ValueError, match="collide"):
+        sorted_neighborhood_pairs(tricky, ["x"], window=2, a_prefix="a_", b_prefix="a_a_")
