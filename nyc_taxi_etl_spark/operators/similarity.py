@@ -507,6 +507,26 @@ def _train_coarse_centroids(
     return centroids
 
 
+def seeded_unit_centroids(
+    dim: int, n_centroids: int, seed: int = 11
+) -> list[list[float]]:
+    """Deterministic pseudo-random UNIT centroids for a data-independent
+    IVF quantizer (the ``hyperplanes`` LCG, then exact float division
+    by the Python-computed norm). Public because the catalog's DuckDB
+    oracle embeds the SAME literals (``repr`` round-trips) to replay
+    cell assignment and probing cross-engine — the r5 trick that made
+    ann_lsh_cosine oracle-replayable, applied to IVF (VERDICT r7 task
+    #4). A random Voronoi quantizer trades a little recall versus the
+    trained one (tunable back via n_probe) for exact replayability."""
+    import math
+
+    out = []
+    for raw in hyperplanes(dim, n_centroids, seed=seed):
+        norm = math.sqrt(sum(x * x for x in raw))
+        out.append([x / norm for x in raw])
+    return out
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -518,6 +538,7 @@ def ivf_knn(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     fit_sample: int = 20_000,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second 100 TB path
     next to hyperplane LSH.
@@ -534,10 +555,18 @@ def ivf_knn(
 
     All per-row math stays JVM-side (the fold-based ``cosine``); the
     only Python stage is the one-off bounded-sample fit.
+
+    Pass ``centroids`` (unit vectors, e.g. ``seeded_unit_centroids``)
+    to skip the trained quantizer entirely — the plan then has no
+    data-dependent stage, so a SQL oracle embedding the same literals
+    replays it exactly.
     """
     from pyspark.sql import Window
 
-    centroids = _train_coarse_centroids(corpus, vec_col, n_centroids, seed, fit_sample)
+    if centroids is None:
+        centroids = _train_coarse_centroids(
+            corpus, vec_col, n_centroids, seed, fit_sample
+        )
     if centroids is None:
         # no vectors to train a quantizer on — exact scan degenerates
         # gracefully (same output schema, empty result on empty corpus)

@@ -172,12 +172,16 @@ class MaterializedJoin:
         right: VersionedTable,
         root: str,
         on: Sequence[str],
+        compact_after: int | None = 16,
     ):
         if not on:
             raise ValueError("MaterializedJoin: join keys must be non-empty")
+        if compact_after is not None and compact_after < 2:
+            raise ValueError("MaterializedJoin: compact_after must be >= 2")
         self.left = left
         self.right = right
         self.on = list(on)
+        self.compact_after = compact_after
         self.state = VersionedTable(left.spark, root)
 
     def refreshed_source_versions(self) -> tuple | None:
@@ -259,6 +263,57 @@ class MaterializedJoin:
                 "file_stats": stats,
                 "source_left_version": la,
                 "source_right_version": rb,
+            },
+        )
+        if (
+            self.compact_after is not None
+            and len(active) >= self.compact_after
+        ):
+            return self.compact()
+        return version
+
+    def compact(self, target_files: int | None = None) -> int:
+        """Rewrite the view's active set as ONE data directory and
+        commit it as the next version (VERDICT r7 task #3: without
+        this, every incremental refresh appends a directory forever —
+        after thousands of refreshes the view reads N small files and
+        carries N stats entries).
+
+        Unlike ``VersionedTable.compact`` (whose commit record has no
+        source watermarks, which would force the NEXT refresh into a
+        full recompute), this publishes ``join_matview_compact``
+        CARRYING the current source versions forward, so incremental
+        maintenance continues across compactions. Auto-triggered by
+        ``refresh()`` once the active list reaches ``compact_after``
+        directories; the rewrite streams the current snapshot through
+        one coalesce — no shuffle, no driver data."""
+        base = self.state.latest_version()
+        if base is None:
+            raise FileNotFoundError(
+                f"materialized join {self.state.root} is empty"
+            )
+        prior_rec = self.state._read_commit(base)
+        snap = self.state.read(base)
+        n_now = len(snap.inputFiles()) or 1
+        if target_files is not None:
+            snap = (
+                snap.coalesce(target_files)
+                if target_files <= n_now
+                else snap.repartition(target_files)
+            )
+        rel = self.state._write_data_dir(snap)
+        version = base + 1
+        self.state._publish(
+            version,
+            {
+                "version": version,
+                "operation": "join_matview_compact",
+                "base_version": base,
+                "active": [rel],
+                "schema": prior_rec.get("schema"),
+                "file_stats": self.state._scan_stats(rel),
+                "source_left_version": prior_rec.get("source_left_version"),
+                "source_right_version": prior_rec.get("source_right_version"),
             },
         )
         return version

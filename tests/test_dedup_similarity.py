@@ -131,6 +131,37 @@ def test_ivf_recall_against_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_seeded_centroids_recall(spark):
+    """The catalog entry's data-independent quantizer
+    (seeded_unit_centroids — plan-time literals so the DuckDB oracle
+    replays it) must still clear the recall bar at its chosen
+    n_probe=6: replayability must not cost retrieval quality."""
+    from nyc_taxi_etl_spark.operators.similarity import (
+        brute_force_knn,
+        ivf_knn,
+        seeded_unit_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(emb, queries, k=5).collect()
+    }
+    cents = seeded_unit_centroids(64, 16, seed=13)
+    assert all(abs(sum(x * x for x in c) - 1.0) < 1e-12 for c in cents)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn(
+            emb, queries, k=5, n_centroids=16, n_probe=6, centroids=cents
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"seeded-IVF recall too low: {recall}"
+
+
 def test_ivf_deterministic(spark):
     from nyc_taxi_etl_spark.operators.similarity import ivf_knn
 

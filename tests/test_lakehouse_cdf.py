@@ -293,6 +293,64 @@ def test_join_matview_nonappend_falls_back_to_full(spark, tmp_path):
     assert (1, "a1-fixed", "b1") in _rows(mv.read())
 
 
+def test_join_matview_compaction_bounds_files_and_keeps_deltas(
+    spark, tmp_path
+):
+    """VERDICT r7 task #3: 20 interleaved refreshes with
+    compact_after=5 must (a) keep the active directory list bounded,
+    (b) read identically to the full recompute throughout, and (c)
+    KEEP incremental maintenance across compactions — the compact
+    commit carries the source watermarks, so the refresh after a
+    compact is a join_matview_refresh, not a full recompute."""
+    from nyc_taxi_etl_spark.sources.matview import MaterializedJoin
+
+    left = VersionedTable(spark, str(tmp_path / "left"))
+    right = VersionedTable(spark, str(tmp_path / "right"))
+    mv = MaterializedJoin(
+        left, right, str(tmp_path / "view"), ["k"], compact_after=5
+    )
+
+    left.write(
+        spark.createDataFrame([(0, "a0")], "k: long, a: string"),
+        operation="append",
+    )
+    right.write(
+        spark.createDataFrame([(0, "b0")], "k: long, b: string"),
+        operation="append",
+    )
+    mv.refresh()
+    ops = []
+    for i in range(1, 21):
+        if i % 2 == 0:
+            left.append(
+                spark.createDataFrame([(i, f"a{i}")], "k: long, a: string")
+            )
+        else:
+            right.append(
+                spark.createDataFrame([(i % 7, f"b{i}")], "k: long, b: string")
+            )
+        v = mv.refresh()
+        rec = mv.state._read_commit(v)
+        ops.append(rec["operation"])
+        assert len(rec["active"]) <= 5  # bounded, never grows past cap
+        assert _rows(mv.read()) == _rows(left.read().join(right.read(), ["k"]))
+    assert "join_matview_compact" in ops  # compaction actually fired
+    # every refresh stayed incremental — compaction never voided deltas
+    assert "join_matview_full" not in ops
+    # watermarks intact after the last commit (compact or refresh)
+    assert mv.refreshed_source_versions() == (
+        left.latest_version(),
+        right.latest_version(),
+    )
+    # explicit compact with a file-count target also keeps watermarks
+    v = mv.compact(target_files=1)
+    assert mv.state._read_commit(v)["operation"] == "join_matview_compact"
+    left.append(spark.createDataFrame([(99, "a99")], "k: long, a: string"))
+    v = mv.refresh()
+    assert mv.state._read_commit(v)["operation"] == "join_matview_refresh"
+    assert _rows(mv.read()) == _rows(left.read().join(right.read(), ["k"]))
+
+
 def test_join_matview_external_state_write_falls_back_to_full(
     spark, tmp_path
 ):
