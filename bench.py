@@ -223,17 +223,53 @@ def main() -> None:
         # of many queries — the per-query min over passes discards it —
         # instead of concentrating on all runs of whichever query was
         # unlucky enough to be in flight.
+        #
+        # Drift gate (r8, VERDICT r7 task #5): the probe quantifies
+        # each pass's start-of-pass contention; passes whose probe
+        # exceeds DRIFT_GATE × the minimum probe are EXCLUDED from the
+        # per-query stats and replaced by extra passes (up to
+        # SPARK_GRAFT_BENCH_MAX_EXTRA, default n_runs), so the
+        # reported numbers come from n_runs demonstrably-uncontended
+        # passes instead of whatever mix the host offered — the r7
+        # calibration showed 2.2-2.3× max/min probe drift that the
+        # min-of-5 absorbed only mostly (judge re-run differed ~10%).
+        # Exclusions and extra passes are recorded in the detail file.
         all_names = names + ext_names
         samples: dict[str, list[float]] = {n: [] for n in all_names}
         calibration: list[float] = []
-        for _pass in range(n_runs):
+        drift_gate = float(os.environ.get("SPARK_GRAFT_BENCH_DRIFT_GATE", "1.5"))
+        max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", str(n_runs)))
+
+        def run_pass() -> None:
             calibration.append(round(probe(), 4))
             for name in all_names:
                 t0 = time.perf_counter()
                 materialize(ALL_QUERIES[name](spark, sf_dir))
                 samples[name].append(time.perf_counter() - t0)
-        timings = {n: round(min(d), 3) for n, d in samples.items()}
-        medians = {n: round(statistics.median(d), 3) for n, d in samples.items()}
+
+        def clean_passes() -> list[int]:
+            floor = min(calibration)
+            return [
+                i for i, c in enumerate(calibration) if c <= drift_gate * floor
+            ]
+
+        for _pass in range(n_runs):
+            run_pass()
+        extra_passes = 0
+        while len(clean_passes()) < n_runs and extra_passes < max_extra:
+            run_pass()
+            extra_passes += 1
+        clean = clean_passes()
+        if len(clean) < 2:  # pathological host: keep everything
+            clean = list(range(len(calibration)))
+        excluded = [i for i in range(len(calibration)) if i not in clean]
+        timings = {
+            n: round(min(d[i] for i in clean), 3) for n, d in samples.items()
+        }
+        medians = {
+            n: round(statistics.median([d[i] for i in clean]), 3)
+            for n, d in samples.items()
+        }
         total = round(sum(timings[n] for n in names), 3)
         median_total = round(sum(medians[n] for n in names), 3)
         extension_total = round(sum(timings[n] for n in ext_names), 3)
@@ -274,6 +310,10 @@ def main() -> None:
                 "drift_max_over_min": round(
                     max(calibration) / max(min(calibration), 1e-9), 2
                 ),
+                "drift_gate": drift_gate,
+                "excluded_passes": excluded,
+                "extra_passes": extra_passes,
+                "stat_passes": clean,
             },
             "cold": False,
             "warmup": "1 trivial noop-materialized plan",

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import connected_components
 from ..operators.neighborhood import sorted_neighborhood_pairs
 from ..operators.skyline import skyline_2d
+from ..operators.survivorship import golden_record
 from .queries import query, t
 
 _LINKAGE_WINDOW = 5
@@ -182,17 +183,40 @@ def _er_sql() -> str:
     lab AS (
       SELECT p.p_partkey,
              coalesce(c.component, p.p_partkey) AS entity_id
-      FROM part p LEFT JOIN comp c ON c.id = p.p_partkey)
-    SELECT CAST(l.entity_id AS BIGINT) AS entity_id,
-           CAST(count(*) AS BIGINT) AS n_members,
-           CAST(count(DISTINCT p.p_name) AS BIGINT) AS n_names,
-           arg_min(p.p_name, p.p_partkey) AS canonical_name,
-           min(CAST(round(p.p_retailprice * 100) AS BIGINT))
-             AS min_price_cents,
-           max(CAST(round(p.p_retailprice * 100) AS BIGINT))
-             AS max_price_cents
-    FROM lab l JOIN part p ON p.p_partkey = l.p_partkey
-    GROUP BY 1
+      FROM part p LEFT JOIN comp c ON c.id = p.p_partkey),
+    members AS (
+      SELECT l.entity_id, p.*
+      FROM lab l JOIN part p ON p.p_partkey = l.p_partkey),
+    base AS (
+      SELECT CAST(entity_id AS BIGINT) AS entity_id,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(count(DISTINCT p_name) AS BIGINT) AS n_names,
+             arg_min(p_name, p_partkey) AS canonical_name,
+             arg_max(p_type, p_partkey) AS recent_type,
+             min(CAST(round(p_retailprice * 100) AS BIGINT))
+               AS min_price_cents,
+             max(CAST(round(p_retailprice * 100) AS BIGINT))
+               AS max_price_cents
+      FROM members GROUP BY 1),
+    freq AS (
+      SELECT entity_id, p_brand,
+             row_number() OVER (PARTITION BY entity_id
+                                ORDER BY cnt DESC, p_brand ASC) AS rk
+      FROM (SELECT entity_id, p_brand, count(*) AS cnt FROM members
+            WHERE p_brand IS NOT NULL GROUP BY 1, 2)),
+    longn AS (
+      SELECT entity_id, p_name,
+             row_number() OVER (PARTITION BY entity_id
+                                ORDER BY length(p_name) DESC, p_name ASC)
+               AS rk
+      FROM (SELECT DISTINCT entity_id, p_name FROM members
+            WHERE p_name IS NOT NULL))
+    SELECT b.*, f.p_brand AS freq_brand, ln.p_name AS long_name
+    FROM base b
+    LEFT JOIN (SELECT CAST(entity_id AS BIGINT) AS entity_id, p_brand
+               FROM freq WHERE rk = 1) f USING (entity_id)
+    LEFT JOIN (SELECT CAST(entity_id AS BIGINT) AS entity_id, p_name
+               FROM longn WHERE rk = 1) ln USING (entity_id)
     """
 
 
@@ -204,12 +228,25 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     full merge/purge pipeline (Hernández & Stolfo) composed from the
     engine's standalone operators, each individually oracle-checked.
 
-    Survivorship rules (the "golden record"): ``entity_id`` is the
-    MIN member key (the components operator's deterministic
-    representative), ``canonical_name`` the name of that min-key
-    member (min_by — no tie possible on a unique key), and the price
-    span is min/max in exact cents. Singletons (parts with no match
-    edge) survive as their own entity via the left join + coalesce.
+    Survivorship rules (the "golden record", r8: the DECLARED rule
+    menu of ``operators/survivorship.py::golden_record`` — the
+    merge/purge literature's standard choices, each deterministic
+    under ties and replayed by the oracle):
+
+    * ``canonical_name``  — min_key (value at the smallest member key,
+      the components operator's representative convention);
+    * ``recent_type``     — most_recent by ``p_partkey`` (the key is
+      the recency proxy on this versionless table; on CDC-fed master
+      data the rule takes the version/timestamp column);
+    * ``freq_brand``      — most_frequent (modal brand; count ties
+      break to the smallest brand string);
+    * ``long_name``       — longest_string (length ties break to the
+      smallest string);
+    * price span          — min/max in exact cents.
+
+    ``entity_id`` is the MIN member key. Singletons (parts with no
+    match edge) survive as their own entity via the left join +
+    coalesce.
 
     On this catalog's synthetic vocabulary no two DISTINCT names sit
     within edit distance 2, so entities here equal exact-name groups —
@@ -259,12 +296,34 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "entity_id",
         F.coalesce("component", "p_partkey").cast("long"),
+    ).withColumn(
+        "price_cents", F.round(F.col("p_retailprice") * 100).cast("long")
     )
-    cents = F.round(F.col("p_retailprice") * 100).cast("long")
-    return labeled.groupBy("entity_id").agg(
+    counts = labeled.groupBy("entity_id").agg(
         F.count("*").cast("long").alias("n_members"),
         F.count_distinct("p_name").cast("long").alias("n_names"),
-        F.min_by("p_name", "p_partkey").alias("canonical_name"),
-        F.min(cents).alias("min_price_cents"),
-        F.max(cents).alias("max_price_cents"),
+    )
+    gr = golden_record(
+        labeled,
+        "entity_id",
+        {
+            "canonical_name": ("min_key", "p_name"),
+            "recent_type": ("most_recent", "p_type", "p_partkey"),
+            "min_price_cents": ("min", "price_cents"),
+            "max_price_cents": ("max", "price_cents"),
+            "freq_brand": ("most_frequent", "p_brand"),
+            "long_name": ("longest_string", "p_name"),
+        },
+        key_col="p_partkey",
+    )
+    return counts.join(gr, "entity_id").select(
+        "entity_id",
+        "n_members",
+        "n_names",
+        "canonical_name",
+        "recent_type",
+        "min_price_cents",
+        "max_price_cents",
+        "freq_brand",
+        "long_name",
     )
