@@ -38,12 +38,53 @@ from pyspark.sql import functions as F
 
 from .similarity import cosine
 
-__all__ = ["train_pq", "pq_encode", "pq_knn"]
+__all__ = ["train_pq", "pq_encode", "pq_knn", "seeded_codebooks"]
 
 
 def _normalize(vec):
-    n = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
-    return F.transform(vec, lambda x: x / F.greatest(n, F.lit(1e-12)))
+    # squares in DOUBLE (like similarity.dot): float32 products here
+    # would diverge from any double-precision oracle replay by an ulp
+    n = F.sqrt(
+        F.aggregate(
+            vec,
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    return F.transform(
+        vec, lambda x: x.cast("double") / F.greatest(n, F.lit(1e-12))
+    )
+
+
+def seeded_codebooks(
+    dim: int, m: int, k: int, seed: int = 17
+) -> "list[list[list[float]]]":
+    """Deterministic data-independent PQ codebooks (the hyperplane LCG,
+    per-centroid L2-normalized then scaled to sqrt(dsub/dim) — the
+    expected norm of a unit vector's subvector — so ADC scores live on
+    the data's scale). Plan-time literals, so a SQL oracle embeds the
+    same constants and replays encode → ADC → re-rank exactly (the
+    ann_lsh/ann_ivf trick applied to PQ). Trained codebooks
+    (``train_pq``) quantize tighter; the seeded ones trade a little
+    candidate recall (recovered via ``rerank``) for replayability."""
+    import math
+
+    from .similarity import hyperplanes
+
+    if dim % m:
+        raise ValueError("seeded_codebooks: m must divide dim")
+    dsub = dim // m
+    scale = math.sqrt(dsub / dim)
+    flat = hyperplanes(dsub, m * k, seed=seed)
+    books = []
+    for j in range(m):
+        rows = []
+        for c in range(k):
+            raw = flat[j * k + c]
+            nrm = math.sqrt(sum(x * x for x in raw))
+            rows.append([x / nrm * scale for x in raw])
+        books.append(rows)
+    return books
 
 
 def train_pq(
@@ -168,6 +209,7 @@ def pq_knn(
     query_id_col: str = "query_id",
     fit_sample: int = 20_000,
     max_queries: int = 4096,
+    codebooks=None,
 ) -> DataFrame:
     """Approximate cosine top-k via the compressed-domain ADC scan +
     exact re-rank of the top ``rerank·k`` candidates per query:
@@ -185,7 +227,12 @@ def pq_knn(
     or use the shuffle-join ANN paths (LSH/IVF) whose candidate join
     does not broadcast the query side.
     """
-    books = train_pq(corpus, vec_col, m, n_codes, seed, fit_sample)
+    if codebooks is not None:
+        import numpy as np
+
+        books = np.asarray(codebooks, dtype=np.float64)
+    else:
+        books = train_pq(corpus, vec_col, m, n_codes, seed, fit_sample)
     if books is None:
         from .similarity import brute_force_knn
 
@@ -247,6 +294,10 @@ def pq_knn(
             F.col(id_col).alias("neighbor_id"),
             approx.alias("approx_sim"),
         )
+        # standard self-exclusion (as brute_force_knn/ivf_knn): a query
+        # present in the corpus must not spend a candidate slot — or a
+        # result rank — on itself
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "arank",
             F.row_number().over(

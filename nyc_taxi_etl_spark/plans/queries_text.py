@@ -1250,27 +1250,124 @@ def fuzzy_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_pq_cosine", extra=True)
+def _pq_books():
+    from ..operators.pq import seeded_codebooks
+
+    return seeded_codebooks(64, _PQ_M, _PQ_K, seed=17)
+
+
+_PQ_M, _PQ_K, _PQ_RERANK = 16, 16, 16
+_PQ_BOOKS = None  # built lazily (import-order: pq imports similarity)
+
+
+def _ann_pq_sql(k: int = 5, n_queries: int = 10) -> str:
+    global _PQ_BOOKS
+    if _PQ_BOOKS is None:
+        _PQ_BOOKS = _pq_books()
+    m, kk = _PQ_M, _PQ_K
+    dsub = 64 // m
+    # centroid squared norms exactly as _codebook_frame computes them
+    # (sequential float64 sum of squares)
+    norms = [
+        [sum(x * x for x in c) for c in row] for row in _PQ_BOOKS
+    ]
+
+    def pq_dot(sub: str, c: list[float]) -> str:
+        return _SQL_DOT.format(a=sub, b=_plane_sql(c))
+
+    def sub(col: str, j: int) -> str:
+        return f"{col}[{j * dsub + 1}:{(j + 1) * dsub}]"
+
+    dist_cols = ",\n           ".join(
+        "["
+        + ", ".join(
+            f"({norms[j][c]!r} - 2.0 * {pq_dot(sub('nvec', j), _PQ_BOOKS[j][c])})"
+            for c in range(kk)
+        )
+        + f"] AS d{j}"
+        for j in range(m)
+    )
+    code_arr = "[" + ", ".join(
+        f"CAST(list_position(d{j}, list_aggregate(d{j}, 'min')) - 1 AS INT)"
+        for j in range(m)
+    ) + "]"
+    tbl_arr = "[" + ", ".join(
+        pq_dot(sub("nvec", j), _PQ_BOOKS[j][c])
+        for j in range(m)
+        for c in range(kk)
+    ) + "]"
+    j_idx = "[" + ", ".join(str(j) for j in range(m)) + "]"
+    return f"""
+    WITH dd AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    nv AS (SELECT vec_id,
+           list_transform(v, x -> x / greatest(
+             sqrt({_SQL_DOT.format(a="v", b="v")}), 1e-12)) AS nvec
+           FROM dd),
+    dists AS (SELECT vec_id, nvec,
+           {dist_cols}
+    FROM nv),
+    codes AS (SELECT vec_id, {code_arr} AS codes FROM dists),
+    qtbl AS (SELECT vec_id AS query_id, {tbl_arr} AS tbl
+             FROM nv WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(c.codes, {j_idx}),
+               p -> q.tbl[p[2] * {kk} + p[1] + 1])) AS approx_sim
+      FROM codes c CROSS JOIN qtbl q
+      WHERE c.vec_id != q.query_id),
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY approx_sim DESC, neighbor_id ASC) AS arank
+            FROM scored)
+      WHERE arank <= {_PQ_RERANK * k}),
+    rer AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_cos_sql("qd.v", "cd.v")} AS cosine_sim
+      FROM cand
+      JOIN dd qd ON qd.vec_id = cand.query_id
+      JOIN dd cd ON cd.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) rnk
+          FROM rer)
+    WHERE rnk <= {k}
+    """
+
+
+@query("ann_pq_cosine", _ann_pq_sql(), extra=True)
 def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors for 10 queries via product
     quantization (``operators/pq.py``): 16×16 codebooks, compressed
     ADC scan (m lookups per pair instead of D multiplies), exact
-    re-rank of the top 8k candidates — the ANN path that also
-    COMPRESSES the index 32× so 100 TB of embeddings fit a fraction
-    of the footprint at rest.
+    re-rank of the top candidates — the ANN path that also COMPRESSES
+    the index 32× so 100 TB of embeddings fit a fraction of the
+    footprint at rest.
 
-    No SQL oracle (codebook training is iterative); rows-only check +
-    recall vs brute force asserted in tests (like ``ann_ivf_cosine``).
-    """
+    FULL SQL oracle (promoted r8, extending VERDICT r7 task #4 beyond
+    IVF): the codebooks here are SEEDED data-independent literals
+    (``seeded_codebooks`` — unit LCG centroids scaled to the expected
+    subvector norm), so the oracle embeds the same constants and
+    replays normalize → per-subspace argmin encode → ADC lookup-table
+    scan → deterministic candidate cut → exact re-rank bit-for-bit.
+    The TRAINED Lloyd codebooks stay the operator default
+    (``train_pq``), recall-pinned in pytest; the seeded entry widens
+    ``rerank`` (16·k candidates vs the trained default's 8·k) to buy
+    back the coarser quantization's candidate recall."""
     from ..operators.pq import pq_knn
 
+    global _PQ_BOOKS
+    if _PQ_BOOKS is None:
+        _PQ_BOOKS = _pq_books()
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return pq_knn(emb, queries, k=5, m=16, n_codes=16, seed=42).select(
-        "query_id", "neighbor_id", "cosine_sim", "rank"
-    )
+    return pq_knn(
+        emb, queries, k=5, m=_PQ_M, n_codes=_PQ_K, rerank=_PQ_RERANK,
+        codebooks=_PQ_BOOKS,
+    ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
 @query("doc_compression_signal", extra=True)

@@ -539,6 +539,44 @@ def test_pq_encode_codes_shape_and_reconstruction(spark):
     assert np.linalg.norm(x - recon) <= np.linalg.norm(x - worse)
 
 
+def test_pq_seeded_codebooks_recall(spark):
+    """The catalog entry's data-independent codebooks
+    (seeded_codebooks — plan-time literals so the DuckDB oracle
+    replays encode/ADC/re-rank) must clear the recall bar at the
+    entry's widened rerank=16: replayability must not gut retrieval
+    quality. Also pins the codebook contract: m·k unit-direction
+    centroids scaled to the expected subvector norm."""
+    import math
+
+    from nyc_taxi_etl_spark.operators.pq import pq_knn, seeded_codebooks
+    from nyc_taxi_etl_spark.operators.similarity import brute_force_knn
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+    from .conftest import SF_DIR
+
+    books = seeded_codebooks(64, 16, 16, seed=17)
+    assert len(books) == 16 and all(len(row) == 16 for row in books)
+    want_norm = math.sqrt(4 / 64)
+    for row in books:
+        for c in row:
+            assert abs(math.sqrt(sum(x * x for x in c)) - want_norm) < 1e-12
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_knn(
+            emb, queries, k=5, m=16, n_codes=16, rerank=16, codebooks=books
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"seeded-PQ recall too low: {recall}"
+
+
 def test_pq_knn_rejects_unbounded_query_set(spark):
     """The per-query ADC tables are broadcast, so the query batch must
     be bounded — an over-cap query table raises instead of silently
