@@ -148,6 +148,12 @@ EXTENSION = [
     "customer_order_join_matview",
     # r7: sparse+dense RRF fusion (BM25 top-k + cosine top-k)
     "hybrid_retrieval_rrf",
+    # r8: the two ANN paths newly promoted to full oracles (seeded
+    # quantizers) and the k-anonymity generalization ladder — benched
+    # so regressions in their candidate/report shapes surface
+    "ann_ivf_cosine",
+    "ann_pq_cosine",
+    "customer_k_anonymity_repair",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

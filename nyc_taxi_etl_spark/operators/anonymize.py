@@ -45,10 +45,16 @@ def _validate(qi_levels: list[list[Column]]) -> int:
     return widths.pop()
 
 
-def _level_groups(df: DataFrame, qi_levels: list[list[Column]]) -> DataFrame:
-    """(lvl, q0..qm, n) group table for EVERY ladder level in one
+def _level_groups(
+    df: DataFrame,
+    qi_levels: list[list[Column]],
+    sensitive: Column | None = None,
+) -> DataFrame:
+    """(lvl, q0..qm, n[, l]) group table for EVERY ladder level in one
     scan + one hash agg. QI values are stringified so heterogeneous
-    coarsenings (codes, buckets, '*') share one schema."""
+    coarsenings (codes, buckets, '*') share one schema. With a
+    ``sensitive`` expression, each group also carries its
+    sensitive-value diversity ``l`` (exact distinct count)."""
     n_q = _validate(qi_levels)
     structs = [
         F.struct(
@@ -57,14 +63,18 @@ def _level_groups(df: DataFrame, qi_levels: list[list[Column]]) -> DataFrame:
                 c.cast("string").alias(f"q{j}")
                 for j, c in enumerate(lvl)
             ],
+            *([sensitive.cast("string").alias("_s")] if sensitive is not None else []),
         )
         for i, lvl in enumerate(qi_levels)
     ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if sensitive is not None:
+        aggs.append(F.count_distinct(F.col("_s")).alias("l"))
     return (
         df.select(F.explode(F.array(*structs)).alias("g"))
         .select("g.*")
         .groupBy("lvl", *[f"q{j}" for j in range(n_q)])
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(*aggs)
     )
 
 
@@ -73,6 +83,8 @@ def generalization_report(
     qi_levels: list[list[Column]],
     k: int,
     max_suppress_frac: float = 0.005,
+    sensitive: Column | None = None,
+    l: int = 1,
 ) -> DataFrame:
     """Per-level k-anonymity report with the chosen release level.
 
@@ -82,32 +94,57 @@ def generalization_report(
     lowest level whose suppression stays within
     ``max_suppress_frac``, falling back to the ladder top when none
     qualifies — release at the top still suppresses its remainder).
+
+    With ``sensitive``/``l`` (distinct l-diversity, Machanavajjhala et
+    al. 2006), a group violates when it is below k OR carries fewer
+    than ``l`` distinct sensitive values (a k-anonymous group with one
+    sensitive value still discloses it); the columns become
+    ``rows_violating``/``pct_rows_violating`` plus
+    ``min_l_diversity``. Note the ladder top only guarantees
+    feasibility when the WHOLE column carries ≥ l distinct values.
     """
     if k < 1:
         raise ValueError("generalization_report: k must be >= 1")
+    if sensitive is not None and l < 1:
+        raise ValueError("generalization_report: l must be >= 1")
+    with_l = sensitive is not None and l > 1
     below = F.col("n") < F.lit(k)
+    if with_l:
+        below = below | (F.col("l") < F.lit(l))
+    viol = "rows_violating" if with_l else "rows_below_k"
+    pct = "pct_rows_violating" if with_l else "pct_rows_below_k"
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("n").cast("long").alias("min_group_size"),
+        F.sum(F.when(below, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(viol),
+        F.sum("n").cast("long").alias("_n_rows"),
+    ]
+    if with_l:
+        aggs.insert(2, F.min("l").cast("long").alias("min_l_diversity"))
     per_level = (
-        _level_groups(df, qi_levels)
+        _level_groups(df, qi_levels, sensitive if with_l else None)
         .groupBy("lvl")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_groups"),
-            F.min("n").cast("long").alias("min_group_size"),
-            F.sum(F.when(below, F.col("n")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("rows_below_k"),
-            F.sum("n").cast("long").alias("_n_rows"),
-        )
+        .agg(*aggs)
         .withColumn(
-            "pct_rows_below_k",
-            F.col("rows_below_k").cast("double")
-            / F.col("_n_rows").cast("double"),
+            pct,
+            F.col(viol).cast("double") / F.col("_n_rows").cast("double"),
         )
     )
-    ok = F.col("pct_rows_below_k") <= F.lit(max_suppress_frac)
+    ok = F.col(pct) <= F.lit(max_suppress_frac)
     sel = per_level.agg(
         F.min(F.when(ok, F.col("lvl"))).alias("_ok_lvl"),
         F.max("lvl").alias("_max_lvl"),
     )
+    out_cols = [
+        F.col("lvl").cast("long").alias("level"),
+        "n_groups",
+        "min_group_size",
+    ]
+    if with_l:
+        out_cols.append("min_l_diversity")
+    out_cols += [viol, pct, "chosen"]
     return (
         per_level.join(F.broadcast(sel))
         .withColumn(
@@ -117,14 +154,7 @@ def generalization_report(
                 == F.coalesce(F.col("_ok_lvl"), F.col("_max_lvl"))
             ).cast("long"),
         )
-        .select(
-            F.col("lvl").cast("long").alias("level"),
-            "n_groups",
-            "min_group_size",
-            "rows_below_k",
-            "pct_rows_below_k",
-            "chosen",
-        )
+        .select(*out_cols)
     )
 
 
@@ -135,6 +165,8 @@ def generalize(
     max_suppress_frac: float = 0.005,
     qi_names: list[str] | None = None,
     drop_cols: list[str] | None = None,
+    sensitive: Column | None = None,
+    l: int = 1,
 ) -> DataFrame:
     """The released table: the chosen level's generalized QI columns
     (named ``qi_names``, default ``q0..qm``) plus ``df``'s other
@@ -159,20 +191,29 @@ def generalize(
             f"generalize: qi_names collide with released columns: "
             f"{sorted(clash)}"
         )
-    rep = generalization_report(df, qi_levels, k, max_suppress_frac)
+    rep = generalization_report(
+        df, qi_levels, k, max_suppress_frac, sensitive=sensitive, l=l
+    )
     chosen = rep.filter(F.col("chosen") == 1).select("level").first()
     # empty input: no groups at any level -> release at the ladder top
     # (the output is empty either way; the plan must still build)
     lvl_idx = len(qi_levels) - 1 if chosen is None else int(chosen["level"])
     lvl_exprs = qi_levels[lvl_idx]
+    with_l = sensitive is not None and l > 1
     gen = df.select(
         *[c.cast("string").alias(nm) for c, nm in zip(lvl_exprs, names)],
+        *([sensitive.cast("string").alias("_ga_s")] if with_l else []),
         *[F.col(c) for c in kept],
     )
+    ok_aggs = [F.count(F.lit(1)).alias("_ga_n")]
+    keep_pred = F.col("_ga_n") >= k
+    if with_l:
+        ok_aggs.append(F.count_distinct(F.col("_ga_s")).alias("_ga_l"))
+        keep_pred = keep_pred & (F.col("_ga_l") >= l)
     ok_groups = (
         gen.groupBy(*names)
-        .agg(F.count(F.lit(1)).alias("_ga_n"))
-        .filter(F.col("_ga_n") >= k)
-        .drop("_ga_n")
+        .agg(*ok_aggs)
+        .filter(keep_pred)
+        .select(*names)
     )
-    return gen.join(ok_groups, names, "left_semi")
+    return gen.join(ok_groups, names, "left_semi").drop("_ga_s")

@@ -459,3 +459,84 @@ def customer_k_anonymity_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_KREPAIR_K,
         max_suppress_frac=_KREPAIR_FRAC,
     )
+
+
+_LREPAIR_K, _LREPAIR_L, _LREPAIR_FRAC = 10, 3, 0.005
+
+_LREPAIR_SQL = f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg, c.c_nationkey AS nk,
+             n.n_regionkey AS rk,
+             CAST(CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS VARCHAR)
+               AS s
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    lv AS (
+      SELECT 0 AS lvl, seg AS q0, CAST(nk AS VARCHAR) AS q1, s FROM base
+      UNION ALL SELECT 1, seg, CAST(rk AS VARCHAR), s FROM base
+      UNION ALL SELECT 2, seg, '*', s FROM base
+      UNION ALL SELECT 3, '*', '*', s FROM base),
+    groups AS (SELECT lvl, q0, q1, count(*) AS n,
+                      count(DISTINCT s) AS l
+               FROM lv GROUP BY 1, 2, 3),
+    per AS (SELECT lvl, count(*) AS n_groups, min(n) AS min_group_size,
+                   min(l) AS min_l_diversity,
+                   sum(CASE WHEN n < {_LREPAIR_K} OR l < {_LREPAIR_L}
+                            THEN n ELSE 0 END) AS rows_violating,
+                   sum(n) AS n_rows
+            FROM groups GROUP BY 1),
+    sel AS (SELECT min(CASE WHEN CAST(rows_violating AS DOUBLE)
+                                 / CAST(n_rows AS DOUBLE)
+                                 <= {_LREPAIR_FRAC} THEN lvl END) AS ok_lvl,
+                   max(lvl) AS max_lvl
+            FROM per)
+    SELECT CAST(lvl AS BIGINT) AS level,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(min_group_size AS BIGINT) AS min_group_size,
+           CAST(min_l_diversity AS BIGINT) AS min_l_diversity,
+           CAST(rows_violating AS BIGINT) AS rows_violating,
+           CAST(rows_violating AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             AS pct_rows_violating,
+           CAST(CASE WHEN lvl = coalesce(ok_lvl, max_lvl)
+                     THEN 1 ELSE 0 END AS BIGINT) AS chosen
+    FROM per CROSS JOIN sel
+"""
+
+
+@query("customer_l_diversity_repair", _LREPAIR_SQL, extra=True)
+def customer_l_diversity_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity repair (Machanavajjhala et al. 2006 on the Datafly
+    ladder): k-anonymity alone leaves a group that shares ONE
+    sensitive value fully disclosed, so the release condition here is
+    group ≥ k AND ≥ l distinct sensitive values (acctbal $1000
+    bucket, the audit's sensitive attribute; QI ladder (segment,
+    nationkey) → (segment, region) → (segment, '*') → ('*','*') —
+    the sensitive column stays OUT of the QI, unlike the k-repair
+    entry, because coarsening the disclosure target would fake
+    diversity). Output: one row per ladder level with group stats,
+    min l-diversity, rows violating either bound, and the chosen
+    release level at the 0.5% suppression budget.
+
+    Same one-scan shape as customer_k_anonymity_repair (explode
+    rows×levels → one hash agg carrying an exact distinct count →
+    metadata-grain report → 1-row scalar broadcast)."""
+    cu = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation")
+    base = cu.join(
+        F.broadcast(na),
+        cu["c_nationkey"] == na["n_nationkey"],
+    )
+    seg, star = F.col("c_mktsegment"), F.lit("*")
+    ladder = [
+        [seg, F.col("c_nationkey")],
+        [seg, F.col("n_regionkey")],
+        [seg, star],
+        [star, star],
+    ]
+    return ops_anonymize.generalization_report(
+        base,
+        ladder,
+        k=_LREPAIR_K,
+        max_suppress_frac=_LREPAIR_FRAC,
+        sensitive=F.floor(F.col("c_acctbal") / F.lit(1000.0)),
+        l=_LREPAIR_L,
+    )

@@ -87,6 +87,43 @@ def test_generalize_falls_back_to_ladder_top(spark, people):
     assert out.count() == 19  # one '*' group, nothing suppressed
 
 
+def test_l_diversity_release_condition(spark, people):
+    """With sensitive/l, a big-enough group with too FEW distinct
+    sensitive values still violates, and generalize() suppresses it."""
+    import pyspark.sql.functions as SF
+
+    # springfield's 12 members all share age 30 -> k=3 fine, l=2 fails
+    rep = {
+        r["level"]: r
+        for r in generalization_report(
+            people,
+            _ladder(),
+            k=3,
+            max_suppress_frac=0.40,
+            sensitive=SF.col("age"),
+            l=2,
+        ).collect()
+    }
+    assert rep[0]["min_l_diversity"] == 1
+    assert rep[0]["rows_violating"] == 12 + 6 + 1  # all groups fail k or l
+    # level 1 pools ages 30..33 into decade-3 'il' group (l=4 >= 2);
+    # only 'lone' violates -> 1/19 within the 40% budget
+    assert rep[1]["rows_violating"] == 1
+    assert rep[1]["chosen"] == 1
+    out = generalize(
+        people,
+        _ladder(),
+        k=3,
+        max_suppress_frac=0.40,
+        sensitive=SF.col("age"),
+        l=2,
+        qi_names=["geo", "band"],
+        drop_cols=["city", "state", "age"],
+    )
+    assert set(out.columns) == {"geo", "band", "pid"}
+    assert out.count() == 18  # lone suppressed, nothing else
+
+
 def test_validation_and_empty_input(spark, people):
     with pytest.raises(ValueError, match="non-empty"):
         generalization_report(people, [], k=3)
