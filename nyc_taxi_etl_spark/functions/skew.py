@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_broadcast_join", "two_phase_topk"]
+__all__ = [
+    "salted_agg",
+    "salted_broadcast_join",
+    "two_phase_topk",
+    "key_skew_profile",
+]
 
 _MERGERS = {
     "sum": F.sum,
@@ -147,4 +152,71 @@ def two_phase_topk(
         tops.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
+    )
+
+
+def key_skew_profile(df: DataFrame, key: str, label: str) -> DataFrame:
+    """One-row key-distribution profile for a prospective join/agg key:
+    how skewed is ``key`` — the MEASUREMENT that decides between a
+    plain shuffle, ``salted_agg``, broadcast, or AQE skew handling
+    before anyone burns a cluster finding out.
+
+    Columns: ``keyspace`` (the label), ``n_rows``, ``n_keys``,
+    ``avg_per_key``, ``max_per_key``, ``p99_per_key`` (exact
+    rank-based: the smallest group size covering ≥ ⌈0.99·n_keys⌉
+    keys), ``top_key`` (the heaviest key; count ties break to the
+    smallest key, stringified), ``skew_ratio`` (max/avg).
+
+    Scale shape: ONE hash agg over the data builds the per-key group
+    table; everything after runs on bounded frames — the
+    count-of-COUNTS table (distinct group sizes, ~hundreds of rows no
+    matter the key cardinality) carries the exact p99 through its own
+    tiny cumulative window, and the totals ride 1-row broadcasts. No
+    data-sized windows, sorts, or collects; exact integer outputs so a
+    SQL oracle replays it bit-for-bit.
+    """
+    g = df.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    totals = g.agg(
+        F.count(F.lit(1)).alias("_n_keys"),
+        F.sum("_n").alias("_n_rows"),
+        F.max("_n").alias("_max_n"),
+    )
+    # count-of-counts: bounded by #distinct group sizes; its window is
+    # the scalar-table pattern, never data-sized
+    coc = g.groupBy("_n").agg(F.count(F.lit(1)).alias("_keys"))
+    w = Window.orderBy("_n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = coc.select("_n", F.sum("_keys").over(w).alias("_cum"))
+    p99 = (
+        cum.join(F.broadcast(totals))
+        .filter(
+            F.col("_cum")
+            >= F.ceil(F.lit(0.99) * F.col("_n_keys").cast("double")).cast("long")
+        )
+        .agg(F.min("_n").alias("_p99"))
+    )
+    top = (
+        g.join(F.broadcast(totals))
+        .filter(F.col("_n") == F.col("_max_n"))
+        .agg(F.min(F.col(key).cast("string")).alias("top_key"))
+    )
+    return (
+        totals.join(F.broadcast(p99))
+        .join(F.broadcast(top))
+        .select(
+            F.lit(label).alias("keyspace"),
+            F.col("_n_rows").cast("long").alias("n_rows"),
+            F.col("_n_keys").cast("long").alias("n_keys"),
+            (
+                F.col("_n_rows").cast("double")
+                / F.col("_n_keys").cast("double")
+            ).alias("avg_per_key"),
+            F.col("_max_n").cast("long").alias("max_per_key"),
+            F.col("_p99").cast("long").alias("p99_per_key"),
+            "top_key",
+            (
+                F.col("_max_n").cast("double")
+                * F.col("_n_keys").cast("double")
+                / F.col("_n_rows").cast("double")
+            ).alias("skew_ratio"),
+        )
     )

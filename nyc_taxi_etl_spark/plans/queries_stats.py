@@ -730,3 +730,74 @@ def orders_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
         .alias("exp_share"),
     )
+
+
+def _skew_profile_sql_one(table: str, key: str) -> str:
+    # one keyspace: per-key group table -> bounded count-of-counts ->
+    # exact rank-based p99 + heaviest key (ties to smallest key)
+    return f"""
+      SELECT '{table}.{key}' AS keyspace,
+             CAST(t.n_rows AS BIGINT) AS n_rows,
+             CAST(t.n_keys AS BIGINT) AS n_keys,
+             CAST(t.n_rows AS DOUBLE) / CAST(t.n_keys AS DOUBLE)
+               AS avg_per_key,
+             CAST(t.max_n AS BIGINT) AS max_per_key,
+             CAST(p.p99 AS BIGINT) AS p99_per_key,
+             tk.top_key,
+             CAST(t.max_n AS DOUBLE) * CAST(t.n_keys AS DOUBLE)
+               / CAST(t.n_rows AS DOUBLE) AS skew_ratio
+      FROM (SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n
+            FROM g_{key}) t
+      CROSS JOIN (
+        SELECT min(n) AS p99
+        FROM (SELECT n, sum(keys) OVER (ORDER BY n) AS cum
+              FROM (SELECT n, count(*) AS keys FROM g_{key} GROUP BY 1))
+        CROSS JOIN (SELECT count(*) AS n_keys FROM g_{key})
+        WHERE cum >= CAST(ceil(0.99 * CAST(n_keys AS DOUBLE)) AS BIGINT)) p
+      CROSS JOIN (
+        SELECT min(CAST(key AS VARCHAR)) AS top_key
+        FROM g_{key}
+        CROSS JOIN (SELECT max(n) AS max_n FROM g_{key}) m
+        WHERE n = m.max_n) tk
+    """
+
+
+_SKEW_SQL = f"""
+    WITH g_o_custkey AS (
+      SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),
+    g_l_suppkey AS (
+      SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+    g_user_id AS (
+      SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1)
+    {_skew_profile_sql_one("orders", "o_custkey")}
+    UNION ALL
+    {_skew_profile_sql_one("lineitem", "l_suppkey")}
+    UNION ALL
+    {_skew_profile_sql_one("events", "user_id")}
+"""
+
+
+@query("key_skew_profiles", _SKEW_SQL, extra=True)
+def key_skew_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew profiles for the three join/agg keys a
+    planner actually worries about on this schema — orders.o_custkey,
+    lineitem.l_suppkey, events.user_id: rows, key cardinality,
+    mean/max/exact-p99 rows per key, the heaviest key, and the
+    max/avg skew ratio. This is the MEASUREMENT step in the skew
+    toolkit (``functions/skew.py``): the output of this profile is
+    what chooses between a plain shuffle, ``salted_agg``, a broadcast,
+    or AQE skew-join handling — measure, don't guess, before burning a
+    1000-executor shuffle on a hot key.
+
+    Scale: one hash agg per keyspace builds the per-key group table;
+    the exact p99 rides the COUNT-OF-COUNTS table (distinct group
+    sizes — bounded no matter the cardinality) through a tiny
+    cumulative window, and every scalar joins back as a 1-row
+    broadcast. Exact integer outputs; the oracle replays rank-based
+    p99 and the tie-broken heaviest key verbatim."""
+    from ..functions.skew import key_skew_profile
+
+    od = key_skew_profile(t(spark, sf_dir, "orders"), "o_custkey", "orders.o_custkey")
+    li = key_skew_profile(t(spark, sf_dir, "lineitem"), "l_suppkey", "lineitem.l_suppkey")
+    ev = key_skew_profile(t(spark, sf_dir, "events"), "user_id", "events.user_id")
+    return od.unionByName(li).unionByName(ev)
