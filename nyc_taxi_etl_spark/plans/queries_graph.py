@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import r4
 from ..operators import dedup as D
-from ..operators.graph import hits, pagerank, triangle_counts
+from ..operators.graph import bfs_level_hops, hits, pagerank, triangle_counts
 from .queries import query, t
 
 _ITERATIONS = 6
@@ -284,3 +284,77 @@ def purchase_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("authority")).alias("score"),
         )
     )
+
+
+_BFS_HOPS = 4
+
+
+def _reach_sql(max_hops: int = _BFS_HOPS) -> str:
+    # unrolled level sets with per-level DISTINCT — the recursive
+    # UNION ALL form enumerates PATHS (deg^h on this dense bipartite
+    # graph) and detonates by hop 4; levels stay bounded by |V|
+    ctes = [
+        """edges AS MATERIALIZED (
+          SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
+        """und AS MATERIALIZED (
+          SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)""",
+        """l0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS node
+          FROM orders WHERE o_custkey < 3)""",
+    ]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f"""l{h} AS MATERIALIZED (
+              SELECT DISTINCT u.dst AS node
+              FROM l{h - 1} w JOIN und u ON u.src = w.node)"""
+        )
+    levels = "\n      UNION ALL\n      ".join(
+        f"SELECT node, {h} AS hops FROM l{h}" for h in range(max_hops + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops
+    FROM ({levels})
+    GROUP BY 1
+    """
+    )
+
+
+@query("purchase_reach_hops", _reach_sql(), extra=True)
+def purchase_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-BFS reachability over the (symmetrized) customer–
+    supplier purchase graph: minimum hop distance from the seed
+    customers (custkey < 3) up to 4 hops — the blast-radius /
+    contamination-spread primitive (hop 1 = the seeds' suppliers,
+    hop 2 = co-buying customers, …).
+
+    Level-set BFS (``operators/graph.py::bfs_level_hops``): per-level
+    DISTINCT caps every frontier at |V|, so the walk is a static
+    4-join plan — the recursive-CTE path enumeration would grow as
+    deg^h on this dense bipartite graph. The oracle unrolls the SAME
+    level sets (the engine's recursive-CTE entry is
+    customer_ancestor_chains, where paths are genuinely acyclic)."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = (
+        orders.filter(F.col("o_custkey") < 3)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("node")
+        )
+        .distinct()
+    )
+    return bfs_level_hops(und, seeds, max_hops=_BFS_HOPS)

@@ -206,3 +206,32 @@ def test_global_sequence_broadcast_offset_path(spark, monkeypatch):
     rows = out.collect()
     by_key = sorted(((r["k"], r["id"]), r["seq"]) for r in rows)
     assert [s for _, s in by_key] == list(range(1, 301))
+
+
+def test_bfs_level_hops_min_distance_and_direction(spark):
+    """Pinned hop distances on a directed path + branch; a node
+    reachable two ways gets the MIN hop count; unreachable nodes are
+    absent; direction respected unless the caller symmetrizes."""
+    from nyc_taxi_etl_spark.operators.graph import bfs_level_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"), ("e", "d"),
+         ("x", "a")],
+        "src: string, dst: string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node: string")
+    got = {r["node"]: r["hops"] for r in
+           bfs_level_hops(edges, seeds, max_hops=4).collect()}
+    # d: a->b->c->d (3 hops) vs a->e->d (2 hops) -> min 2
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 2, "e": 1}
+    # 'x' only reaches INTO a; never reached from a (directed)
+    assert "x" not in got
+    # hop bound respected
+    got1 = {r["node"]: r["hops"] for r in
+            bfs_level_hops(edges, seeds, max_hops=1).collect()}
+    assert got1 == {"a": 0, "b": 1, "e": 1}
+    # max_hops=0: just the (deduped) seeds
+    got0 = bfs_level_hops(edges, seeds.union(seeds), max_hops=0).collect()
+    assert [(r["node"], r["hops"]) for r in got0] == [("a", 0)]
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_level_hops(edges, seeds, max_hops=-1)
