@@ -178,7 +178,9 @@ def key_skew_profile(df: DataFrame, key: str, label: str) -> DataFrame:
     g = df.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
     totals = g.agg(
         F.count(F.lit(1)).alias("_n_keys"),
-        F.sum("_n").alias("_n_rows"),
+        # coalesce: over an EMPTY keyspace the profile row reads
+        # (n_rows=0, n_keys=0, nulls elsewhere), never a null count
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("_n_rows"),
         F.max("_n").alias("_max_n"),
     )
     # count-of-counts: bounded by #distinct group sizes; its window is

@@ -44,7 +44,9 @@ _EMPTY_REPORTS = {"lineitem_quality_report": 8, "event_funnel": 3,
                   # one zero-counted row per profiled column
                   "lineitem_column_profile": 6,
                   # one vacuous-pass row per declared FD (r7)
-                  "order_line_fd_audit": 5}
+                  "order_line_fd_audit": 5,
+                  # one zero-counted row per profiled keyspace (r8)
+                  "key_skew_profiles": 3}
 # media queries synthesize their blobs (no media table in testdata),
 # and the Python-data-source entry GENERATES its corpus — input-
 # independent by design, so 'empty input' doesn't apply to them
@@ -140,5 +142,11 @@ def test_catalog_plan_hygiene(spark, name):
         "hybrid_retrieval_rrf",  # 1-query-vector broadcast via
         # brute_force_knn's non-equi self-exclusion (same as
         # knn_bruteforce_cosine) + the 1-row N/avgdl BM25 broadcast
+        # r8: the generalization ladder's chosen-level selection is a
+        # 1-row (ok_lvl, max_lvl) scalar broadcast
+        "customer_k_anonymity_repair",
+        "customer_l_diversity_repair",
+        # r8: 1-row totals/p99/top-key scalar broadcasts per keyspace
+        "key_skew_profiles",
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -23,13 +23,16 @@ def test_queries_listing_no_spark(capsys):
     assert sum(line.endswith("\toverflow") for line in lines) == len(
         QUERIES_EXTRA
     )
-    # r6 rotation: semantic_dedup promoted into the driver window,
-    # doc_top_terms demoted to overflow (both keep full oracles)
+    # r8 rotation: ppjoin_near_pairs promoted into the driver window;
+    # semantic_dedup (green since r6) demoted to overflow — both keep
+    # full oracles either way
     assert any(
-        line.startswith("semantic_dedup\toracle")
+        line.startswith("ppjoin_near_pairs\toracle")
         and not line.endswith("\toverflow")
         for line in lines
     )
+    assert any(line.startswith("semantic_dedup\toracle\toverflow")
+               for line in lines)
     assert any(line.startswith("doc_top_terms\toracle\toverflow")
                for line in lines)
 
