@@ -31,6 +31,7 @@ __all__ = [
     "salted_broadcast_join",
     "two_phase_topk",
     "key_skew_profile",
+    "join_size_audit",
 ]
 
 _MERGERS = {
@@ -220,5 +221,76 @@ def key_skew_profile(df: DataFrame, key: str, label: str) -> DataFrame:
                 * F.col("_n_keys").cast("double")
                 / F.col("_n_rows").cast("double")
             ).alias("skew_ratio"),
+        )
+    )
+
+
+def join_size_audit(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    label: str,
+    top_keys: int = 3,
+) -> DataFrame:
+    """Exact inner-equi-join cardinality WITHOUT materializing the
+    join: |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k), computed by joining the two
+    per-key GROUP TABLES (each bounded by its key cardinality, far
+    smaller than the join output they predict). The companion to
+    ``key_skew_profile``: the profile says a key is hot, this says
+    exactly how many rows the join would emit and which keys dominate
+    it — the number that decides broadcast vs sort-merge vs salting
+    BEFORE a 1000-executor shuffle materializes a 10¹²-row mistake.
+
+    One row per audit: ``join_name``, ``left_rows``, ``right_rows``,
+    ``matching_keys``, ``join_rows`` (exact), ``max_key_rows`` (the
+    hottest key's contribution), ``top_key_rows`` (the ``top_keys``
+    hottest keys' combined contribution), ``amplification``
+    (join_rows / max(left_rows, right_rows)).
+
+    Scale: two hash aggs (one per side) + one equi-join of the group
+    tables + one global agg; the hot-key cut is a TakeOrdered
+    ``top_keys`` rows, never a sort. Exact integer outputs — the
+    oracle replays Σ products verbatim.
+    """
+    la = left.groupBy(F.col(left_key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_ln")
+    )
+    rb = right.groupBy(F.col(right_key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_rn")
+    )
+    prod = la.join(rb, "_k").select(
+        "_k", (F.col("_ln") * F.col("_rn")).alias("_p")
+    )
+    top = (
+        prod.orderBy(F.desc("_p"), F.asc("_k"))
+        .limit(top_keys)
+        .agg(F.coalesce(F.sum("_p"), F.lit(0)).alias("_top_p"))
+    )
+    lt = left.agg(F.count(F.lit(1)).alias("_lrows"))
+    rt = right.agg(F.count(F.lit(1)).alias("_rrows"))
+    tot = prod.agg(
+        F.count(F.lit(1)).alias("_mk"),
+        F.coalesce(F.sum("_p"), F.lit(0)).alias("_jrows"),
+        F.max("_p").alias("_maxp"),
+    )
+    return (
+        tot.join(F.broadcast(top))
+        .join(F.broadcast(lt))
+        .join(F.broadcast(rt))
+        .select(
+            F.lit(label).alias("join_name"),
+            F.col("_lrows").cast("long").alias("left_rows"),
+            F.col("_rrows").cast("long").alias("right_rows"),
+            F.col("_mk").cast("long").alias("matching_keys"),
+            F.col("_jrows").cast("long").alias("join_rows"),
+            F.coalesce(F.col("_maxp"), F.lit(0))
+            .cast("long")
+            .alias("max_key_rows"),
+            F.col("_top_p").cast("long").alias("top_key_rows"),
+            (
+                F.col("_jrows").cast("double")
+                / F.greatest(F.col("_lrows"), F.col("_rrows")).cast("double")
+            ).alias("amplification"),
         )
     )

@@ -801,3 +801,85 @@ def key_skew_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = key_skew_profile(t(spark, sf_dir, "lineitem"), "l_suppkey", "lineitem.l_suppkey")
     ev = key_skew_profile(t(spark, sf_dir, "events"), "user_id", "events.user_id")
     return od.unionByName(li).unionByName(ev)
+
+
+def _join_audit_sql_one(
+    name: str, lt: str, lk: str, rt: str, rk: str, top: int = 3
+) -> str:
+    return f"""
+      SELECT '{name}' AS join_name,
+             CAST((SELECT count(*) FROM {lt}) AS BIGINT) AS left_rows,
+             CAST((SELECT count(*) FROM {rt}) AS BIGINT) AS right_rows,
+             CAST((SELECT count(*) FROM p_{name}) AS BIGINT)
+               AS matching_keys,
+             CAST((SELECT COALESCE(sum(p), 0) FROM p_{name}) AS BIGINT)
+               AS join_rows,
+             CAST((SELECT COALESCE(max(p), 0) FROM p_{name}) AS BIGINT)
+               AS max_key_rows,
+             CAST((SELECT COALESCE(sum(p), 0) FROM
+                   (SELECT p FROM p_{name}
+                    ORDER BY p DESC, k ASC LIMIT {top})) AS BIGINT)
+               AS top_key_rows,
+             CAST((SELECT COALESCE(sum(p), 0) FROM p_{name}) AS DOUBLE)
+               / CAST(greatest((SELECT count(*) FROM {lt}),
+                               (SELECT count(*) FROM {rt})) AS DOUBLE)
+               AS amplification
+    """
+
+
+_JOIN_AUDIT_SQL = f"""
+    WITH p_orders_lineitem AS (
+      SELECT a.k, a.ln * b.rn AS p
+      FROM (SELECT o_orderkey AS k, count(*) AS ln FROM orders GROUP BY 1) a
+      JOIN (SELECT l_orderkey AS k, count(*) AS rn FROM lineitem GROUP BY 1) b
+        USING (k)),
+    p_customer_orders AS (
+      SELECT a.k, a.ln * b.rn AS p
+      FROM (SELECT c_custkey AS k, count(*) AS ln FROM customer GROUP BY 1) a
+      JOIN (SELECT o_custkey AS k, count(*) AS rn FROM orders GROUP BY 1) b
+        USING (k)),
+    p_part_lineitem AS (
+      SELECT a.k, a.ln * b.rn AS p
+      FROM (SELECT p_partkey AS k, count(*) AS ln FROM part GROUP BY 1) a
+      JOIN (SELECT l_partkey AS k, count(*) AS rn FROM lineitem GROUP BY 1) b
+        USING (k))
+    {_join_audit_sql_one("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey")}
+    UNION ALL
+    {_join_audit_sql_one("customer_orders", "customer", "c_custkey", "orders", "o_custkey")}
+    UNION ALL
+    {_join_audit_sql_one("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey")}
+"""
+
+
+@query("join_size_audits", _JOIN_AUDIT_SQL, extra=True)
+def join_size_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pre-join cardinality audits for the schema's three big
+    equi-joins (orders⋈lineitem, customer⋈orders, part⋈lineitem):
+    |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k) computed from the two per-key
+    GROUP TABLES — never by materializing the join — plus the hottest
+    key's contribution, the top-3 keys' combined share, and the
+    row-amplification factor. The companion to ``key_skew_profiles``:
+    the profile says a key is hot; this says exactly how many rows a
+    join would emit and who dominates it, which is the number that
+    picks broadcast vs sort-merge vs salting BEFORE a 1000-executor
+    shuffle materializes a 10¹²-row mistake.
+
+    Scale (``functions/skew.py::join_size_audit``): per audit, two
+    hash aggs + one equi-join of key-cardinality-sized group tables +
+    one global agg; the hot-key cut is a TakeOrdered top-3, never a
+    sort. Exact integers; the oracle replays Σ products verbatim."""
+    from ..functions.skew import join_size_audit
+
+    od = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cu = t(spark, sf_dir, "customer")
+    pa = t(spark, sf_dir, "part")
+    return (
+        join_size_audit(od, "o_orderkey", li, "l_orderkey", "orders_lineitem")
+        .unionByName(
+            join_size_audit(cu, "c_custkey", od, "o_custkey", "customer_orders")
+        )
+        .unionByName(
+            join_size_audit(pa, "p_partkey", li, "l_partkey", "part_lineitem")
+        )
+    )

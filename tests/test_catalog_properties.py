@@ -46,7 +46,9 @@ _EMPTY_REPORTS = {"lineitem_quality_report": 8, "event_funnel": 3,
                   # one vacuous-pass row per declared FD (r7)
                   "order_line_fd_audit": 5,
                   # one zero-counted row per profiled keyspace (r8)
-                  "key_skew_profiles": 3}
+                  "key_skew_profiles": 3,
+                  # one zero-counted row per audited join (r8)
+                  "join_size_audits": 3}
 # media queries synthesize their blobs (no media table in testdata),
 # and the Python-data-source entry GENERATES its corpus — input-
 # independent by design, so 'empty input' doesn't apply to them
@@ -148,5 +150,7 @@ def test_catalog_plan_hygiene(spark, name):
         "customer_l_diversity_repair",
         # r8: 1-row totals/p99/top-key scalar broadcasts per keyspace
         "key_skew_profiles",
+        # r8: 1-row totals/top-3 scalar broadcasts per join audit
+        "join_size_audits",
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name
