@@ -154,6 +154,10 @@ EXTENSION = [
     "ann_ivf_cosine",
     "ann_pq_cosine",
     "customer_k_anonymity_repair",
+    "customer_l_diversity_repair",
+    "key_skew_profiles",
+    "join_size_audits",
+    "purchase_reach_hops",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the
