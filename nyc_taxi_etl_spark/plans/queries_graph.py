@@ -347,9 +347,12 @@ def purchase_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # no distinct on the symmetrized union: the original set (c→s) and
+    # the swapped set (s→c) are disjoint by node-id prefix and each is
+    # internally distinct already — one full dedup exchange saved
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
     seeds = (
         orders.filter(F.col("o_custkey") < 3)
         .select(
