@@ -540,3 +540,99 @@ def customer_l_diversity_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         sensitive=F.floor(F.col("c_acctbal") / F.lit(1000.0)),
         l=_LREPAIR_L,
     )
+
+
+_KRELEASE_SQL = f"""
+    WITH base AS (
+      SELECT c.c_custkey, c.c_mktsegment AS seg, c.c_nationkey AS nk,
+             n.n_regionkey AS rk, c.c_acctbal AS bal
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    lv AS (
+      SELECT 0 AS lvl, seg AS q0, CAST(nk AS VARCHAR) AS q1,
+             CAST(CAST(floor(bal / 1000.0) AS BIGINT) AS VARCHAR) AS q2
+      FROM base
+      UNION ALL
+      SELECT 1, seg, CAST(nk AS VARCHAR),
+             CAST(CAST(floor(bal / 2000.0) AS BIGINT) AS VARCHAR) FROM base
+      UNION ALL
+      SELECT 2, seg, CAST(rk AS VARCHAR),
+             CAST(CAST(floor(bal / 2000.0) AS BIGINT) AS VARCHAR) FROM base
+      UNION ALL
+      SELECT 3, seg, CAST(rk AS VARCHAR),
+             CAST(CAST(floor(bal / 5000.0) AS BIGINT) AS VARCHAR) FROM base
+      UNION ALL
+      SELECT 4, '*', CAST(rk AS VARCHAR),
+             CAST(CAST(floor(bal / 10000.0) AS BIGINT) AS VARCHAR) FROM base
+      UNION ALL
+      SELECT 5, '*', '*', '*' FROM base),
+    groups AS (SELECT lvl, q0, q1, q2, count(*) AS n
+               FROM lv GROUP BY 1, 2, 3, 4),
+    per AS (SELECT lvl,
+                   sum(CASE WHEN n < {_KREPAIR_K} THEN n ELSE 0 END)
+                     AS rows_below_k,
+                   sum(n) AS n_rows
+            FROM groups GROUP BY 1),
+    sel AS (SELECT coalesce(
+                     min(CASE WHEN CAST(rows_below_k AS DOUBLE)
+                                   / CAST(n_rows AS DOUBLE)
+                                   <= {_KREPAIR_FRAC} THEN lvl END),
+                     max(lvl)) AS chosen
+            FROM per),
+    gen AS (
+      SELECT b.c_custkey,
+             CASE WHEN s.chosen <= 3 THEN b.seg ELSE '*' END AS seg_g,
+             CASE WHEN s.chosen <= 1 THEN CAST(b.nk AS VARCHAR)
+                  WHEN s.chosen <= 4 THEN CAST(b.rk AS VARCHAR)
+                  ELSE '*' END AS geo_g,
+             CASE s.chosen
+               WHEN 0 THEN CAST(CAST(floor(b.bal / 1000.0) AS BIGINT)
+                                AS VARCHAR)
+               WHEN 1 THEN CAST(CAST(floor(b.bal / 2000.0) AS BIGINT)
+                                AS VARCHAR)
+               WHEN 2 THEN CAST(CAST(floor(b.bal / 2000.0) AS BIGINT)
+                                AS VARCHAR)
+               WHEN 3 THEN CAST(CAST(floor(b.bal / 5000.0) AS BIGINT)
+                                AS VARCHAR)
+               WHEN 4 THEN CAST(CAST(floor(b.bal / 10000.0) AS BIGINT)
+                                AS VARCHAR)
+               ELSE '*' END AS bal_g
+      FROM base b CROSS JOIN sel s),
+    ok AS (SELECT seg_g, geo_g, bal_g FROM gen
+           GROUP BY 1, 2, 3 HAVING count(*) >= {_KREPAIR_K})
+    SELECT g.c_custkey, g.seg_g, g.geo_g, g.bal_g
+    FROM gen g JOIN ok USING (seg_g, geo_g, bal_g)
+"""
+
+
+@query("customer_k_anonymity_release", _KRELEASE_SQL, extra=True)
+def customer_k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELEASED k-anonymized customer table — not just the repair
+    report: every surviving row with its generalized QI columns
+    (seg_g, geo_g, bal_g) at the ladder level
+    ``customer_k_anonymity_repair`` chooses, below-k groups
+    suppressed. The oracle verifies the released DATA row-for-row: it
+    derives the same chosen level in SQL and switches the
+    generalization expressions with a CASE on it — so level choice,
+    coarsening, and suppression are all value-checked, closing the
+    loop the report entry opens.
+
+    Scale: the report machinery (one explode-scan + bounded aggs)
+    picks the level; the release is one more scan + a co-partitioned
+    semi-join against the ≥k groups (operators/anonymize.py::
+    generalize — the .first() on the 6-row report is the bounded
+    collect documented there)."""
+    cu = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation")
+    base = cu.join(
+        F.broadcast(na),
+        cu["c_nationkey"] == na["n_nationkey"],
+    )
+    released = ops_anonymize.generalize(
+        base,
+        _customer_qi_ladder(base),
+        k=_KREPAIR_K,
+        max_suppress_frac=_KREPAIR_FRAC,
+        qi_names=["seg_g", "geo_g", "bal_g"],
+        drop_cols=[c for c in base.columns if c != "c_custkey"],
+    )
+    return released.select("c_custkey", "seg_g", "geo_g", "bal_g")

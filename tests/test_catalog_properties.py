@@ -148,6 +148,7 @@ def test_catalog_plan_hygiene(spark, name):
         # 1-row (ok_lvl, max_lvl) scalar broadcast
         "customer_k_anonymity_repair",
         "customer_l_diversity_repair",
+        "customer_k_anonymity_release",
         # r8: 1-row totals/p99/top-key scalar broadcasts per keyspace
         "key_skew_profiles",
         # r8: 1-row totals/top-3 scalar broadcasts per join audit
