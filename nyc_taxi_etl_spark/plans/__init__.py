@@ -197,3 +197,50 @@ for _n in _PROMOTE_R8:
     if _n in ORACLE_EXTRA:
         ORACLE[_n] = ORACLE_EXTRA.pop(_n)
 assert len(QUERIES) == 50, len(QUERIES)
+
+# --------------------------------------------------------------------------
+# Round-8 continuation rotation (the r7b precedent): promote the six
+# operators BUILT this round — the two ANN paths newly full-oracle via
+# seeded quantizer literals, the k-anonymity generalization repair, the
+# key-skew profiler, the exact join-size audit, and bounded-BFS
+# reachability — so CORRECTNESS_r08 stamps them driver-side. All six
+# are oracle-verified locally at sf0.001/0.01/0.1 and the generated
+# sf1 (five also at sf10). Demotions keep every family ≥1 in-window:
+#   similarity search keeps ann_lsh + the two promoted ANN entries
+#     (knn_bruteforce demoted — exact-scan baseline, green since r1;
+#     its fold/cosine arithmetic is exercised by every ANN oracle);
+#   aggregations keep events_time_profile/orders_rollup/returnflag_
+#     summary/region_order_revenue/top_suppliers_per_nation/extreme_
+#     days_zscore and more (monthly_order_summary — the exact-median
+#     rep — value_histogram and quantity_segmentation demoted, all
+#     green since r1; the median shape stays locally gated);
+#   joins keep region_order_revenue/daily_pct_of_baseline/
+#     purchase_asof_prior_error (daily_purchase_vs_errors demoted);
+#   training keeps chunks/pii/splits/mixture (doc_lm_scores demoted,
+#     green since r1).
+# Demoted entries remain fully oracle-tested in the local suite.
+_PROMOTE_R8B = [
+    "ann_ivf_cosine",
+    "ann_pq_cosine",
+    "customer_k_anonymity_repair",
+    "key_skew_profiles",
+    "join_size_audits",
+    "purchase_reach_hops",
+]
+_DEMOTE_R8B = [
+    "knn_bruteforce_cosine",
+    "monthly_order_summary",
+    "value_histogram",
+    "quantity_segmentation",
+    "daily_purchase_vs_errors",
+    "doc_lm_scores",
+]
+for _n in _DEMOTE_R8B:
+    QUERIES_EXTRA[_n] = QUERIES.pop(_n)
+    if _n in ORACLE:
+        ORACLE_EXTRA[_n] = ORACLE.pop(_n)
+for _n in _PROMOTE_R8B:
+    QUERIES[_n] = QUERIES_EXTRA.pop(_n)
+    if _n in ORACLE_EXTRA:
+        ORACLE[_n] = ORACLE_EXTRA.pop(_n)
+assert len(QUERIES) == 50, len(QUERIES)
