@@ -155,6 +155,7 @@ EXTENSION = [
     "ann_pq_cosine",
     "customer_k_anonymity_repair",
     "customer_l_diversity_repair",
+    "customer_k_anonymity_release",
     "key_skew_profiles",
     "join_size_audits",
     "purchase_reach_hops",

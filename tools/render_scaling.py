@@ -88,7 +88,7 @@ def nsv_section(nsv: dict) -> list[str]:
         "(`SPARK_GRAFT_SF=/root/repo/.scaledata/nsv_sf1 pytest "
         "tests/test_oracle.py -k 'fuzzy_near_pairs or "
         "ppjoin_near_pairs or winnow_near_pairs or "
-        "near_dup_triangles'` — 4/4 green).",
+        "near_dup_triangles'` — 4/4 green), and ppjoin/winnow/triangles additionally hash-match at the non-saturating sf10 (500k docs; fuzzy's DuckDB replay stays at sf1 — its unbanded per-pair levenshtein is the oracle-side bottleneck, not the operator).",
         "",
     ]
     pairs = list(zip(labels, labels[1:]))
