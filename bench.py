@@ -156,6 +156,7 @@ EXTENSION = [
     "customer_k_anonymity_repair",
     "customer_l_diversity_repair",
     "customer_k_anonymity_release",
+    "user_value_cusum",
     "key_skew_profiles",
     "join_size_audits",
     "purchase_reach_hops",

@@ -359,3 +359,114 @@ def monthly_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders").isNotNull())
     )
+
+
+# CUSUM tuning: plan-time LITERALS, not data-derived floats — a global
+# mean/stddev would be an order-dependent double sum that diverges
+# cross-engine at the ulp and poisons every downstream S value. In
+# production these come from a control period; here μ0+slack=75, the
+# lower arm at μ0-slack=25, decision interval h=200 (events.value is
+# Exp(mean 50), so both arms fire on genuine drifts only).
+_CUSUM_UP, _CUSUM_DN, _CUSUM_H = 75.0, 25.0, 200.0
+
+_CUSUM_SQL = f"""
+    WITH per_user AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY 1),
+    folded AS (
+      SELECT user_id, len(vals) AS n_events,
+             list_reduce(
+               list_prepend(
+                 [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+                  0.0::DOUBLE],
+                 list_transform(vals, v ->
+                   [v, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+                    0.0::DOUBLE])),
+               -- acc = [S+, S-, maxS+, maxS-, alarm_steps]; LIST
+               -- accumulator (the Holt lesson: DuckDB's executed
+               -- list_reduce rebinds struct fields sequentially, and
+               -- the alarm counter here reads BOTH updated arms)
+               (acc, e) -> [
+                 greatest(0.0::DOUBLE, acc[1] + (e[1] - {_CUSUM_UP})),
+                 greatest(0.0::DOUBLE, acc[2] + ({_CUSUM_DN} - e[1])),
+                 greatest(acc[3],
+                   greatest(0.0::DOUBLE, acc[1] + (e[1] - {_CUSUM_UP}))),
+                 greatest(acc[4],
+                   greatest(0.0::DOUBLE, acc[2] + ({_CUSUM_DN} - e[1]))),
+                 acc[5] + CASE WHEN
+                   greatest(0.0::DOUBLE, acc[1] + (e[1] - {_CUSUM_UP}))
+                     > {_CUSUM_H}
+                   OR greatest(0.0::DOUBLE, acc[2] + ({_CUSUM_DN} - e[1]))
+                     > {_CUSUM_H}
+                   THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END]
+             ) AS s
+      FROM per_user)
+    SELECT user_id, n_events::BIGINT AS n_events,
+           s[1] AS final_pos, s[2] AS final_neg,
+           s[3] AS max_pos, s[4] AS max_neg,
+           CAST(s[5] AS BIGINT) AS alarm_steps,
+           CAST(s[3] > {_CUSUM_H} OR s[4] > {_CUSUM_H} AS BIGINT)
+             AS alarmed
+    FROM folded
+"""
+
+
+@query("user_value_cusum", _CUSUM_SQL, extra=True)
+def user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM changepoint detection (Page 1954) per
+    user over the (ts, event_id)-ordered value stream — the classic
+    drift detector completing the monitoring trio: EWMA flags level
+    surprise, Holt flags trend surprise, CUSUM accumulates SMALL
+    persistent shifts no single-sample detector sees. Output per
+    user: final/max values of both arms, steps spent in alarm, and
+    the alarm flag.
+
+    Pure Catalyst fold — no streaming machinery, no UDF: per-user
+    events collect into a bounded array (events-per-user is
+    SF-invariant by the generator's design — users scale with SF, so
+    the array stays ~70 elements at ANY scale factor; at 100 TB the
+    same bound holds per entity), sorted row-locally, folded by
+    ``F.aggregate`` with a 5-double array accumulator. One shuffle on
+    user_id. The oracle replays the identical recurrence as a DuckDB
+    ``list_reduce`` with a LIST accumulator (the streaming_holt_trend
+    lesson: executed list_reduce rebinds struct fields sequentially;
+    a list has no named fields to rebind), every float op in the same
+    IEEE order — final/max arm values compare bit-exact unrounded."""
+    ev = t(spark, sf_dir, "events")
+    packed = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    vals = F.transform(packed, lambda s: s["value"])
+    z = F.lit(0.0)
+    up, dn, h = (
+        F.lit(_CUSUM_UP), F.lit(_CUSUM_DN), F.lit(_CUSUM_H)
+    )
+
+    def step(acc, v):
+        sp = F.greatest(z, F.element_at(acc, 1) + (v - up))
+        sn = F.greatest(z, F.element_at(acc, 2) + (dn - v))
+        return F.array(
+            sp,
+            sn,
+            F.greatest(F.element_at(acc, 3), sp),
+            F.greatest(F.element_at(acc, 4), sn),
+            F.element_at(acc, 5)
+            + F.when((sp > h) | (sn > h), F.lit(1.0)).otherwise(z),
+        )
+
+    folded = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.aggregate(vals, F.array(z, z, z, z, z), step).alias("s"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.element_at("s", 1).alias("final_pos"),
+        F.element_at("s", 2).alias("final_neg"),
+        F.element_at("s", 3).alias("max_pos"),
+        F.element_at("s", 4).alias("max_neg"),
+        F.element_at("s", 5).cast("long").alias("alarm_steps"),
+        (
+            (F.element_at("s", 3) > h) | (F.element_at("s", 4) > h)
+        ).cast("long").alias("alarmed"),
+    )
