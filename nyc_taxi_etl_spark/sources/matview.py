@@ -272,7 +272,12 @@ class MaterializedJoin:
             return self.compact()
         return version
 
-    def compact(self, target_files: int | None = None) -> int:
+    def compact(
+        self,
+        target_files: int | None = None,
+        cluster_by: Sequence[str] | None = None,
+        zorder_bits: int = 8,
+    ) -> int:
         """Rewrite the view's active set as ONE data directory and
         commit it as the next version (VERDICT r7 task #3: without
         this, every incremental refresh appends a directory forever —
@@ -295,7 +300,15 @@ class MaterializedJoin:
         prior_rec = self.state._read_commit(base)
         snap = self.state.read(base)
         n_now = len(snap.inputFiles()) or 1
-        if target_files is not None:
+        if cluster_by:
+            # same Morton-curve layout as VersionedTable.compact, so
+            # read_where footer pruning works on every clustered column
+            from ..functions.zorder import zorder_layout
+
+            snap = zorder_layout(
+                snap, cluster_by, target_files or n_now, zorder_bits
+            )
+        elif target_files is not None:
             snap = (
                 snap.coalesce(target_files)
                 if target_files <= n_now
@@ -303,19 +316,19 @@ class MaterializedJoin:
             )
         rel = self.state._write_data_dir(snap)
         version = base + 1
-        self.state._publish(
-            version,
-            {
-                "version": version,
-                "operation": "join_matview_compact",
-                "base_version": base,
-                "active": [rel],
-                "schema": prior_rec.get("schema"),
-                "file_stats": self.state._scan_stats(rel),
-                "source_left_version": prior_rec.get("source_left_version"),
-                "source_right_version": prior_rec.get("source_right_version"),
-            },
-        )
+        record = {
+            "version": version,
+            "operation": "join_matview_compact",
+            "base_version": base,
+            "active": [rel],
+            "schema": prior_rec.get("schema"),
+            "file_stats": self.state._scan_stats(rel),
+            "source_left_version": prior_rec.get("source_left_version"),
+            "source_right_version": prior_rec.get("source_right_version"),
+        }
+        if cluster_by:
+            record["clustered_by"] = list(cluster_by)
+        self.state._publish(version, record)
         return version
 
     def read(self) -> DataFrame:

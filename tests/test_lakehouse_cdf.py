@@ -349,6 +349,18 @@ def test_join_matview_compaction_bounds_files_and_keeps_deltas(
     v = mv.refresh()
     assert mv.state._read_commit(v)["operation"] == "join_matview_refresh"
     assert _rows(mv.read()) == _rows(left.read().join(right.read(), ["k"]))
+    # z-ordered compact: same rows, clustered_by recorded, watermarks
+    # intact so the NEXT refresh is still incremental
+    before = _rows(mv.read())
+    v = mv.compact(target_files=1, cluster_by=["k"])
+    rec = mv.state._read_commit(v)
+    assert rec["operation"] == "join_matview_compact"
+    assert rec["clustered_by"] == ["k"]
+    assert _rows(mv.read()) == before
+    left.append(spark.createDataFrame([(98, "a98")], "k: long, a: string"))
+    v = mv.refresh()
+    assert mv.state._read_commit(v)["operation"] == "join_matview_refresh"
+    assert _rows(mv.read()) == _rows(left.read().join(right.read(), ["k"]))
 
 
 def test_join_matview_external_state_write_falls_back_to_full(
