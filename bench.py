@@ -157,6 +157,7 @@ EXTENSION = [
     "customer_l_diversity_repair",
     "customer_k_anonymity_release",
     "user_value_cusum",
+    "streaming_cusum_drift",
     "key_skew_profiles",
     "join_size_audits",
     "purchase_reach_hops",

@@ -643,3 +643,50 @@ def streaming_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("trend_after", "n_after").alias("last_trend"),
         F.max("abs_residual").alias("max_abs_residual"),
     )
+
+
+def _cusum_sql() -> str:
+    # identical output contract to the batch fold entry: the streaming
+    # drain rolls up to the same per-user report, so the SAME oracle
+    # verifies both the Catalyst fold AND the stateful streaming path
+    from .queries_timeseries import _CUSUM_SQL
+
+    return _CUSUM_SQL
+
+
+@query("streaming_cusum_drift", _cusum_sql(), extra=True)
+def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user two-sided CUSUM drift detection THROUGH THE STREAMING
+    ENGINE (streaming/stateful.py::cusum_drift_stream) — the
+    persistent-shift member of the stateful monitoring trio, each now
+    with a batch twin and a streaming twin sharing one recurrence:
+    EWMA (level surprise), Holt (trend surprise), CUSUM (accumulated
+    small shifts). Per-event the stream emits both arm values and the
+    alarm decision; this entry rolls the drain up to the identical
+    per-user report as the batch fold entry ``user_value_cusum`` —
+    and reuses its DuckDB oracle VERBATIM, so the streaming path is
+    value-checked against the same spec that checks the Catalyst
+    fold (every float op in the same IEEE order across all three
+    implementations: fold, processor, SQL).
+
+    Scale: O(1) state per user (two doubles + a count) in the state
+    store; one shuffle on user_id; dual backend
+    (transformWithStateInPandas when protobuf is present,
+    applyInPandasWithState otherwise); stream-vs-replay parity incl.
+    cross-micro-batch state carry pinned in
+    tests/test_stateful_streaming.py."""
+    from ..streaming.stateful import cusum_drift_stream
+
+    out = _drain(cusum_drift_stream(_events_stream(spark, sf_dir)), "append")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max_by("pos_after", "n_after").alias("final_pos"),
+        F.max_by("neg_after", "n_after").alias("final_neg"),
+        F.max("pos_after").alias("max_pos"),
+        F.max("neg_after").alias("max_neg"),
+        F.sum("alarm").cast("long").alias("alarm_steps"),
+        (
+            (F.max("pos_after") > F.lit(200.0))
+            | (F.max("neg_after") > F.lit(200.0))
+        ).cast("long").alias("alarmed"),
+    )

@@ -44,6 +44,9 @@ __all__ = [
     "HoltTrendProcessor",
     "holt_trend_stream",
     "holt_replay_pandas",
+    "CusumDriftProcessor",
+    "cusum_drift_stream",
+    "cusum_replay_pandas",
 ]
 
 _OUT_SCHEMA = StructType(
@@ -407,4 +410,160 @@ def holt_replay_pandas(
             )
             events[event_id] = round(res, 9)
         finals[uid] = (level, trend, n)
+    return {"events": events, "finals": finals}
+
+
+_CUSUM_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_str", StringType()),
+        StructField("value", DoubleType()),
+        StructField("pos_after", DoubleType()),
+        StructField("neg_after", DoubleType()),
+        StructField("alarm", LongType()),
+        StructField("n_after", LongType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("pos", DoubleType()),
+        StructField("neg", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _cusum_step(
+    pos: float, neg: float, n: int, x: float, up: float, dn: float, h: float
+):
+    """One two-sided tabular CUSUM update (Page 1954). Every float op
+    in the same IEEE order as the batch Catalyst fold
+    (plans/queries_timeseries.py::user_value_cusum), so the streamed
+    per-user finals equal the batch fold bit-for-bit."""
+    new_pos = max(0.0, pos + (x - up))
+    new_neg = max(0.0, neg + (dn - x))
+    alarm = 1 if (new_pos > h or new_neg > h) else 0
+    return new_pos, new_neg, alarm, n + 1
+
+
+class CusumDriftProcessor(StatefulProcessor):
+    """Per-key two-sided CUSUM drift detector — the persistent-shift
+    sibling of the EWMA (level surprise) and Holt (trend surprise)
+    processors; state is two doubles + a count per key. Same
+    dual-backend contract and chunk-ordering discipline."""
+
+    def __init__(self, up: float = 75.0, dn: float = 25.0,
+                 h: float = 200.0):
+        self.up, self.dn, self.h = up, dn, h
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.state = handle.getValueState("cusum", _CUSUM_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        pos, neg, n = (
+            self.state.get() if self.state.exists() else (0.0, 0.0, 0)
+        )
+        out = []
+        batch = _ordered_batch(rows)
+        if len(batch):
+            for r in batch.itertuples(index=False):
+                x = float(r.value)
+                pos, neg, alarm, n = _cusum_step(
+                    pos, neg, n, x, self.up, self.dn, self.h
+                )
+                out.append(
+                    (
+                        int(key[0]),
+                        int(r.event_id),
+                        r.ts.strftime("%Y-%m-%d %H:%M:%S"),
+                        x,
+                        pos,
+                        neg,
+                        alarm,
+                        n,
+                    )
+                )
+        self.state.update((pos, neg, n))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in _CUSUM_OUT_SCHEMA.fields]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def cusum_drift_stream(
+    events: DataFrame,
+    up: float = 75.0,
+    dn: float = 25.0,
+    h: float = 200.0,
+    use_transform_with_state: bool | None = None,
+) -> DataFrame:
+    """Wire the CUSUM detector onto a streaming events frame (expects
+    user_id, event_id, ts, value) — same backend gate as the EWMA and
+    Holt twins: transformWithStateInPandas when protobuf is present,
+    applyInPandasWithState otherwise."""
+    src = events.select("user_id", "event_id", "ts", "value")
+    if use_transform_with_state is None:
+        use_transform_with_state = has_transform_with_state()
+    if use_transform_with_state:
+        return src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=CusumDriftProcessor(up, dn, h),
+            outputStructType=_CUSUM_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+
+    def fn(key, pdfs, state):
+        pos, neg, n = state.get if state.exists else (0.0, 0.0, 0)
+        out = []
+        batch = _ordered_batch(pdfs)
+        if len(batch):
+            for r in batch.itertuples(index=False):
+                x = float(r.value)
+                pos, neg, alarm, n = _cusum_step(pos, neg, n, x, up, dn, h)
+                out.append(
+                    (
+                        int(key[0]),
+                        int(r.event_id),
+                        r.ts.strftime("%Y-%m-%d %H:%M:%S"),
+                        x,
+                        pos,
+                        neg,
+                        alarm,
+                        n,
+                    )
+                )
+        state.update((pos, neg, n))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in _CUSUM_OUT_SCHEMA.fields]
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def cusum_replay_pandas(
+    rows: list, up: float = 75.0, dn: float = 25.0, h: float = 200.0
+) -> dict:
+    """Reference replay over (user_id, event_id, ts, value) tuples —
+    parity oracle: per-event (pos, neg, alarm) plus each user's final
+    (pos, neg, n)."""
+    by_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        by_user.setdefault(r[0], []).append(r)
+    events, finals = {}, {}
+    for uid, evs in by_user.items():
+        pos, neg, n = 0.0, 0.0, 0
+        for _, event_id, ts, value in evs:
+            pos, neg, alarm, n = _cusum_step(pos, neg, n, float(value), up, dn, h)
+            events[event_id] = (round(pos, 9), round(neg, 9), alarm)
+        finals[uid] = (pos, neg, n)
     return {"events": events, "finals": finals}

@@ -221,3 +221,90 @@ def test_holt_stream_matches_batch_replay(spark, tmp_path, files_per_trigger):
             if k // 1000 == uid and k != uid * 1000 + 20
         ]
         assert shock > max(others)
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, None])
+def test_cusum_stream_matches_batch_replay(spark, tmp_path, files_per_trigger):
+    """CUSUM drift twin: the streamed per-event arm values / alarms
+    and the final (pos, neg, n) state must reproduce the exact batch
+    recurrence replay — with maxFilesPerTrigger=1 the accumulated arms
+    cross a real micro-batch boundary mid-drift. The staged series
+    sits at the in-control mean (50) in batch one, then drifts +40 in
+    batch two — the small persistent shift CUSUM exists to catch: the
+    upper arm must ramp ACROSS the batch boundary and alarm."""
+    from nyc_taxi_etl_spark.streaming.stateful import (
+        cusum_drift_stream,
+        cusum_replay_pandas,
+    )
+
+    rows1, rows2 = [], []
+    for uid in range(3):
+        for i in range(20):
+            val = 50.0 + (3.0 if i % 2 else -3.0)
+            rows1.append((uid, uid * 1000 + i, 1_700_000_000 + i * 60, val))
+        for i in range(20, 40):
+            val = 90.0 + (3.0 if i % 2 else -3.0)  # +40 drift
+            rows2.append((uid, uid * 1000 + i, 1_700_000_000 + i * 60, val))
+
+    def write(rows, name):
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[2] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / name))
+
+    write(rows1, "batch-000.parquet")
+    write(rows2, "batch-001.parquet")
+    rows = rows1 + rows2
+
+    schema = spark.read.parquet(str(tmp_path)).schema
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    sdf = reader.parquet(str(tmp_path))
+
+    out = cusum_drift_stream(sdf)
+    name = "cusum_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table(name).collect()
+    got_events = {
+        r.event_id: (round(r.pos_after, 9), round(r.neg_after, 9), r.alarm)
+        for r in emitted
+    }
+    got_finals = {}
+    for r in emitted:
+        cur = got_finals.get(r.user_id)
+        if cur is None or r.n_after > cur[2]:
+            got_finals[r.user_id] = (r.pos_after, r.neg_after, r.n_after)
+
+    want = cusum_replay_pandas(rows)
+    assert len(got_events) == len(want["events"]) == 120
+    mism = {
+        k: (got_events[k], want["events"][k])
+        for k in want["events"]
+        if got_events[k] != want["events"][k]
+    }
+    assert not mism, dict(list(mism.items())[:5])
+    assert got_finals == want["finals"]
+    # in-control phase never alarms; the drift phase must (the upper
+    # arm accumulates (90±3 − 75) ≈ +15/step, crossing h=200 around
+    # 14 steps into batch two — state carried across the boundary)
+    for uid in range(3):
+        phase1 = [got_events[uid * 1000 + i][2] for i in range(20)]
+        phase2 = [got_events[uid * 1000 + i][2] for i in range(20, 40)]
+        assert sum(phase1) == 0
+        assert sum(phase2) > 0
