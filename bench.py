@@ -38,7 +38,16 @@ session cannot separate a real 20% regression from machine load):
   query; and a fixed CALIBRATION PROBE (the warm-up agg plan) is
   re-timed at the start of every pass, with its per-pass drift
   recorded in ``BENCH_DETAIL.json`` (``calibration``) so a reviewer
-  can see exactly which passes were contended.
+  can see exactly which passes were contended;
+* (r9 — the r8 verdict showed the relative drift gate cannot see a run
+  where EVERY pass is contended: BENCH_r08.json recorded a phantom
+  +21% regression from an end-to-end loaded host) the run's minimum
+  probe is compared against a COMMITTED idle-host reference
+  (``BENCH_FLOOR.json``); above ``SPARK_GRAFT_BENCH_FLOOR_RATIO``
+  (default 1.3) × the reference, bench re-waits for idle and takes
+  fresh passes, and if still above, stamps ``"contended": true`` on
+  the stdout line and detail file. Clean idle runs ratchet the
+  reference down via ``SPARK_GRAFT_BENCH_WRITE_FLOOR=1``.
 """
 
 from __future__ import annotations
@@ -172,6 +181,84 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# --------------------------------------------------------------------------
+# Absolute probe floor (r9, VERDICT r8 task #1). The r8 drift gate is
+# RELATIVE — each pass's probe is compared to that run's own minimum — so
+# a run where EVERY pass is contended passes its own gate and records a
+# bogus number (exactly what happened to BENCH_r08.json: loadavg 11.7,
+# probe floor 0.174 s, recorded 4.131 s vs a true ~3.3 s). The fix is a
+# committed idle-host reference (BENCH_FLOOR.json): when a run's MINIMUM
+# probe exceeds FLOOR_RATIO × the reference, bench re-waits for idle and
+# runs fresh passes; if the minimum probe is STILL above the threshold,
+# the output is stamped ``"contended": true`` so no reader mistakes the
+# number for a regression. A clean idle run ratchets the reference down
+# (SPARK_GRAFT_BENCH_WRITE_FLOOR=1) so the floor tracks the true warm-JVM
+# probe cost on this host rather than a hand-typed constant.
+
+FLOOR_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json"
+)
+
+
+def load_probe_floor(path: str | None = None) -> dict | None:
+    """Read the committed idle-host probe reference. Returns None when
+    the file is missing/corrupt or was measured on a different host
+    shape (cpu count), in which case the absolute gate is skipped and
+    only the relative drift gate applies."""
+    path = path or os.environ.get("SPARK_GRAFT_BENCH_FLOOR_FILE", FLOOR_FILE)
+    try:
+        with open(path) as fh:
+            ref = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if not isinstance(ref, dict) or "probe_floor_s" not in ref:
+        return None
+    if ref.get("host_cpus") not in (None, os.cpu_count()):
+        return None
+    try:
+        float(ref["probe_floor_s"])
+    except (TypeError, ValueError):
+        return None
+    return ref
+
+
+def select_clean_passes(
+    calibration: list[float],
+    drift_gate: float,
+    abs_threshold: float | None,
+) -> list[int]:
+    """Indices of passes usable for stats: within ``drift_gate`` × the
+    run's own best probe (relative gate, r8) AND — when an idle-host
+    reference exists — under the absolute threshold (r9)."""
+    floor = min(calibration)
+    return [
+        i
+        for i, c in enumerate(calibration)
+        if c <= drift_gate * floor
+        and (abs_threshold is None or c <= abs_threshold)
+    ]
+
+
+def write_probe_floor(observed_min: float, sf_val, path: str | None = None) -> dict:
+    """Ratchet the committed reference down to the best probe ever
+    observed on this host (never up: a noisy run must not loosen the
+    gate for future runs)."""
+    path = path or os.environ.get("SPARK_GRAFT_BENCH_FLOOR_FILE", FLOOR_FILE)
+    prev = load_probe_floor(path)
+    best = observed_min
+    if prev is not None:
+        best = min(best, float(prev["probe_floor_s"]))
+    ref = {
+        "probe_floor_s": round(best, 4),
+        "host_cpus": os.cpu_count(),
+        "sf": sf_val,
+        "probe": "region groupBy count -> noop, warm session",
+    }
+    with open(path, "w") as fh:
+        json.dump(ref, fh, indent=1)
+    return ref
+
+
 def wait_for_idle(max_wait_s: float, load_frac: float = 0.15) -> dict:
     """Block until the 1-minute load average drops below
     ``load_frac × n_cpus`` (or ``max_wait_s`` elapses). Returns the
@@ -230,6 +317,14 @@ def main() -> None:
                 for n in extra.split(",")
                 if n in ALL_QUERIES and n not in names and n not in ext_names
             ]
+        only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+        if only:
+            keep = {n for n in only.split(",") if n in ALL_QUERIES}
+            names = [n for n in names if n in keep]
+            ext_names = [n for n in ext_names if n in keep]
+            for n in sorted(keep):
+                if n not in names and n not in ext_names:
+                    ext_names.append(n)
 
         # Round-robin: pass k times each query once, calibration probe
         # first. One contended wall-clock window then inflates one pass
@@ -252,6 +347,13 @@ def main() -> None:
         calibration: list[float] = []
         drift_gate = float(os.environ.get("SPARK_GRAFT_BENCH_DRIFT_GATE", "1.5"))
         max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", str(n_runs)))
+        floor_ratio = float(os.environ.get("SPARK_GRAFT_BENCH_FLOOR_RATIO", "1.3"))
+        floor_ref = load_probe_floor()
+        abs_threshold = (
+            floor_ratio * float(floor_ref["probe_floor_s"])
+            if floor_ref is not None
+            else None
+        )
 
         def run_pass() -> None:
             calibration.append(round(probe(), 4))
@@ -261,10 +363,7 @@ def main() -> None:
                 samples[name].append(time.perf_counter() - t0)
 
         def clean_passes() -> list[int]:
-            floor = min(calibration)
-            return [
-                i for i, c in enumerate(calibration) if c <= drift_gate * floor
-            ]
+            return select_clean_passes(calibration, drift_gate, abs_threshold)
 
         for _pass in range(n_runs):
             run_pass()
@@ -272,7 +371,20 @@ def main() -> None:
         while len(clean_passes()) < n_runs and extra_passes < max_extra:
             run_pass()
             extra_passes += 1
+        # Absolute gate (r9): if even the BEST pass is above the idle-host
+        # threshold, the whole run is host-contended — re-wait for idle
+        # once and take n_runs fresh passes before giving up and stamping
+        # the artifact. (The relative drift gate cannot see this case: a
+        # uniformly contended run is self-consistent.)
+        re_waited: dict | None = None
+        if abs_threshold is not None and min(calibration) > abs_threshold:
+            re_waited = wait_for_idle(idle_wait)
+            for _pass in range(n_runs):
+                run_pass()
         clean = clean_passes()
+        contended = (
+            abs_threshold is not None and min(calibration) > abs_threshold
+        )
         if len(clean) < 2:  # pathological host: keep everything
             clean = list(range(len(calibration)))
         excluded = [i for i in range(len(calibration)) if i not in clean]
@@ -328,17 +440,40 @@ def main() -> None:
                 "extra_passes": extra_passes,
                 "stat_passes": clean,
             },
+            "probe_floor": {
+                "reference_s": (
+                    float(floor_ref["probe_floor_s"])
+                    if floor_ref is not None
+                    else None
+                ),
+                "ratio": floor_ratio,
+                "abs_threshold_s": (
+                    round(abs_threshold, 4) if abs_threshold is not None else None
+                ),
+                "min_probe_s": round(min(calibration), 4),
+                "re_waited": re_waited,
+                "contended": contended,
+            },
+            "contended": contended,
             "cold": False,
             "warmup": "1 trivial noop-materialized plan",
             "loadavg": [round(x, 2) for x in os.getloadavg()],
             "host_cpus": os.cpu_count(),
             "preflight": preflight,
         }
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        detail_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_DETAIL_FILE",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            ),
         )
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
+        # Ratchet the committed idle-host reference down when this run
+        # was demonstrably clean (opt-in so CI/driver runs never touch
+        # the committed file).
+        if os.environ.get("SPARK_GRAFT_BENCH_WRITE_FLOOR") and not contended:
+            write_probe_floor(min(calibration), sf_val)
         compact = {
             "metric": "headline_catalog_total",
             "value": total,
@@ -350,6 +485,11 @@ def main() -> None:
             "stat": "min",
             "detail": "BENCH_DETAIL.json",
         }
+        if contended:
+            # The one flag a reader must not miss: every pass of this
+            # run exceeded the idle-host probe threshold, so the numbers
+            # above measure the host, not the plans.
+            compact["contended"] = True
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) > 1600:
             # keep the line parseable by a bounded tail buffer: inline

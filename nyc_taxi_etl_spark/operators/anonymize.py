@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 
 __all__ = ["generalization_report", "generalize"]
 
+# Internal working columns of generalize(); input/requested names may not
+# collide with them (a df carrying e.g. `_ga_n` would otherwise fail deep
+# in the plan with an opaque ambiguity error instead of a clear ValueError).
+_RESERVED = frozenset({"_ga_s", "_ga_n", "_ga_l"})
+
 
 def _validate(qi_levels: list[list[Column]]) -> int:
     if not qi_levels:
@@ -190,6 +195,13 @@ def generalize(
         raise ValueError(
             f"generalize: qi_names collide with released columns: "
             f"{sorted(clash)}"
+        )
+    reserved_clash = (set(names) | set(kept)) & _RESERVED
+    if reserved_clash:
+        raise ValueError(
+            f"generalize: columns collide with reserved internal names "
+            f"{sorted(_RESERVED)}: {sorted(reserved_clash)} (rename or "
+            f"pass them via drop_cols)"
         )
     rep = generalization_report(
         df, qi_levels, k, max_suppress_frac, sensitive=sensitive, l=l

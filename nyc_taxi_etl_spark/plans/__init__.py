@@ -244,3 +244,57 @@ for _n in _PROMOTE_R8B:
     if _n in ORACLE_EXTRA:
         ORACLE[_n] = ORACLE_EXTRA.pop(_n)
 assert len(QUERIES) == 50, len(QUERIES)
+
+# --------------------------------------------------------------------------
+# Round-9 rotation (VERDICT r8 task #3): promote the r8 overflow marquee —
+# the CUSUM changepoint fold and its streaming twin, the l-diversity
+# repair and the released k-anonymous table — plus the long-unwindowed
+# family representatives the judge named (exact-kNN baseline, BM25,
+# the Arrow-batched pandas-UDAF weighted median, and the CUBE shape).
+# Demotions are all multi-round-green slots whose §2 family keeps ≥1
+# in-window representative:
+#   rollup/cube A5: orders_rollup (green r1-r8) hands the slot to the
+#     promoted orders_status_cube — same GROUPING-SETS machinery;
+#   top-k A3/A10: top_users_by_events (green r1-r8) — the windowed
+#     top-k rep top_suppliers_per_nation stays;
+#   streaming: tumbling + session windows (green r1-r8) rotate out —
+#     the stateful trio (EWMA, Holt, promoted CUSUM) stays in-window;
+#   graph: purchase_graph_hits (green r6-r8) — purchase_reach_hops
+#     stays;
+#   sequence/window W: orders_global_seq (green r6-r8) — the W family
+#     keeps top_suppliers_per_nation + extreme_days_zscore;
+#   training: training_split_counts (green r1-r8) — chunks/pii/mixture
+#     stay;
+#   ANN: ann_lsh_cosine (green r1-r8) — the promoted exact-kNN baseline
+#     plus ann_ivf + ann_pq keep three similarity reps in-window.
+# Demoted entries remain fully oracle-tested in the local suite
+# (tests/test_oracle.py runs QUERIES ∪ QUERIES_EXTRA).
+_PROMOTE_R9 = [
+    "user_value_cusum",
+    "streaming_cusum_drift",
+    "customer_l_diversity_repair",
+    "customer_k_anonymity_release",
+    "knn_bruteforce_cosine",
+    "bm25_scores",
+    "weighted_median_price",
+    "orders_status_cube",
+]
+_DEMOTE_R9 = [
+    "orders_rollup",
+    "top_users_by_events",
+    "streaming_tumbling_counts",
+    "streaming_session_windows",
+    "purchase_graph_hits",
+    "orders_global_seq",
+    "training_split_counts",
+    "ann_lsh_cosine",
+]
+for _n in _DEMOTE_R9:
+    QUERIES_EXTRA[_n] = QUERIES.pop(_n)
+    if _n in ORACLE:
+        ORACLE_EXTRA[_n] = ORACLE.pop(_n)
+for _n in _PROMOTE_R9:
+    QUERIES[_n] = QUERIES_EXTRA.pop(_n)
+    if _n in ORACLE_EXTRA:
+        ORACLE[_n] = ORACLE_EXTRA.pop(_n)
+assert len(QUERIES) == 50, len(QUERIES)

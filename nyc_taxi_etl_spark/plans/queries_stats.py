@@ -746,7 +746,9 @@ def _skew_profile_sql_one(table: str, key: str) -> str:
              tk.top_key,
              CAST(t.max_n AS DOUBLE) * CAST(t.n_keys AS DOUBLE)
                / CAST(t.n_rows AS DOUBLE) AS skew_ratio
-      FROM (SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n
+      FROM (SELECT count(*) AS n_keys,
+                   COALESCE(sum(n), 0) AS n_rows,
+                   max(n) AS max_n
             FROM g_{key}) t
       CROSS JOIN (
         SELECT min(n) AS p99

@@ -677,7 +677,18 @@ def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_stateful_streaming.py."""
     from ..streaming.stateful import cusum_drift_stream
 
-    out = _drain(cusum_drift_stream(_events_stream(spark, sf_dir)), "append")
+    # One source of truth for the detector constants: the batch fold's
+    # module-level _CUSUM_UP/_DN/_H feed the fold, the oracle SQL, the
+    # stream processor AND this rollup's alarm expression — changing any
+    # one of them cannot silently break batch/stream/oracle parity.
+    from .queries_timeseries import _CUSUM_DN, _CUSUM_H, _CUSUM_UP
+
+    out = _drain(
+        cusum_drift_stream(
+            _events_stream(spark, sf_dir), up=_CUSUM_UP, dn=_CUSUM_DN, h=_CUSUM_H
+        ),
+        "append",
+    )
     return out.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.max_by("pos_after", "n_after").alias("final_pos"),
@@ -686,7 +697,7 @@ def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("neg_after").alias("max_neg"),
         F.sum("alarm").cast("long").alias("alarm_steps"),
         (
-            (F.max("pos_after") > F.lit(200.0))
-            | (F.max("neg_after") > F.lit(200.0))
+            (F.max("pos_after") > F.lit(_CUSUM_H))
+            | (F.max("neg_after") > F.lit(_CUSUM_H))
         ).cast("long").alias("alarmed"),
     )

@@ -411,6 +411,88 @@ _CUSUM_SQL = f"""
 """
 
 
+# Declared hot-entity contract for the per-key array fold (r9, VERDICT
+# r8 task #4). The fold collects one array per entity; events-per-entity
+# is SF-invariant by the generator's design (~70 at any SF), but the
+# bound was documented, not guarded — a genuinely hot key at 100 TB
+# would blow the array silently. The guard mirrors dedup_components'
+# explicit ≤2²⁰-edge contract, enforced INSIDE the plan (F.assert_true
+# wrapped into the evaluated n_events expression): zero extra jobs or
+# shuffles, evaluated distributed at execution time, fails the job with
+# a clear message naming the hot key instead of an executor OOM.
+_CUSUM_MAX_EVENTS = 1 << 16
+
+
+def cusum_fold(
+    ev: DataFrame,
+    up: float = _CUSUM_UP,
+    dn: float = _CUSUM_DN,
+    h: float = _CUSUM_H,
+    max_events_per_entity: int = _CUSUM_MAX_EVENTS,
+) -> DataFrame:
+    """Per-user two-sided CUSUM fold over (user_id, ts, event_id,
+    value) — the Catalyst recurrence shared verbatim with the
+    streaming twin. Raises at execution time (job failure with the
+    offending user_id in the message) when any entity exceeds
+    ``max_events_per_entity`` events — the declared contract bound of
+    the collect_list array."""
+    packed = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    vals = F.transform(packed, lambda s: s["value"])
+    z = F.lit(0.0)
+    upc, dnc, hc = F.lit(up), F.lit(dn), F.lit(h)
+
+    def step(acc, v):
+        sp = F.greatest(z, F.element_at(acc, 1) + (v - upc))
+        sn = F.greatest(z, F.element_at(acc, 2) + (dnc - v))
+        return F.array(
+            sp,
+            sn,
+            F.greatest(F.element_at(acc, 3), sp),
+            F.greatest(F.element_at(acc, 4), sn),
+            F.element_at(acc, 5)
+            + F.when((sp > hc) | (sn > hc), F.lit(1.0)).otherwise(z),
+        )
+
+    folded = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.aggregate(vals, F.array(z, z, z, z, z), step).alias("s"),
+    )
+    n_guarded = F.when(
+        F.assert_true(
+            F.col("n_events") <= F.lit(max_events_per_entity),
+            F.concat(
+                F.lit(
+                    "cusum_fold: entity exceeds the declared "
+                    f"max_events_per_entity={max_events_per_entity} "
+                    "array bound (user_id="
+                ),
+                F.col("user_id").cast("string"),
+                F.lit(", n_events="),
+                F.col("n_events").cast("string"),
+                F.lit(
+                    "); raise the contract bound or pre-aggregate the "
+                    "hot entity"
+                ),
+            ),
+        ).isNull(),
+        F.col("n_events"),
+    ).alias("n_events")
+    return folded.select(
+        "user_id",
+        n_guarded,
+        F.element_at("s", 1).alias("final_pos"),
+        F.element_at("s", 2).alias("final_neg"),
+        F.element_at("s", 3).alias("max_pos"),
+        F.element_at("s", 4).alias("max_neg"),
+        F.element_at("s", 5).cast("long").alias("alarm_steps"),
+        (
+            (F.element_at("s", 3) > hc) | (F.element_at("s", 4) > hc)
+        ).cast("long").alias("alarmed"),
+    )
+
+
 @query("user_value_cusum", _CUSUM_SQL, extra=True)
 def user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided tabular CUSUM changepoint detection (Page 1954) per
@@ -427,46 +509,14 @@ def user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     the array stays ~70 elements at ANY scale factor; at 100 TB the
     same bound holds per entity), sorted row-locally, folded by
     ``F.aggregate`` with a 5-double array accumulator. One shuffle on
-    user_id. The oracle replays the identical recurrence as a DuckDB
-    ``list_reduce`` with a LIST accumulator (the streaming_holt_trend
-    lesson: executed list_reduce rebinds struct fields sequentially;
-    a list has no named fields to rebind), every float op in the same
-    IEEE order — final/max arm values compare bit-exact unrounded."""
-    ev = t(spark, sf_dir, "events")
-    packed = F.sort_array(
-        F.collect_list(F.struct("ts", "event_id", "value"))
-    )
-    vals = F.transform(packed, lambda s: s["value"])
-    z = F.lit(0.0)
-    up, dn, h = (
-        F.lit(_CUSUM_UP), F.lit(_CUSUM_DN), F.lit(_CUSUM_H)
-    )
-
-    def step(acc, v):
-        sp = F.greatest(z, F.element_at(acc, 1) + (v - up))
-        sn = F.greatest(z, F.element_at(acc, 2) + (dn - v))
-        return F.array(
-            sp,
-            sn,
-            F.greatest(F.element_at(acc, 3), sp),
-            F.greatest(F.element_at(acc, 4), sn),
-            F.element_at(acc, 5)
-            + F.when((sp > h) | (sn > h), F.lit(1.0)).otherwise(z),
-        )
-
-    folded = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.aggregate(vals, F.array(z, z, z, z, z), step).alias("s"),
-    )
-    return folded.select(
-        "user_id",
-        "n_events",
-        F.element_at("s", 1).alias("final_pos"),
-        F.element_at("s", 2).alias("final_neg"),
-        F.element_at("s", 3).alias("max_pos"),
-        F.element_at("s", 4).alias("max_neg"),
-        F.element_at("s", 5).cast("long").alias("alarm_steps"),
-        (
-            (F.element_at("s", 3) > h) | (F.element_at("s", 4) > h)
-        ).cast("long").alias("alarmed"),
-    )
+    user_id. The bound is now GUARDED, not just documented
+    (``cusum_fold``'s ``max_events_per_entity`` contract, default
+    2¹⁶): an entity past the bound fails the job with its key named,
+    instead of an executor OOM — zero extra jobs, the assert rides
+    the evaluated n_events expression. The oracle replays the
+    identical recurrence as a DuckDB ``list_reduce`` with a LIST
+    accumulator (the streaming_holt_trend lesson: executed
+    list_reduce rebinds struct fields sequentially; a list has no
+    named fields to rebind), every float op in the same IEEE order —
+    final/max arm values compare bit-exact unrounded."""
+    return cusum_fold(t(spark, sf_dir, "events"))

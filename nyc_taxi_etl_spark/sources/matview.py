@@ -269,7 +269,14 @@ class MaterializedJoin:
             self.compact_after is not None
             and len(active) >= self.compact_after
         ):
-            return self.compact()
+            # Auto-trigger bounds the FILE count, not just the directory
+            # count: coalesce (narrow, no shuffle) down to at most
+            # compact_after files. Explicit compact() calls choose their
+            # own layout/size policy (target_files/cluster_by).
+            n_files = len(self.state.read().inputFiles()) or 1
+            return self.compact(
+                target_files=min(n_files, self.compact_after)
+            )
         return version
 
     def compact(
@@ -290,8 +297,13 @@ class MaterializedJoin:
         CARRYING the current source versions forward, so incremental
         maintenance continues across compactions. Auto-triggered by
         ``refresh()`` once the active list reaches ``compact_after``
-        directories; the rewrite streams the current snapshot through
-        one coalesce — no shuffle, no driver data."""
+        directories, which passes ``target_files=min(n_files,
+        compact_after)`` so the small-file count is bounded too. An
+        explicit call with ``target_files=None`` and no ``cluster_by``
+        rewrites the active files as-is — only the directory list is
+        consolidated (mirroring ``VersionedTable.compact``); pass
+        ``target_files`` to also coalesce (narrow, no shuffle when
+        shrinking) or ``cluster_by`` for the Morton layout."""
         base = self.state.latest_version()
         if base is None:
             raise FileNotFoundError(

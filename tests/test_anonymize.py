@@ -133,6 +133,18 @@ def test_validation_and_empty_input(spark, people):
         )
     with pytest.raises(ValueError, match="collide"):
         generalize(people, _ladder(), k=3, qi_names=["pid", "x"])
+    # r9 ADVICE: a df carrying one of generalize()'s internal working
+    # columns must fail with a clear ValueError up front, not an opaque
+    # ambiguity error deep in the plan
+    tainted = people.withColumn("_ga_n", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        generalize(tainted, _ladder(), k=3)
+    # ...unless the caller drops it from the release
+    assert (
+        generalize(tainted, _ladder(), k=3, drop_cols=["_ga_n"]).count() > 0
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        generalize(people, _ladder(), k=3, qi_names=["_ga_s", "g1"])
     empty = people.filter(F.lit(False))
     assert generalization_report(empty, _ladder(), k=3).count() == 0
     assert generalize(empty, _ladder(), k=3).count() == 0

@@ -1,0 +1,121 @@
+"""Absolute probe-floor gate for the bench harness (VERDICT r8 task #1).
+
+The r8 drift gate was RELATIVE (each pass vs the run's own best pass),
+so a run where every pass is contended passes its own gate and records
+a bogus headline — BENCH_r08.json recorded a phantom +21% regression
+that way. bench.py now compares the run's minimum probe against a
+committed idle-host reference (BENCH_FLOOR.json): above the threshold
+it re-waits for idle and takes fresh passes, and if still above, stamps
+``"contended": true`` on the output so no reader mistakes the number
+for a regression.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+# ---------------------------------------------------------------- pure logic
+def test_select_clean_passes_relative_only() -> None:
+    # no reference: r8 behavior — within drift_gate × the run's own min
+    calib = [0.30, 0.15, 0.16, 0.50]
+    assert bench.select_clean_passes(calib, 1.5, None) == [1, 2]
+
+
+def test_select_clean_passes_absolute_gate_excludes_contended() -> None:
+    # the r8 artifact's shape: every pass self-consistent (relative gate
+    # keeps most) but all above the idle-host threshold except one
+    calib = [0.3541, 0.2132, 0.2192, 0.2206, 0.1742, 0.2122]
+    # relative-only at gate 1.5 keeps everything but the 0.3541 outlier
+    assert len(bench.select_clean_passes(calib, 1.5, None)) == 5
+    # absolute threshold 1.3 × 0.151 (the judge's idle floor) keeps only
+    # the one genuinely-idle pass
+    assert bench.select_clean_passes(calib, 1.5, 1.3 * 0.151) == [4]
+
+
+def test_select_clean_passes_all_contended_returns_empty() -> None:
+    calib = [0.40, 0.42, 0.41]
+    assert bench.select_clean_passes(calib, 1.5, 0.20) == []
+
+
+# ---------------------------------------------------------- floor reference
+def test_load_probe_floor_missing_and_corrupt(tmp_path) -> None:
+    assert bench.load_probe_floor(str(tmp_path / "nope.json")) is None
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert bench.load_probe_floor(str(bad)) is None
+    no_key = tmp_path / "nokey.json"
+    no_key.write_text(json.dumps({"floor": 0.1}))
+    assert bench.load_probe_floor(str(no_key)) is None
+
+
+def test_load_probe_floor_host_shape_mismatch(tmp_path) -> None:
+    ref = tmp_path / "floor.json"
+    ref.write_text(
+        json.dumps({"probe_floor_s": 0.15, "host_cpus": (os.cpu_count() or 1) + 7})
+    )
+    assert bench.load_probe_floor(str(ref)) is None
+    ref.write_text(
+        json.dumps({"probe_floor_s": 0.15, "host_cpus": os.cpu_count()})
+    )
+    got = bench.load_probe_floor(str(ref))
+    assert got is not None and got["probe_floor_s"] == 0.15
+
+
+def test_write_probe_floor_ratchets_down_not_up(tmp_path) -> None:
+    path = str(tmp_path / "floor.json")
+    bench.write_probe_floor(0.20, 0.1, path)
+    assert bench.load_probe_floor(path)["probe_floor_s"] == 0.20
+    bench.write_probe_floor(0.15, 0.1, path)  # better run: ratchets down
+    assert bench.load_probe_floor(path)["probe_floor_s"] == 0.15
+    bench.write_probe_floor(0.30, 0.1, path)  # worse run: must NOT loosen
+    assert bench.load_probe_floor(path)["probe_floor_s"] == 0.15
+
+
+# ------------------------------------------------------------- end-to-end
+def test_contended_run_is_stamped(tmp_path) -> None:
+    """A deliberately 'loaded' run (reference floor set impossibly low so
+    every real probe exceeds the threshold) must re-wait, take fresh
+    passes, and stamp the artifact ``contended: true``."""
+    floor = tmp_path / "floor.json"
+    floor.write_text(
+        json.dumps({"probe_floor_s": 1e-6, "host_cpus": os.cpu_count()})
+    )
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_RUNS="2",
+        SPARK_GRAFT_BENCH_MAX_EXTRA="0",
+        SPARK_GRAFT_BENCH_IDLE_WAIT="0",
+        SPARK_GRAFT_BENCH_ONLY="events_time_profile",
+        SPARK_GRAFT_BENCH_FLOOR_FILE=str(floor),
+        SPARK_GRAFT_BENCH_DETAIL_FILE=str(tmp_path / "detail.json"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec.get("contended") is True
+    detail = json.load(open(tmp_path / "detail.json"))
+    pf = detail["probe_floor"]
+    assert pf["contended"] is True
+    assert pf["re_waited"] is not None  # the idle re-wait was attempted
+    # 2 initial + 2 post-re-wait passes
+    assert len(detail["calibration"]["per_pass_s"]) == 4
+    # a contended run must never ratchet the committed reference
+    assert bench.load_probe_floor(str(floor))["probe_floor_s"] == 1e-6

