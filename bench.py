@@ -170,6 +170,10 @@ EXTENSION = [
     "key_skew_profiles",
     "join_size_audits",
     "purchase_reach_hops",
+    # r9: the skew toolkit's closed loop (measured pre-flight chooses
+    # broadcast/salted/plain; this entry's shape picks salted) — benched
+    # so the pre-flight + salted-join cost stays visible round-over-round
+    "adaptive_join_revenue",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

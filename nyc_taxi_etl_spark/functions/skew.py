@@ -32,6 +32,7 @@ __all__ = [
     "two_phase_topk",
     "key_skew_profile",
     "join_size_audit",
+    "adaptive_join",
 ]
 
 _MERGERS = {
@@ -294,3 +295,112 @@ def join_size_audit(
             ).alias("amplification"),
         )
     )
+
+
+def adaptive_join(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    how: str = "inner",
+    broadcast_max_ratio: float = 0.05,
+    skew_ratio_threshold: float = 4.0,
+    salt_buckets: int = 16,
+    salt_seed_col: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """The closed loop the audit tools promise: MEASURE the join's key
+    distribution first (one bounded pre-flight over the two group
+    tables — the same Σ cnt·cnt arithmetic as ``join_size_audit``),
+    then CHOOSE the physical strategy from the measurements:
+
+    * ``broadcast`` — right side is ≤ ``broadcast_max_ratio`` × the
+      left's row count: ship the dim to every executor, no shuffle of
+      the big side at all (skew becomes irrelevant — a hot key never
+      travels);
+    * ``salted`` — right is too big to broadcast AND the left key's
+      ``skew_ratio`` (max/avg rows per key, ``key_skew_profile``'s
+      headline number) exceeds ``skew_ratio_threshold``: replicate the
+      right side once per salt, spread each hot left key over
+      ``salt_buckets`` reducers via a DETERMINISTIC salt
+      (``pmod(xxhash64(salt_seed_col), buckets)`` — reproducible runs,
+      unlike rand()), join on (key, salt);
+    * ``plain`` — neither: the ordinary shuffled equi-join, which AQE
+      may still locally split at runtime.
+
+    All three strategies produce IDENTICAL rows — the choice is purely
+    physical — so one SQL oracle checks the result regardless of which
+    path the measurements picked. Returns ``(joined, decision)`` where
+    ``decision`` records the measured inputs and the chosen strategy
+    (the catalog entry surfaces it as a literal column; the plan tests
+    assert the matching physical operator appears).
+
+    The pre-flight is two bounded aggregates collected to the driver
+    (metadata scale: 1 row each — the dedup_components contract
+    pattern). Thresholds are RATIOS, not absolute rows, so the choice
+    is scale-invariant: the same pipeline picks the same plan at
+    sf0.001 and at 100 TB unless the data's shape itself changes.
+    """
+    if how != "inner":
+        raise ValueError("adaptive_join: only inner joins supported")
+    if salt_buckets < 2:
+        raise ValueError("adaptive_join: salt_buckets must be >= 2")
+    lg = left.groupBy(F.col(left_key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    lprof = lg.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("rows"),
+        F.count(F.lit(1)).alias("keys"),
+        F.max("_n").alias("max_per_key"),
+    ).first()
+    rrows = right.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    l_rows, l_keys = int(lprof["rows"]), int(lprof["keys"])
+    max_pk = int(lprof["max_per_key"] or 0)
+    skew_ratio = (
+        max_pk * l_keys / l_rows if l_rows and l_keys else 0.0
+    )
+    if l_rows and rrows <= broadcast_max_ratio * l_rows:
+        strategy = "broadcast"
+        joined = left.join(
+            F.broadcast(right),
+            left[left_key] == right[right_key],
+            "inner",
+        )
+    elif skew_ratio > skew_ratio_threshold:
+        strategy = "salted"
+        seed = salt_seed_col or left_key
+        salted = left.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(seed)), F.lit(salt_buckets)).cast(
+                "int"
+            ),
+        )
+        replicated = right.withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+        )
+        joined = (
+            salted.alias("l")
+            .join(
+                replicated.alias("r"),
+                (F.col(f"l.{left_key}") == F.col(f"r.{right_key}"))
+                & (F.col("l.__salt") == F.col("r.__salt")),
+                "inner",
+            )
+            .drop("__salt")
+        )
+    else:
+        strategy = "plain"
+        joined = left.join(
+            right, left[left_key] == right[right_key], "inner"
+        )
+    decision = {
+        "strategy": strategy,
+        "left_rows": l_rows,
+        "left_keys": l_keys,
+        "max_per_key": max_pk,
+        "skew_ratio": skew_ratio,
+        "right_rows": int(rrows),
+        "broadcast_max_ratio": broadcast_max_ratio,
+        "skew_ratio_threshold": skew_ratio_threshold,
+    }
+    return joined, decision

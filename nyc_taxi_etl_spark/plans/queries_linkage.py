@@ -164,6 +164,20 @@ def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _er_sql() -> str:
+    # The closure runs at NAME grain, not part grain (r9). This is an
+    # exact identity of sorted-neighborhood blocking over a
+    # (name, key) sort order, not an approximation: parts sharing a
+    # name are CONSECUTIVE in the sort, so every name run is an
+    # internally chained path for any window ≥ 1 (each part pairs with
+    # its same-name successor at distance 0), and every match edge
+    # implies a name-pair edge — hence part-graph components are
+    # exactly the part sets of name-graph components. The name graph
+    # is metadata-sized (distinct names), so the 24-stage hop+jump
+    # closure converges with huge margin — the earlier PART-grain
+    # closure hit its unrolled-stage bound on the non-saturating
+    # corpus, where each entity is ~10 stitched 400-part runs whose
+    # random keys defeat pointer-jumping's sequential-id fast path
+    # (measured: 283 labels after 24 stages, 196 after 36, true 48).
     from .queries_text import _closure_ctes
 
     return f"""
@@ -172,18 +186,20 @@ def _er_sql() -> str:
              row_number() OVER (ORDER BY p_name, p_partkey) AS rn
       FROM part WHERE p_name IS NOT NULL),
     raw AS (
-      SELECT a.p_partkey AS pa, b.p_partkey AS pb
+      SELECT a.p_name AS na, b.p_name AS nb
       FROM s a JOIN s b
         ON b.rn > a.rn AND b.rn <= a.rn + {_LINKAGE_WINDOW}
       WHERE levenshtein(a.p_name, b.p_name) <= {_LINKAGE_MAX_DIST}),
     edges AS MATERIALIZED (
-      SELECT pa AS a, pb AS b FROM raw
-      UNION ALL SELECT pb AS a, pa AS b FROM raw),
+      SELECT DISTINCT na AS a, nb AS b FROM raw
+      UNION SELECT DISTINCT nb AS a, na AS b FROM raw),
     {_closure_ctes()},
     lab AS (
       SELECT p.p_partkey,
-             coalesce(c.component, p.p_partkey) AS entity_id
-      FROM part p LEFT JOIN comp c ON c.id = p.p_partkey),
+             CASE WHEN c.component IS NULL THEN p.p_partkey
+                  ELSE min(p.p_partkey)
+                         OVER (PARTITION BY c.component) END AS entity_id
+      FROM part p LEFT JOIN comp c ON c.id = p.p_name),
     members AS (
       SELECT l.entity_id, p.*
       FROM lab l JOIN part p ON p.p_partkey = l.p_partkey),
@@ -248,10 +264,13 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     match edge) survive as their own entity via the left join +
     coalesce.
 
-    On this catalog's synthetic vocabulary no two DISTINCT names sit
-    within edit distance 2, so entities here equal exact-name groups —
-    but the transitive closure is genuinely exercised: a 30-member
-    name group enters as a CHAIN of window-5 adjacencies, which
+    On the driver's fixed-vocabulary corpora no two DISTINCT names sit
+    within edit distance 2, so entities there equal exact-name groups;
+    on the non-saturating corpus (tools/gen_scale_data.py --vocab-mode
+    growing) each entity is ~10 generation-suffixed name variants
+    ('red bolt', 'red bolt1', …) merged ACROSS distinct names — the
+    transitive closure is genuinely exercised both ways: name runs
+    enter as CHAINS of window-5 adjacencies which
     large-star/small-star must collapse across ~log rounds.
 
     Scale: blocking is the O(n·w) banded equi-join; components never

@@ -352,3 +352,97 @@ def test_no_entry_level_persist_without_release():
         f"persist() without a release path in {offenders}; use an eager "
         "localCheckpoint (or unpersist in-function) instead"
     )
+
+
+# ---------------------------------------------------------------- r9 task #8
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _adaptive_fixtures(spark):
+    from nyc_taxi_etl_spark.functions.skew import adaptive_join
+
+    # 10k fact rows; 20% land on hot key 1, rest spread over 500 keys
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 5 == 0, F.lit(1))
+        .otherwise(F.col("id") % 500)
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("rid"),
+    )
+    right = spark.range(500).select(
+        F.col("id").cast("long").alias("k2"),
+        (F.col("id") % 7).alias("grp"),
+    )
+    plain = left.join(right, left["k"] == right["k2"]).groupBy("grp").count()
+    return adaptive_join, left, right, plain
+
+
+def test_adaptive_join_broadcast_path(spark):
+    """Small dim + generous broadcast cap -> the measurement picks
+    broadcast, the plan shows it, rows match the plain join."""
+    adaptive_join, left, right, plain = _adaptive_fixtures(spark)
+    joined, d = adaptive_join(left, "k", right, "k2", broadcast_max_ratio=0.5)
+    assert d["strategy"] == "broadcast", d
+    assert "BroadcastHashJoin" in _plan_of(joined)
+    got = joined.groupBy("grp").count()
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_adaptive_join_salted_path(spark):
+    """Dim 'too big' to broadcast (cap 0) + measured hot key -> salted:
+    deterministic salt join on (key, salt), dim replicated per salt —
+    and identical rows to the plain join."""
+    adaptive_join, left, right, plain = _adaptive_fixtures(spark)
+    joined, d = adaptive_join(
+        left, "k", right, "k2",
+        broadcast_max_ratio=0.0, skew_ratio_threshold=4.0,
+        salt_seed_col="rid",
+    )
+    assert d["strategy"] == "salted", d
+    # the measured skew: hot key holds 2000 of 10000 rows over 500 keys
+    assert d["skew_ratio"] > 4.0
+    plan = _plan_of(joined)
+    assert "__salt" in plan  # the salt rides the join condition
+    got = joined.groupBy("grp").count()
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_adaptive_join_plain_path(spark):
+    """Uniform key + unbroadcastable dim -> plain shuffled join (no
+    broadcast, no salt)."""
+    adaptive_join, _, right, _ = _adaptive_fixtures(spark)
+    uniform = spark.range(10_000).select(
+        (F.col("id") % 500).cast("long").alias("k"),
+        F.col("id").alias("rid"),
+    )
+    joined, d = adaptive_join(
+        uniform, "k", right, "k2",
+        broadcast_max_ratio=0.0, skew_ratio_threshold=4.0,
+    )
+    assert d["strategy"] == "plain", d
+    # plain = NO forced strategy: no salt machinery in the plan.
+    # Catalyst may still auto-broadcast a dim under its own threshold —
+    # that's the point of 'plain': leave the optimizer in charge.
+    assert "__salt" not in _plan_of(joined)
+
+
+def test_adaptive_join_entry_plan_is_salted(spark):
+    """The catalog entry's measured shape must pick SALTED (the oracle
+    pins the same literal) and the salt must be visible in the plan."""
+    from nyc_taxi_etl_spark.plans import QUERIES, QUERIES_EXTRA
+
+    fn = {**QUERIES, **QUERIES_EXTRA}["adaptive_join_revenue"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    assert "__salt" in _plan_of(df)
+    assert df.select("strategy").distinct().collect()[0][0] == "salted"

@@ -32,7 +32,11 @@ per-SF scaling conventions the driver's generator observably uses
   ('ship', 'ship1', 'ship2', …), keeping natural token shapes.
   Duplicate-group sizes then stay O(1) as SF grows — the corpus shape
   a real growing crawl has — so measured growth exponents reflect the
-  OPERATORS, not vocabulary saturation;
+  OPERATORS, not vocabulary saturation. r9 (VERDICT r8 task #2):
+  growing mode now also scales the PART-NAME vocabulary (48·10·sf
+  adjective-noun-generation combos ≈ the sf0.1 density of ~42 parts
+  per name) so the linkage family's exponents can be measured on a
+  non-saturating corpus too;
 * embeddings: 64-dim, 10 labels, label-clustered (center + noise,
   L2-normalized) — near-orthogonal bulk like the driver's geometry.
 
@@ -133,13 +137,46 @@ def build(
             1,
         )
     if want("part"):
-        write(
-            spark.range(n_part).selectExpr(
-                "id + 1 AS p_partkey",
+        # part names: fixed mode uses the driver corpus's 8×6 = 48
+        # adjective-noun combos at every SF (name groups then grow ∝ SF
+        # — the SATURATING corpus that confounded the linkage family's
+        # top-decade exponent, VERDICT r8 task #2). Growing mode keeps
+        # BOTH linkage grains O(1): each ENTITY is one adjective-noun
+        # combo in 10 generation-suffixed spellings ('large ring',
+        # 'large ring1', …, 'large ring9' — within edit distance 2 of
+        # their sort-order neighbors, so the window chains them), and
+        # the COMBO pool grows ∝ SF via a family suffix on the
+        # adjective ('large7 ring3') whose runs are thousands of rows
+        # apart in sort order (never window-adjacent) and ≥3 edits
+        # from other families at run boundaries. Name groups stay ~417
+        # parts and entities ~4 170 parts at ANY SF — the shape a real
+        # growing parts master has — so measured exponents reflect the
+        # operators, not entity growth.
+        if vocab_mode == "fixed":
+            name_expr = (
                 f"concat(element_at(array('large','hot','blue','old','cold','red',"
                 f"'small','dark'), CAST({_h('id', 31, 8)} AS INT) + 1), ' ', "
                 f"element_at(array('ring','bolt','plate','cap','tube','disk'), "
-                f"CAST({_h('id', 32, 6)} AS INT) + 1)) AS p_name",
+                f"CAST({_h('id', 32, 6)} AS INT) + 1))"
+            )
+        else:
+            n_names = max(48, int(round(480 * sf)))
+            idx = _h("id", 37, n_names)
+            gen, combo = f"(({idx}) % 10)", f"CAST(({idx}) / 10 AS INT)"
+            name_expr = (
+                f"concat(element_at(array('large','hot','blue','old','cold','red',"
+                f"'small','dark'), CAST(({combo}) % 8 AS INT) + 1), "
+                f"CASE WHEN ({combo}) < 48 THEN '' "
+                f"ELSE CAST(CAST(({combo}) / 48 AS INT) AS STRING) END, ' ', "
+                f"element_at(array('ring','bolt','plate','cap','tube','disk'), "
+                f"CAST(CAST(({combo}) / 8 AS INT) % 6 AS INT) + 1), "
+                f"CASE WHEN ({gen}) = 0 THEN '' "
+                f"ELSE CAST({gen} AS STRING) END)"
+            )
+        write(
+            spark.range(n_part).selectExpr(
+                "id + 1 AS p_partkey",
+                f"{name_expr} AS p_name",
                 f"concat('Brand#', CAST({_h('id', 33, 25)} + 1 AS STRING)) AS p_brand",
                 f"element_at(array('ECONOMY','LARGE','STANDARD','MEDIUM','PROMO',"
                 f"'SMALL'), CAST({_h('id', 34, 6)} AS INT) + 1) AS p_type",
