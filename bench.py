@@ -174,6 +174,9 @@ EXTENSION = [
     # broadcast/salted/plain; this entry's shape picks salted) — benched
     # so the pre-flight + salted-join cost stays visible round-over-round
     "adaptive_join_revenue",
+    # r9: the survivorship menu as a first-class entry (all six rules
+    # over each customer's order history, one hash agg + one modal join)
+    "customer_order_golden",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

@@ -298,3 +298,35 @@ for _n in _PROMOTE_R9:
     if _n in ORACLE_EXTRA:
         ORACLE[_n] = ORACLE_EXTRA.pop(_n)
 assert len(QUERIES) == 50, len(QUERIES)
+
+# --------------------------------------------------------------------------
+# Round-9 continuation rotation (the r7b/r8b precedent): promote the two
+# operators BUILT this round so CORRECTNESS_r09 stamps them driver-side —
+# the adaptive join (measured skew pre-flight choosing the physical
+# strategy, full oracle pinning both values and the chosen strategy) and
+# the survivorship-menu golden record (all six declared rules over each
+# customer's order history). Demotions are r1-era greens whose families
+# stay represented: daily_pct_of_baseline (J3 scalar-baseline join; the
+# join family keeps region_order_revenue + purchase_asof_prior_error +
+# customer_order_join_matview + the promoted adaptive join) and
+# extreme_days_zscore (A15; the agg family keeps events_time_profile /
+# returnflag_summary / region_order_revenue / orders_status_cube /
+# weighted_median_price, and the W window family keeps
+# top_suppliers_per_nation). Both remain fully oracle-tested locally.
+_PROMOTE_R9B = [
+    "adaptive_join_revenue",
+    "customer_order_golden",
+]
+_DEMOTE_R9B = [
+    "daily_pct_of_baseline",
+    "extreme_days_zscore",
+]
+for _n in _DEMOTE_R9B:
+    QUERIES_EXTRA[_n] = QUERIES.pop(_n)
+    if _n in ORACLE:
+        ORACLE_EXTRA[_n] = ORACLE.pop(_n)
+for _n in _PROMOTE_R9B:
+    QUERIES[_n] = QUERIES_EXTRA.pop(_n)
+    if _n in ORACLE_EXTRA:
+        ORACLE[_n] = ORACLE_EXTRA.pop(_n)
+assert len(QUERIES) == 50, len(QUERIES)

@@ -346,3 +346,106 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq_brand",
         "long_name",
     )
+
+
+_GOLDEN_SQL = """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+             o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             arg_min(o_orderpriority, o_orderkey) AS first_priority,
+             min(cents) AS min_cents,
+             max(cents) AS max_cents
+      FROM o GROUP BY 1),
+    recent AS (
+      SELECT o_custkey AS custkey, o_orderstatus,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY (o_orderstatus IS NOT NULL) DESC,
+                        (o_orderdate IS NOT NULL) DESC,
+                        o_orderdate DESC, o_orderstatus DESC) AS rk
+      FROM o),
+    freq AS (
+      SELECT custkey, o_orderstatus,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY cnt DESC, o_orderstatus ASC)
+               AS rk
+      FROM (SELECT o_custkey AS custkey, o_orderstatus, count(*) AS cnt
+            FROM o WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2)),
+    longp AS (
+      SELECT custkey, o_orderpriority,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY length(o_orderpriority) DESC,
+                                         o_orderpriority ASC) AS rk
+      FROM (SELECT DISTINCT o_custkey AS custkey, o_orderpriority
+            FROM o WHERE o_orderpriority IS NOT NULL))
+    SELECT b.custkey, b.n_orders, b.first_priority,
+           r.o_orderstatus AS recent_status,
+           f.o_orderstatus AS freq_status,
+           lp.o_orderpriority AS long_priority,
+           b.min_cents, b.max_cents
+    FROM base b
+    LEFT JOIN (SELECT custkey, o_orderstatus FROM recent WHERE rk = 1) r
+      USING (custkey)
+    LEFT JOIN (SELECT custkey, o_orderstatus FROM freq WHERE rk = 1) f
+      USING (custkey)
+    LEFT JOIN (SELECT custkey, o_orderpriority FROM longp WHERE rk = 1) lp
+      USING (custkey)
+"""
+
+
+@query("customer_order_golden", _GOLDEN_SQL, extra=True)
+def customer_order_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivorship rule menu as a FIRST-CLASS entry (r9): one
+    golden record per customer from their order history, exercising
+    all six declared rules of ``operators/survivorship.py`` in a
+    single call — ``min_key`` (priority of the first-ever order),
+    ``most_recent`` (status at the latest order date, date ties to the
+    larger status), ``most_frequent`` (modal status, count ties to the
+    smallest), ``longest_string`` (most complete priority label),
+    ``min``/``max`` (exact-cents spend corridor). This is the
+    CDC/master-data shape of survivorship — recency and consensus over
+    a keyed history — complementing ``part_entity_resolution``, where
+    the same menu runs downstream of blocking + transitive closure.
+
+    Scale: one hash aggregation on o_custkey for the five single-agg
+    rules + the member count; ``most_frequent`` adds one
+    (entity, value)-grain pre-agg joined back on the same key —
+    co-partitioned, no windows over the relation, no broadcasts of
+    data-sized frames. Every rule is deterministic under ties, so the
+    oracle replays the record value-for-value."""
+    from ..operators.survivorship import golden_record
+
+    o = t(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    gr = golden_record(
+        o,
+        "o_custkey",
+        {
+            "first_priority": ("min_key", "o_orderpriority"),
+            "recent_status": ("most_recent", "o_orderstatus", "o_orderdate"),
+            "freq_status": ("most_frequent", "o_orderstatus"),
+            "long_priority": ("longest_string", "o_orderpriority"),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+        key_col="o_orderkey",
+    )
+    counts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return counts.join(gr, "o_custkey").select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        "n_orders",
+        "first_priority",
+        "recent_status",
+        "freq_status",
+        "long_priority",
+        "min_cents",
+        "max_cents",
+    )
