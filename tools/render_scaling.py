@@ -53,8 +53,9 @@ def fmt_alpha(a: float | None) -> str:
     return "—" if a is None else f"{a:.2f}"
 
 
-def nsv_section(nsv: dict) -> list[str]:
-    """The non-saturating-corpus section (r8, VERDICT r7 task #1)."""
+def _nsv_table(nsv: dict) -> list[str]:
+    """min-time/α*/rows table over nsv_sfX-labeled legs (floor-adjusted
+    exponents, same methodology as the main table)."""
     labels = sorted(nsv, key=lambda lb: sf_value(lb.replace("nsv_", "")))
     floor = {lb: min(nsv[lb]["calibration_per_pass_s"]) for lb in labels}
 
@@ -66,6 +67,25 @@ def nsv_section(nsv: dict) -> list[str]:
             / sf_value(lo.replace("nsv_", ""))
         )
 
+    pairs = list(zip(labels, labels[1:]))
+    hdr = ["entry"] + [f"{lb} (s)" for lb in labels]
+    for lo, hi in pairs:
+        hdr.append(f"α* {lo.replace('nsv_', '')}→{hi.replace('nsv_', '')}")
+    hdr.append("rows@top")
+    lines = ["| " + " | ".join(hdr) + " |", "|" + "---|" * len(hdr)]
+    for name in nsv[labels[0]]["min_s"]:
+        row = [name]
+        for lb in labels:
+            row.append(f"{nsv[lb]['min_s'][name]:.2f}")
+        for lo, hi in pairs:
+            row.append(fmt_alpha(a_star(lo, hi, name)))
+        row.append(str(nsv[labels[-1]]["rows"].get(name, "?")))
+        lines.append("| " + " | ".join(row) + " |")
+    return lines
+
+
+def nsv_section(nsv: dict) -> list[str]:
+    """The non-saturating-corpus section (r8, VERDICT r7 task #1)."""
     lines = [
         "## Non-saturating corpus: the pair-grain dedup family "
         "(r8, VERDICT r7 task #1)",
@@ -91,21 +111,7 @@ def nsv_section(nsv: dict) -> list[str]:
         "near_dup_triangles'` — 4/4 green), and ppjoin/winnow/triangles additionally hash-match at the non-saturating sf10 (500k docs; fuzzy's DuckDB replay stays at sf1 — its unbanded per-pair levenshtein is the oracle-side bottleneck, not the operator).",
         "",
     ]
-    pairs = list(zip(labels, labels[1:]))
-    hdr = ["entry"] + [f"{lb} (s)" for lb in labels]
-    for lo, hi in pairs:
-        hdr.append(f"α* {lo.replace('nsv_', '')}→{hi.replace('nsv_', '')}")
-    hdr.append("rows@top")
-    lines.append("| " + " | ".join(hdr) + " |")
-    lines.append("|" + "---|" * len(hdr))
-    for name in nsv[labels[0]]["min_s"]:
-        row = [name]
-        for lb in labels:
-            row.append(f"{nsv[lb]['min_s'][name]:.2f}")
-        for lo, hi in pairs:
-            row.append(fmt_alpha(a_star(lo, hi, name)))
-        row.append(str(nsv[labels[-1]]["rows"].get(name, "?")))
-        lines.append("| " + " | ".join(row) + " |")
+    lines += _nsv_table(nsv)
     lines += [
         "",
         "Every exponent lands at-or-below ~0.85 — sub-linear across "
@@ -118,6 +124,62 @@ def nsv_section(nsv: dict) -> list[str]:
         "sizing, not the plan (45.7 s at 128 vs 126.6 s at 64 — the "
         "harness help text's 'size post-shuffle partitions to the "
         "heap' rule, demonstrated).",
+    ]
+    return lines
+
+
+def nsv_linkage_section(nsv: dict) -> list[str]:
+    """The non-saturating-corpus section for the LINKAGE family
+    (r9, VERDICT r8 task #2 — the same treatment the dedup family got
+    in r8, applied to the one remaining argued exponent)."""
+    lines = [
+        "## Non-saturating corpus: the linkage family "
+        "(r9, VERDICT r8 task #2)",
+        "",
+        "`part_entity_resolution`'s α* 1.21 top decade (main table) is "
+        "measured on the FIXED 48-name part vocabulary, where every "
+        "name group — hence the longest sorted-neighborhood adjacency "
+        "chain and the connected-components round count — grows 10× "
+        "per SF: the corpus, not the operator. `--vocab-mode growing` "
+        "now also scales the part-name vocabulary (10 "
+        "generation-suffixed spellings per adjective-noun combo, combo "
+        "pool ∝ SF), so name groups stay ~417 parts and entities "
+        "~4 170 parts at ANY SF — the shape of a real growing parts "
+        "master — and the exponents below measure the operators. "
+        "**Correctness first**: both entries hash-match their DuckDB "
+        "oracles on the non-saturating sf1 corpus "
+        "(`SPARK_GRAFT_SF=/root/repo/.scaledata/nsv_sf1 pytest "
+        "tests/test_oracle.py -k 'part_name_linkage or "
+        "part_entity_resolution'` — 2/2 green; the ER oracle's "
+        "transitive closure runs at NAME grain, an exact identity of "
+        "sorted-neighborhood blocking — see queries_linkage.py). The "
+        "sf10 leg is timing-only: the ORACLE's textbook band join over "
+        "2M rows exceeds the 30-minute gate budget DuckDB-side (the "
+        "r8 fuzzy posture — the oracle is the bottleneck, not the "
+        "operator).",
+        "",
+    ]
+    lines += _nsv_table(nsv)
+    lines += [
+        "",
+        "Reading the four legs: `part_name_linkage` is sub-linear "
+        "everywhere (pair output grows exactly 5n; the sf1→sf3 cell "
+        "is ~1 because both times sit near the fixed-overhead floor). "
+        "`part_entity_resolution`'s sf1→sf3 cell (≈2) is an ALGORITHM "
+        "SWITCH, not growth: at nsv_sf1 the match graph has ≤2²⁰ "
+        "edges, so connected components takes the documented "
+        "driver-union-find contract path (operators/dedup.py::"
+        "LOCAL_CC_MAX_EDGES); nsv_sf3 is the first leg on the "
+        "distributed large-star/small-star path, which carries "
+        "~fixed per-round scheduling cost (entity diameter — hence "
+        "round count — is SF-invariant on this corpus by "
+        "construction). On the shared distributed path, sf3→sf10, "
+        "the whole pipeline measures α* ≈ 0.5: with entity size "
+        "pinned, the family is sub-linear — the α* 1.21 main-table "
+        "reading is confirmed as corpus growth, converting the last "
+        "argued-not-measured exponent into measurement. Same "
+        "methodology as above; the sf3/sf10 legs ran at shuffle=128 / "
+        "48g heap (the r8 sizing rule).",
     ]
     return lines
 
@@ -136,32 +198,53 @@ def main() -> None:
         "rendered as a dedicated section when the file exists",
     )
     ap.add_argument(
+        "--nsv-linkage-results",
+        default=os.path.join(
+            REPO, ".scaledata", "nsv_linkage_scaling.json"
+        ),
+        help="non-saturating LINKAGE leg results (labels nsv_sfX); "
+        "rendered as its own section when the file exists",
+    )
+    ap.add_argument(
         "--nsv-only",
         action="store_true",
-        help="patch ONLY the non-saturating section into the existing "
-        "SCALING.md (use when the full sweep's results file is not on "
-        "disk — the main table stays as committed)",
+        help="patch ONLY the non-saturating section(s) into the "
+        "existing SCALING.md (use when the full sweep's results file "
+        "is not on disk — the main table stays as committed)",
     )
     args = ap.parse_args()
 
-    if args.nsv_only:
-        with open(args.nsv_results) as fh:
-            nsv = json.load(fh)
-        section = "\n".join(nsv_section(nsv)) + "\n"
-        with open(args.out) as fh:
-            doc = fh.read()
-        marker = "\n## Non-saturating corpus"
+    def patch_section(doc: str, marker: str, section: str) -> str:
+        """Replace the H2 section starting with ``marker`` (through the
+        next H2 or EOF) with ``section``, or append it."""
         if marker in doc:
             head, rest = doc.split(marker, 1)
-            # the section runs until the next H2 (or EOF)
             nxt = rest.find("\n## ")
             tail = rest[nxt:] if nxt != -1 else ""
-            doc = head + section + tail
-        else:
-            doc = doc.rstrip("\n") + "\n" + section
+            return head + section + tail
+        return doc.rstrip("\n") + "\n" + section
+
+    if args.nsv_only:
+        with open(args.out) as fh:
+            doc = fh.read()
+        with open(args.nsv_results) as fh:
+            nsv = json.load(fh)
+        doc = patch_section(
+            doc,
+            "\n## Non-saturating corpus: the pair-grain dedup family",
+            "\n".join(nsv_section(nsv)) + "\n",
+        )
+        if os.path.exists(args.nsv_linkage_results):
+            with open(args.nsv_linkage_results) as fh:
+                nsvl = json.load(fh)
+            doc = patch_section(
+                doc,
+                "\n## Non-saturating corpus: the linkage family",
+                "\n".join(nsv_linkage_section(nsvl)) + "\n",
+            )
         with open(args.out, "w") as fh:
             fh.write(doc)
-        print(f"patched non-saturating section into {args.out}")
+        print(f"patched non-saturating section(s) into {args.out}")
         return
 
     with open(args.results) as fh:
@@ -340,6 +423,10 @@ def main() -> None:
         with open(args.nsv_results) as fh:
             nsv = json.load(fh)
         lines += [""] + nsv_section(nsv)
+    if os.path.exists(args.nsv_linkage_results):
+        with open(args.nsv_linkage_results) as fh:
+            nsvl = json.load(fh)
+        lines += [""] + nsv_linkage_section(nsvl)
 
     lines.append("")
     lines.append("## Environment per scale factor")
