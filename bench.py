@@ -177,6 +177,12 @@ EXTENSION = [
     # r9: the survivorship menu as a first-class entry (all six rules
     # over each customer's order history, one hash agg + one modal join)
     "customer_order_golden",
+    # r9: grouped OLS from exact integer moments, the count-table
+    # Mann-Whitney U, and positional phrase search (inverted-index
+    # adjacency join) — benched so their agg/join shapes stay visible
+    "nation_revenue_trend",
+    "mw_quantity_shift",
+    "phrase_search_docs",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

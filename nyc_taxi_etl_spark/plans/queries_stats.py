@@ -12,7 +12,7 @@ ROWS — gaps in the date series must still span 7 calendar days).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import r4
@@ -960,4 +960,231 @@ def adaptive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue_cents",
         F.lit(decision["strategy"]).alias("strategy"),
+    )
+
+
+_TREND_SQL = """
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             CAST((EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o.o_orderdate) - 1 AS BIGINT)
+               AS x,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    mom AS (
+      SELECT nation,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                  AS DECIMAL(38, 0)) AS syy
+      FROM m GROUP BY 1),
+    d AS (
+      SELECT nation, n,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den,
+             CAST(n AS DECIMAL(38, 0)) * syy
+               - CAST(sy AS DECIMAL(38, 0)) * CAST(sy AS DECIMAL(38, 0))
+               AS deny,
+             sx, sy
+      FROM mom)
+    SELECT nation,
+           n AS n_months,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+             AS slope_cents_per_month,
+           (CAST(sy AS DOUBLE)
+              - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             AS intercept_cents,
+           CAST(CAST(num AS DECIMAL(38, 0))
+                * CAST(num AS DECIMAL(38, 0)) AS DOUBLE)
+             / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) AS r2
+    FROM d
+    WHERE den <> 0 AND deny <> 0
+"""
+
+
+@query("nation_revenue_trend", _TREND_SQL, extra=True)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation ordinary-least-squares revenue trend: slope
+    (cents/month), intercept, and R² of monthly revenue against a
+    month index — grouped linear regression, the per-segment trend
+    line every revenue dashboard fits.
+
+    BIT-EXACT by construction, no rounding: the regression is computed
+    from exact integer moment sums (Σx, Σy, Σxy, Σx² in longs; Σy² in
+    decimal(38,0) — y is exact cents, so y² overflows a long), and
+    doubles appear only at the FINAL casts and divisions, which both
+    engines perform identically on identical integers. The builtin
+    regr_slope/regr_avg* aggregates would instead accumulate
+    order-dependent floating partials — the same trap the catalog's
+    cents convention exists to avoid.
+
+    Scale: one hash agg to the (nation, month) grain (bounded:
+    nations × months), one tiny agg to nation grain, closed-form
+    arithmetic. No windows, no collects."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    mom = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(19,0)")
+            * F.col("y").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("syy"),
+    )
+    d = mom.select(
+        "nation",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("syy")
+            - F.col("sy").cast("decimal(38,0)")
+            * F.col("sy").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("deny"),
+        "sx",
+        "sy",
+    ).filter((F.col("den") != 0) & (F.col("deny") != 0))
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    return d.select(
+        "nation",
+        F.col("n").alias("n_months"),
+        slope.alias("slope_cents_per_month"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+        (
+            (
+                F.col("num").cast("decimal(38,0)")
+                * F.col("num").cast("decimal(38,0)")
+            ).cast("double")
+            / (F.col("den").cast("double") * F.col("deny").cast("double"))
+        ).alias("r2"),
+    )
+
+
+_MW_SQL = """
+    WITH q AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+               AS n_r,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT)
+               AS n_n
+      FROM lineitem
+      WHERE l_returnflag IN ('R', 'N') AND l_quantity IS NOT NULL
+      GROUP BY 1),
+    c AS (
+      SELECT qty, n_r, n_n,
+             COALESCE(sum(n_n) OVER (ORDER BY qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below_n
+      FROM q),
+    u AS (
+      SELECT CAST(sum(n_r) AS BIGINT) AS n_r,
+             CAST(sum(n_n) AS BIGINT) AS n_n,
+             sum(CAST(n_r AS DOUBLE) * (CAST(below_n AS DOUBLE)
+                 + 0.5 * CAST(n_n AS DOUBLE))) AS u_r
+      FROM c)
+    SELECT n_r, n_n, u_r,
+           CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE) - u_r AS u_n,
+           (2.0 * u_r) / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE)) - 1.0
+             AS rank_biserial
+    FROM u
+    WHERE n_r > 0 AND n_n > 0
+"""
+
+
+@query("mw_quantity_shift", _MW_SQL, extra=True)
+def mw_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test of distribution shift: does returned ('R')
+    lineitem quantity stochastically dominate non-returned ('N')? —
+    the standard nonparametric two-sample location test (Mann &
+    Whitney 1947), here in its tie-corrected counting form. Output:
+    group sizes, both U statistics, and the rank-biserial effect size
+    r = 2U_R/(n_R·n_N) − 1 (P(R>N) − P(N>R)).
+
+    Scale shape: U is computed from the COUNT-OF-VALUES table, never
+    from ranks over the data — one conditional hash agg to the
+    (quantity, side-counts) grain (bounded by the value domain: 50
+    rows here; quantized buckets in general), a cumulative window over
+    that bounded table, one final fold. The textbook rank-sum
+    formulation would need a data-sized global sort; this is the
+    identity U_R = Σ_q n_R(q)·(N_below(q) + ½·n_N(q)). Counts are
+    exact integers; the ×0.5 terms are dyadic, so every double is
+    exact and the oracle matches bit-for-bit unrounded."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+        & F.col("l_quantity").isNotNull()
+    )
+    q = li.groupBy(F.col("l_quantity").cast("long").alias("qty")).agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1))
+        .cast("long")
+        .alias("n_r"),
+        F.count(F.when(F.col("l_returnflag") == "N", 1))
+        .cast("long")
+        .alias("n_n"),
+    )
+    w = (
+        Window.orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = q.select(
+        "qty",
+        "n_r",
+        "n_n",
+        F.coalesce(F.sum("n_n").over(w), F.lit(0)).alias("below_n"),
+    )
+    u = c.agg(
+        F.sum("n_r").cast("long").alias("n_r"),
+        F.sum("n_n").cast("long").alias("n_n"),
+        F.sum(
+            F.col("n_r").cast("double")
+            * (
+                F.col("below_n").cast("double")
+                + F.lit(0.5) * F.col("n_n").cast("double")
+            )
+        ).alias("u_r"),
+    )
+    return u.filter((F.col("n_r") > 0) & (F.col("n_n") > 0)).select(
+        "n_r",
+        "n_n",
+        "u_r",
+        (
+            F.col("n_r").cast("double") * F.col("n_n").cast("double")
+            - F.col("u_r")
+        ).alias("u_n"),
+        (
+            F.lit(2.0) * F.col("u_r")
+            / (F.col("n_r").cast("double") * F.col("n_n").cast("double"))
+            - F.lit(1.0)
+        ).alias("rank_biserial"),
     )

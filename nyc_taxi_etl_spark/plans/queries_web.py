@@ -358,3 +358,78 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(_RRF_TOP)
     )
+
+
+_PHRASE_W1, _PHRASE_W2 = "join", "column"
+
+_PHRASE_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS l
+      FROM documents WHERE trim(text) <> ''),
+    hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(range(1, len(l)),
+                 i -> l[i] = '{_PHRASE_W1}'
+                      AND l[i + 1] = '{_PHRASE_W2}')) AS n_occurrences
+      FROM toks)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           lang,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM hits WHERE n_occurrences > 0
+"""
+
+
+@query("phrase_search_docs", _PHRASE_SQL, extra=True)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact positional phrase search ('{w1} {w2}') over the corpus —
+    the retrieval primitive BM25's bag-of-words scoring cannot
+    express: the terms must be ADJACENT, in order. Returns each
+    matching document with its occurrence count.
+
+    Spark side is the inverted-index shape a search engine runs at
+    scale: posexplode to (doc, position, term) postings, filter to the
+    two query terms AT THE SCAN (term filters prune before any
+    shuffle), then a positional self-join (doc_id equality + pos+1
+    adjacency — an equi-join on both keys since the offset folds into
+    the join expression) and a per-doc count. Generalizes to k-term
+    phrases as k-1 chained position joins. The oracle replays the
+    semantics naively (scan every token list and count adjacent
+    pairs), so the index formulation is verified against the
+    definition, not against itself.
+
+    Scale: postings for two fixed terms are a tiny filtered slice of
+    the corpus; the join shuffles only those postings, keyed by
+    (doc_id, position) — skew-free since positions are unique per
+    doc. No UDFs; tokenization is the catalog's whitespace
+    ``tokens()`` on both sides."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(X.tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    )
+    a = toks.filter(F.col("w") == _PHRASE_W1).select(
+        "doc_id", "lang", F.col("pos").alias("pa")
+    )
+    b = toks.filter(F.col("w") == _PHRASE_W2).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    hits = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_b"))
+        & (F.col("pb") == F.col("pa") + 1),
+    )
+    return (
+        hits.groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_occurrences")
+    )
+
+
+# keep the docstring template literal resolved at import time
+phrase_search_docs.__doc__ = phrase_search_docs.__doc__.replace(
+    "{w1}", _PHRASE_W1
+).replace("{w2}", _PHRASE_W2)

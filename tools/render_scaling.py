@@ -221,7 +221,10 @@ def main() -> None:
             head, rest = doc.split(marker, 1)
             nxt = rest.find("\n## ")
             tail = rest[nxt:] if nxt != -1 else ""
-            return head + section + tail
+            # the split consumed the marker's leading newline — restore
+            # it so the section header never glues onto the previous
+            # paragraph
+            return head + "\n" + section + tail
         return doc.rstrip("\n") + "\n" + section
 
     if args.nsv_only:
