@@ -330,3 +330,38 @@ for _n in _PROMOTE_R9B:
     if _n in ORACLE_EXTRA:
         ORACLE[_n] = ORACLE_EXTRA.pop(_n)
 assert len(QUERIES) == 50, len(QUERIES)
+
+# --------------------------------------------------------------------------
+# Round-9 second continuation: promote the three analytics operators
+# built late in the round — grouped OLS from exact integer moments
+# (bit-exact slope/intercept/R² per nation), the count-table
+# Mann-Whitney U test, and positional phrase search — all oracle-green
+# at sf0.001 through the generated sf10. Demotions are eight-round
+# greens whose families stay represented: returnflag_summary (A9; the
+# agg family keeps events_time_profile / orders_status_cube /
+# weighted_median_price and more), region_order_revenue (J2/A14; the
+# join family keeps purchase_asof_prior_error /
+# customer_order_join_matview / adaptive_join_revenue, and the
+# promoted nation_revenue_trend itself carries a broadcast dim join),
+# and minhash_lsh_near_pairs (the dedup family keeps
+# exact_dedup_groups / dedup_components / curate_documents /
+# ppjoin_near_pairs in-window). All remain fully oracle-tested locally.
+_PROMOTE_R9C = [
+    "nation_revenue_trend",
+    "mw_quantity_shift",
+    "phrase_search_docs",
+]
+_DEMOTE_R9C = [
+    "returnflag_summary",
+    "region_order_revenue",
+    "minhash_lsh_near_pairs",
+]
+for _n in _DEMOTE_R9C:
+    QUERIES_EXTRA[_n] = QUERIES.pop(_n)
+    if _n in ORACLE:
+        ORACLE_EXTRA[_n] = ORACLE.pop(_n)
+for _n in _PROMOTE_R9C:
+    QUERIES[_n] = QUERIES_EXTRA.pop(_n)
+    if _n in ORACLE_EXTRA:
+        ORACLE[_n] = ORACLE_EXTRA.pop(_n)
+assert len(QUERIES) == 50, len(QUERIES)

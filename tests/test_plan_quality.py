@@ -52,7 +52,7 @@ def test_dim_joins_broadcast(spark):
     # nation (25 rows) + region (5 rows) carry explicit broadcast hints;
     # customer is SF-scaled so it must NOT be force-broadcast — AQE
     # size-picks its join strategy at runtime.
-    df = QUERIES["region_order_revenue"](spark, SF_DIR)
+    df = ALL_QUERIES["region_order_revenue"](spark, SF_DIR)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2
     # at tiny SF, AQE still broadcast-converts the customer join from
