@@ -164,32 +164,53 @@ def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _er_sql() -> str:
-    # The closure runs at NAME grain, not part grain (r9). This is an
-    # exact identity of sorted-neighborhood blocking over a
-    # (name, key) sort order, not an approximation: parts sharing a
-    # name are CONSECUTIVE in the sort, so every name run is an
-    # internally chained path for any window ≥ 1 (each part pairs with
-    # its same-name successor at distance 0), and every match edge
-    # implies a name-pair edge — hence part-graph components are
-    # exactly the part sets of name-graph components. The name graph
-    # is metadata-sized (distinct names), so the 24-stage hop+jump
-    # closure converges with huge margin — the earlier PART-grain
-    # closure hit its unrolled-stage bound on the non-saturating
-    # corpus, where each entity is ~10 stitched 400-part runs whose
-    # random keys defeat pointer-jumping's sequential-id fast path
-    # (measured: 283 labels after 24 stages, 196 after 36, true 48).
+    # The ENTIRE match graph is derived at NAME grain (r9). Two exact
+    # identities of sorted-neighborhood blocking over a (name, key)
+    # sort order make this sound — not an approximation:
+    #
+    # 1. Candidates: parts sharing a name are CONSECUTIVE in the sort,
+    #    so a name run occupies one contiguous rank interval
+    #    [rn_lo, rn_hi] — recoverable from cumulative name COUNTS, no
+    #    part-level window needed — and a window-w pair between names
+    #    A < B exists iff B.rn_lo − A.rn_hi ≤ w (the closest cross-run
+    #    pair is last-of-A with first-of-B). Same-name pairs exist iff
+    #    the run has ≥ 2 parts (consecutive ranks, distance 0) — kept
+    #    as self-loops so multi-part names group even with no
+    #    cross-name match.
+    # 2. Components: every name run is internally chained for any
+    #    window ≥ 1 and every match edge implies a name edge, so
+    #    part-graph components are exactly the part sets of name-graph
+    #    components.
+    #
+    # Result: candidates + closure both run on the metadata-sized name
+    # table (levenshtein over band-adjacent NAME pairs, not the O(n·w)
+    # part pairs — the part-level replay needed 30+ min at sf10; this
+    # runs in seconds, so the sf10 oracle gate is feasible), and the
+    # 24-stage hop+jump closure converges with huge margin — the
+    # earlier PART-grain closure hit its unrolled-stage bound on the
+    # non-saturating corpus, where each entity is ~10 stitched
+    # 400-part runs whose random keys defeat pointer-jumping's
+    # sequential-id fast path (measured: 283 labels after 24 stages,
+    # 196 after 36, true 48).
     from .queries_text import _closure_ctes
 
     return f"""
-    WITH s AS (
-      SELECT p_partkey, p_name,
-             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
-      FROM part WHERE p_name IS NOT NULL),
+    WITH nm AS (
+      SELECT p_name, count(*) AS cnt
+      FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+    pos AS (
+      SELECT p_name, cnt,
+             sum(cnt) OVER (ORDER BY p_name) AS rn_hi,
+             sum(cnt) OVER (ORDER BY p_name) - cnt + 1 AS rn_lo
+      FROM nm),
     raw AS (
       SELECT a.p_name AS na, b.p_name AS nb
-      FROM s a JOIN s b
-        ON b.rn > a.rn AND b.rn <= a.rn + {_LINKAGE_WINDOW}
-      WHERE levenshtein(a.p_name, b.p_name) <= {_LINKAGE_MAX_DIST}),
+      FROM pos a JOIN pos b
+        ON b.rn_lo > a.rn_hi
+       AND b.rn_lo <= a.rn_hi + {_LINKAGE_WINDOW}
+      WHERE levenshtein(a.p_name, b.p_name) <= {_LINKAGE_MAX_DIST}
+      UNION ALL
+      SELECT p_name AS na, p_name AS nb FROM pos WHERE cnt >= 2),
     edges AS MATERIALIZED (
       SELECT DISTINCT na AS a, nb AS b FROM raw
       UNION SELECT DISTINCT nb AS a, na AS b FROM raw),

@@ -150,13 +150,16 @@ def nsv_linkage_section(nsv: dict) -> list[str]:
         "oracles on the non-saturating sf1 corpus "
         "(`SPARK_GRAFT_SF=/root/repo/.scaledata/nsv_sf1 pytest "
         "tests/test_oracle.py -k 'part_name_linkage or "
-        "part_entity_resolution'` — 2/2 green; the ER oracle's "
-        "transitive closure runs at NAME grain, an exact identity of "
-        "sorted-neighborhood blocking — see queries_linkage.py). The "
-        "sf10 leg is timing-only: the ORACLE's textbook band join over "
-        "2M rows exceeds the 30-minute gate budget DuckDB-side (the "
-        "r8 fuzzy posture — the oracle is the bottleneck, not the "
-        "operator).",
+        "part_entity_resolution'` — 2/2 green), and "
+        "`part_entity_resolution` ADDITIONALLY hash-matches at BOTH "
+        "sf10 corpora (non-saturating 2M parts in 4m21s; saturating "
+        "alongside part_name_linkage's pair-grain oracle, 2/2 in "
+        "10m06s): the ER oracle derives its whole match graph at NAME "
+        "grain — candidate window pairs from cumulative name-run "
+        "positions and the transitive closure over name edges, two "
+        "exact identities of sorted-neighborhood blocking (see "
+        "queries_linkage.py) — so the DuckDB replay is metadata-scale "
+        "where the part-level textbook form needed 30+ minutes.",
         "",
     ]
     lines += _nsv_table(nsv)
