@@ -252,11 +252,28 @@ def select_clean_passes(
     ]
 
 
-def write_probe_floor(observed_min: float, sf_val, path: str | None = None) -> dict:
+def write_probe_floor(
+    observed_min: float, sf_val, path: str | None = None
+) -> dict | None:
     """Ratchet the committed reference down to the best probe ever
     observed on this host (never up: a noisy run must not loosen the
-    gate for future runs)."""
+    gate for future runs). REFUSES to write when the existing file was
+    measured on a different host shape — a dev laptop's floor
+    replacing the reference host's would silently disable the absolute
+    gate everywhere (load_probe_floor ignores mismatched files), which
+    is the exact failure mode this file exists to prevent. Returns
+    None on refusal."""
     path = path or os.environ.get("SPARK_GRAFT_BENCH_FLOOR_FILE", FLOOR_FILE)
+    try:
+        with open(path) as fh:
+            raw = json.load(fh)
+    except (OSError, ValueError):
+        raw = None
+    if (
+        isinstance(raw, dict)
+        and raw.get("host_cpus") not in (None, os.cpu_count())
+    ):
+        return None
     prev = load_probe_floor(path)
     best = observed_min
     if prev is not None:
@@ -380,20 +397,27 @@ def main() -> None:
 
         for _pass in range(n_runs):
             run_pass()
-        extra_passes = 0
-        while len(clean_passes()) < n_runs and extra_passes < max_extra:
-            run_pass()
-            extra_passes += 1
-        # Absolute gate (r9): if even the BEST pass is above the idle-host
-        # threshold, the whole run is host-contended — re-wait for idle
-        # once and take n_runs fresh passes before giving up and stamping
-        # the artifact. (The relative drift gate cannot see this case: a
-        # uniformly contended run is self-consistent.)
+        # Absolute gate (r9): if even the BEST initial pass is above the
+        # idle-host threshold, the whole run is host-contended — re-wait
+        # for idle and take n_runs fresh passes IMMEDIATELY, before the
+        # relative extra-pass loop: on a uniformly contended host that
+        # loop would burn max_extra full catalog sweeps whose samples
+        # the absolute gate then discards. (The relative drift gate
+        # cannot see this case: a uniformly contended run is
+        # self-consistent.)
         re_waited: dict | None = None
         if abs_threshold is not None and min(calibration) > abs_threshold:
             re_waited = wait_for_idle(idle_wait)
             for _pass in range(n_runs):
                 run_pass()
+        extra_passes = 0
+        while len(clean_passes()) < n_runs and extra_passes < max_extra:
+            # give up early when the host is still contended end-to-end:
+            # more passes cannot produce clean samples, only waste time
+            if abs_threshold is not None and min(calibration) > abs_threshold:
+                break
+            run_pass()
+            extra_passes += 1
         clean = clean_passes()
         contended = (
             abs_threshold is not None and min(calibration) > abs_threshold

@@ -304,6 +304,7 @@ def adaptive_join(
     right_key: str,
     how: str = "inner",
     broadcast_max_ratio: float = 0.05,
+    broadcast_max_rows: int = 4_000_000,
     skew_ratio_threshold: float = 4.0,
     salt_buckets: int = 16,
     salt_seed_col: str | None = None,
@@ -314,9 +315,12 @@ def adaptive_join(
     then CHOOSE the physical strategy from the measurements:
 
     * ``broadcast`` — right side is ≤ ``broadcast_max_ratio`` × the
-      left's row count: ship the dim to every executor, no shuffle of
-      the big side at all (skew becomes irrelevant — a hot key never
-      travels);
+      left's row count AND ≤ ``broadcast_max_rows`` (broadcastability
+      is an ABSOLUTE property — a 100B-row fact must not broadcast a
+      4B-row dim just because the ratio passes; the row cap is the
+      analogue of Spark's byte-denominated autoBroadcastJoinThreshold):
+      ship the dim to every executor, no shuffle of the big side at
+      all (skew becomes irrelevant — a hot key never travels);
     * ``salted`` — right is too big to broadcast AND the left key's
       ``skew_ratio`` (max/avg rows per key, ``key_skew_profile``'s
       headline number) exceeds ``skew_ratio_threshold``: replicate the
@@ -358,7 +362,18 @@ def adaptive_join(
     skew_ratio = (
         max_pk * l_keys / l_rows if l_rows and l_keys else 0.0
     )
-    if l_rows and rrows <= broadcast_max_ratio * l_rows:
+    if salt_seed_col == left_key:
+        raise ValueError(
+            "adaptive_join: salt_seed_col must differ from left_key — "
+            "a salt derived from the join key is constant within each "
+            "key, so it spreads nothing while still replicating the "
+            "right side"
+        )
+    if (
+        l_rows
+        and rrows <= broadcast_max_ratio * l_rows
+        and rrows <= broadcast_max_rows
+    ):
         strategy = "broadcast"
         joined = left.join(
             F.broadcast(right),
@@ -367,12 +382,14 @@ def adaptive_join(
         )
     elif skew_ratio > skew_ratio_threshold:
         strategy = "salted"
-        seed = salt_seed_col or left_key
+        seed = (
+            F.xxhash64(F.col(salt_seed_col))
+            if salt_seed_col
+            else F.xxhash64(*[F.col(c) for c in left.columns])
+        )
         salted = left.withColumn(
             "__salt",
-            F.pmod(F.xxhash64(F.col(seed)), F.lit(salt_buckets)).cast(
-                "int"
-            ),
+            F.pmod(seed, F.lit(salt_buckets)).cast("int"),
         )
         replicated = right.withColumn(
             "__salt",
@@ -401,6 +418,7 @@ def adaptive_join(
         "skew_ratio": skew_ratio,
         "right_rows": int(rrows),
         "broadcast_max_ratio": broadcast_max_ratio,
+        "broadcast_max_rows": broadcast_max_rows,
         "skew_ratio_threshold": skew_ratio_threshold,
     }
     return joined, decision

@@ -429,13 +429,45 @@ def cusum_fold(
     dn: float = _CUSUM_DN,
     h: float = _CUSUM_H,
     max_events_per_entity: int = _CUSUM_MAX_EVENTS,
+    precheck: bool = False,
 ) -> DataFrame:
     """Per-user two-sided CUSUM fold over (user_id, ts, event_id,
     value) — the Catalyst recurrence shared verbatim with the
     streaming twin. Raises at execution time (job failure with the
     offending user_id in the message) when any entity exceeds
     ``max_events_per_entity`` events — the declared contract bound of
-    the collect_list array."""
+    the collect_list array.
+
+    Guard honesty: the in-plan assert evaluates AFTER the aggregation
+    has buffered each entity's array, so it catches contract
+    violations cheaply for entities that FIT in memory (2¹⁶ doubles is
+    ~0.5 MB — three orders of magnitude under any executor's budget)
+    but cannot preempt an entity so hot its buffer alone OOMs the
+    executor (hundreds of millions of events on one key). When the
+    key distribution is UNKNOWN — a first run over a new 100 TB
+    source — pass ``precheck=True``: one extra counts-only pass
+    (groupBy count → 1-row max_by probe, the dedup_components contract
+    pattern) raises a clear ValueError naming the hottest entity
+    BEFORE any array is built, at the cost of one additional scan +
+    shuffle. Profiled sources with an established bound keep the
+    zero-extra-jobs default."""
+    if precheck:
+        hot = (
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.max("_n").alias("_max"),
+                F.max_by("user_id", "_n").alias("_who"),
+            )
+            .first()
+        )
+        if hot["_max"] is not None and int(hot["_max"]) > max_events_per_entity:
+            raise ValueError(
+                f"cusum_fold: entity {hot['_who']!r} has {hot['_max']} "
+                f"events — over the declared max_events_per_entity="
+                f"{max_events_per_entity} array bound; raise the bound "
+                f"or pre-aggregate the hot entity"
+            )
     packed = F.sort_array(
         F.collect_list(F.struct("ts", "event_id", "value"))
     )

@@ -119,3 +119,17 @@ def test_contended_run_is_stamped(tmp_path) -> None:
     assert len(detail["calibration"]["per_pass_s"]) == 4
     # a contended run must never ratchet the committed reference
     assert bench.load_probe_floor(str(floor))["probe_floor_s"] == 1e-6
+
+
+def test_write_probe_floor_refuses_foreign_host_file(tmp_path) -> None:
+    """r9 review: a floor measured on a different host shape must not
+    be replaced by this host's — load_probe_floor ignores mismatched
+    files, so overwriting would silently disable the absolute gate on
+    the reference host."""
+    path = str(tmp_path / "floor.json")
+    foreign = {"probe_floor_s": 0.09, "host_cpus": (os.cpu_count() or 1) + 7}
+    with open(path, "w") as fh:
+        json.dump(foreign, fh)
+    assert bench.write_probe_floor(0.15, 0.1, path) is None  # refused
+    with open(path) as fh:
+        assert json.load(fh) == foreign  # untouched

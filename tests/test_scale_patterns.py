@@ -446,3 +446,57 @@ def test_adaptive_join_entry_plan_is_salted(spark):
     df = fn(spark, "/root/testdata/sf0.001")
     assert "__salt" in _plan_of(df)
     assert df.select("strategy").distinct().collect()[0][0] == "salted"
+
+
+def test_adaptive_join_default_seed_spreads_hot_key(spark):
+    """r9 review: the default salt seed must VARY WITHIN a key (seeding
+    from the join key itself would give every hot-key row the same
+    salt — a no-op spread with 16x dim replication); seeding from the
+    key is rejected outright."""
+    from nyc_taxi_etl_spark.functions.skew import adaptive_join
+
+    adaptive_join_, left, right, plain = _adaptive_fixtures(spark)
+    joined, d = adaptive_join(
+        left, "k", right, "k2",
+        broadcast_max_ratio=0.0, skew_ratio_threshold=4.0,
+    )  # no salt_seed_col: default seeds from all left columns
+    assert d["strategy"] == "salted"
+    got = joined.groupBy("grp").count()
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the hot key's rows must land on >1 salt bucket
+    salted = left.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(16)
+        ).cast("int"),
+    )
+    n_salts = (
+        salted.filter(F.col("k") == 1)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1, "default salt failed to spread the hot key"
+    import pytest
+
+    with pytest.raises(ValueError, match="salt_seed_col"):
+        adaptive_join(left, "k", right, "k2", salt_seed_col="k")
+
+
+def test_adaptive_join_broadcast_needs_absolute_cap(spark):
+    """r9 review: the ratio gate alone would broadcast an arbitrarily
+    large dim at scale — the absolute row cap must also pass."""
+    adaptive_join, left, right, _ = _adaptive_fixtures(spark)
+    joined, d = adaptive_join(
+        left, "k", right, "k2",
+        broadcast_max_ratio=0.5, broadcast_max_rows=10,
+        skew_ratio_threshold=1e9,
+    )
+    assert d["strategy"] == "plain", d  # ratio passes, cap vetoes
+    joined2, d2 = adaptive_join(
+        left, "k", right, "k2",
+        broadcast_max_ratio=0.5, broadcast_max_rows=1000,
+    )
+    assert d2["strategy"] == "broadcast", d2

@@ -100,3 +100,24 @@ def test_cusum_fold_hot_entity_contract(spark):
     # over the bound: job fails loudly, naming the hot entity
     with pytest.raises(Exception, match="max_events_per_entity=9"):
         cusum_fold(ev, max_events_per_entity=9).collect()
+
+
+def test_cusum_fold_precheck_names_hot_entity_before_collecting(spark):
+    """r9 review: the in-plan assert fires only after the aggregation
+    buffers an entity's array; precheck=True probes counts FIRST (one
+    bounded extra pass) and raises before any array is built."""
+    import datetime as dt
+
+    import pytest
+
+    from nyc_taxi_etl_spark.plans.queries_timeseries import cusum_fold
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("big", i, t0 + dt.timedelta(minutes=i), 50.0) for i in range(8)]
+    ev = spark.createDataFrame(
+        rows, "user_id: string, event_id: long, ts: timestamp, value: double"
+    )
+    with pytest.raises(ValueError, match="'big' has 8 events"):
+        cusum_fold(ev, max_events_per_entity=5, precheck=True)
+    out = cusum_fold(ev, max_events_per_entity=8, precheck=True).collect()
+    assert out[0]["n_events"] == 8

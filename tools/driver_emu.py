@@ -24,10 +24,6 @@ import duckdb  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_EMU_SF_DIR", "/root/testdata/sf0.01")
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 
 def main() -> int:
@@ -41,15 +37,15 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as E
     from tests.compare import assert_frames_match
+    # one source of truth for the oracle environment: the test suite's
+    # registration helper (table list + directory-glob handling) — a
+    # second copy here would drift the emulator from the local gate
+    from tests.conftest import _register
 
     print("entry rows:", len(E.entry(spark).collect()), flush=True)
     qs, osql = E.queries(), E.oracle_sql()
     con = duckdb.connect()
-    for t in TABLES:
-        path = f"{SF_DIR}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    _register(con, SF_DIR)
     names = sorted(qs)
     if filters:
         names = [n for n in names if any(f in n for f in filters)]
@@ -64,7 +60,8 @@ def main() -> int:
                 n_ok += 1
                 tag = "OK"
             else:
-                assert len(s) >= 0
+                # rows-only: toPandas() completing IS the check (the
+                # driver's weaker gate); shape/value pins live in pytest
                 n_rows_only += 1
                 tag = "OK(rows-only)"
             print(
