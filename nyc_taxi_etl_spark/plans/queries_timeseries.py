@@ -361,13 +361,17 @@ def monthly_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CUSUM tuning: plan-time LITERALS, not data-derived floats — a global
-# mean/stddev would be an order-dependent double sum that diverges
-# cross-engine at the ulp and poisons every downstream S value. In
-# production these come from a control period; here μ0+slack=75, the
-# lower arm at μ0-slack=25, decision interval h=200 (events.value is
-# Exp(mean 50), so both arms fire on genuine drifts only).
-_CUSUM_UP, _CUSUM_DN, _CUSUM_H = 75.0, 25.0, 200.0
+# CUSUM tuning: ONE canonical definition, owned by the streaming
+# module (streaming/stateful.py::CUSUM_UP/_DN/_H) and aliased here so
+# the batch fold, the DuckDB oracle below, the stream processor, and
+# the replay oracle can never desynchronize (VERDICT r9 task #1 —
+# tests/test_timeseries.py pins that all legs resolve to one object).
+# In production these come from a control period; here μ0+slack=75,
+# the lower arm at μ0-slack=25, decision interval h=200 (events.value
+# is Exp(mean 50), so both arms fire on genuine drifts only).
+from ..streaming.stateful import CUSUM_DN as _CUSUM_DN
+from ..streaming.stateful import CUSUM_H as _CUSUM_H
+from ..streaming.stateful import CUSUM_UP as _CUSUM_UP
 
 _CUSUM_SQL = f"""
     WITH per_user AS (

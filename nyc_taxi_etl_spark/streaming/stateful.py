@@ -38,6 +38,9 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
+    "CUSUM_UP",
+    "CUSUM_DN",
+    "CUSUM_H",
     "EwmaAnomalyProcessor",
     "ewma_anomaly_stream",
     "ewma_replay_pandas",
@@ -48,6 +51,17 @@ __all__ = [
     "cusum_drift_stream",
     "cusum_replay_pandas",
 ]
+
+# Canonical two-sided CUSUM tuning (Page 1954) — the ONE definition the
+# batch fold, its DuckDB oracle (plans/queries_timeseries reads these
+# via its _CUSUM_* aliases), the streaming entry (queries_streaming
+# passes them explicitly), this module's processor defaults, and the
+# pandas replay oracle all share. Retuning the detector here retunes
+# every leg at once; a second literal anywhere would silently break
+# batch/stream/oracle parity (VERDICT r9 task #1). Plan-time LITERALS,
+# not data-derived floats — a global mean/stddev would be an
+# order-dependent double sum that diverges cross-engine at the ulp.
+CUSUM_UP, CUSUM_DN, CUSUM_H = 75.0, 25.0, 200.0
 
 _OUT_SCHEMA = StructType(
     [
@@ -454,8 +468,8 @@ class CusumDriftProcessor(StatefulProcessor):
     processors; state is two doubles + a count per key. Same
     dual-backend contract and chunk-ordering discipline."""
 
-    def __init__(self, up: float = 75.0, dn: float = 25.0,
-                 h: float = 200.0):
+    def __init__(self, up: float = CUSUM_UP, dn: float = CUSUM_DN,
+                 h: float = CUSUM_H):
         self.up, self.dn, self.h = up, dn, h
 
     def init(self, handle: StatefulProcessorHandle) -> None:
@@ -496,9 +510,9 @@ class CusumDriftProcessor(StatefulProcessor):
 
 def cusum_drift_stream(
     events: DataFrame,
-    up: float = 75.0,
-    dn: float = 25.0,
-    h: float = 200.0,
+    up: float = CUSUM_UP,
+    dn: float = CUSUM_DN,
+    h: float = CUSUM_H,
     use_transform_with_state: bool | None = None,
 ) -> DataFrame:
     """Wire the CUSUM detector onto a streaming events frame (expects
@@ -551,7 +565,7 @@ def cusum_drift_stream(
 
 
 def cusum_replay_pandas(
-    rows: list, up: float = 75.0, dn: float = 25.0, h: float = 200.0
+    rows: list, up: float = CUSUM_UP, dn: float = CUSUM_DN, h: float = CUSUM_H
 ) -> dict:
     """Reference replay over (user_id, event_id, ts, value) tuples —
     parity oracle: per-event (pos, neg, alarm) plus each user's final

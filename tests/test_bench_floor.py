@@ -133,3 +133,71 @@ def test_write_probe_floor_refuses_foreign_host_file(tmp_path) -> None:
     assert bench.write_probe_floor(0.15, 0.1, path) is None  # refused
     with open(path) as fh:
         assert json.load(fh) == foreign  # untouched
+
+
+def test_load_probe_floor_fingerprint_mismatch(tmp_path) -> None:
+    """r9 ADVICE: the floor is keyed on a host FINGERPRINT (cpus + arch
+    + cpu model), not cpu count alone — a different host with the same
+    count must not inherit the reference floor."""
+    ref = tmp_path / "floor.json"
+    ref.write_text(
+        json.dumps(
+            {
+                "probe_floor_s": 0.15,
+                "host_cpus": os.cpu_count(),
+                "host_fingerprint": "8cpu/sparc/imaginary",
+            }
+        )
+    )
+    assert bench.load_probe_floor(str(ref)) is None
+    ref.write_text(
+        json.dumps(
+            {
+                "probe_floor_s": 0.15,
+                "host_cpus": os.cpu_count(),
+                "host_fingerprint": bench.host_fingerprint(),
+            }
+        )
+    )
+    got = bench.load_probe_floor(str(ref))
+    assert got is not None and got["probe_floor_s"] == 0.15
+
+
+def test_committed_floor_matches_this_host() -> None:
+    """The committed BENCH_FLOOR.json must carry this host's
+    fingerprint — otherwise the absolute gate is silently off for
+    every driver run."""
+    ref = bench.load_probe_floor()
+    assert ref is not None
+    assert ref.get("host_fingerprint") == bench.host_fingerprint()
+
+
+def test_reset_floor_escape_hatch(tmp_path, monkeypatch) -> None:
+    """r9 ADVICE: SPARK_GRAFT_BENCH_RESET_FLOOR=1 is the in-tool
+    re-baseline — it disables the absolute gate for the run (a stale
+    floor can no longer stamp it contended) and write_probe_floor
+    REPLACES the file with the observed minimum: no downward ratchet,
+    no foreign-host refusal."""
+    path = str(tmp_path / "floor.json")
+    # a stale floor far below what this 'host' can reach, foreign shape
+    stale = {
+        "probe_floor_s": 1e-6,
+        "host_cpus": (os.cpu_count() or 1) + 7,
+        "host_fingerprint": "8cpu/sparc/imaginary",
+    }
+    with open(path, "w") as fh:
+        json.dump(stale, fh)
+    # without reset: gate unusable (mismatch -> None) and write refused
+    assert bench.load_probe_floor(path) is None
+    assert bench.write_probe_floor(0.15, 0.1, path) is None
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RESET_FLOOR", "1")
+    # reset: the gate is off for this run...
+    assert bench.load_probe_floor(path) is None
+    # ...and the write replaces the stale file outright (no ratchet)
+    ref = bench.write_probe_floor(0.25, 0.1, path)
+    assert ref is not None and ref["probe_floor_s"] == 0.25
+    assert ref["host_fingerprint"] == bench.host_fingerprint()
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_RESET_FLOOR")
+    # after the re-baseline the normal gate reads the new floor
+    got = bench.load_probe_floor(path)
+    assert got is not None and got["probe_floor_s"] == 0.25

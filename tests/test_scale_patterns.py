@@ -500,3 +500,124 @@ def test_adaptive_join_broadcast_needs_absolute_cap(spark):
         broadcast_max_ratio=0.5, broadcast_max_rows=1000,
     )
     assert d2["strategy"] == "broadcast", d2
+
+
+def test_adaptive_join_validates_before_preflight(spark):
+    """r9 ADVICE: argument validation must run BEFORE the two
+    pre-flight aggregations — a misconfigured call fails in
+    microseconds, not after two full scans. The left frame's key
+    column raises on ANY evaluation, so if the pre-flight ran first
+    we'd see a Spark execution error instead of the ValueError."""
+    from nyc_taxi_etl_spark.functions.skew import adaptive_join
+
+    boom = spark.range(10).select(
+        F.raise_error(F.lit("pre-flight ran before validation"))
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("rid"),
+    )
+    right = spark.range(5).select(F.col("id").alias("k2"))
+    with pytest.raises(ValueError, match="salt_seed_col"):
+        adaptive_join(boom, "k", right, "k2", salt_seed_col="k")
+    with pytest.raises(ValueError, match="how must be"):
+        adaptive_join(boom, "k", right, "k2", how="full")
+    with pytest.raises(ValueError, match="salt_buckets"):
+        adaptive_join(boom, "k", right, "k2", salt_buckets=1)
+    with pytest.raises(ValueError, match="not in"):
+        adaptive_join(boom, "k", right, "k2", salt_seed_col="missing")
+
+
+def _left_fixtures(spark):
+    """Fact rows over 500 keys (20% on hot key 1) where keys >= 250
+    have NO dim row — the left-outer enrich shape."""
+    from nyc_taxi_etl_spark.functions.skew import adaptive_join
+
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 5 == 0, F.lit(1))
+        .otherwise(F.col("id") % 500)
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("rid"),
+    )
+    right = spark.range(250).select(
+        F.col("id").cast("long").alias("k2"),
+        (F.col("id") % 7).alias("grp"),
+    )
+    plain = (
+        left.join(right, left["k"] == right["k2"], "left")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rid").alias("srid"))
+    )
+    return adaptive_join, left, right, plain
+
+
+@pytest.mark.parametrize(
+    "kwargs, want",
+    [
+        (dict(broadcast_max_ratio=0.5), "broadcast"),
+        (
+            dict(
+                broadcast_max_ratio=0.0,
+                skew_ratio_threshold=4.0,
+                salt_seed_col="rid",
+            ),
+            "salted",
+        ),
+        (
+            dict(broadcast_max_ratio=0.0, skew_ratio_threshold=1e9),
+            "plain",
+        ),
+    ],
+)
+def test_adaptive_left_join_strategy_invariance(spark, kwargs, want):
+    """VERDICT r9 task #2: `how='left'` on every strategy. Unmatched
+    left rows (keys >= 250, incl. the null-grp group) must survive
+    exactly once on the salted path — each left row carries ONE salt
+    and the dim holds one copy per salt."""
+    adaptive_join, left, right, plain = _left_fixtures(spark)
+    joined, d = adaptive_join(
+        left, "k", right, "k2", how="left_outer", **kwargs
+    )
+    assert d["strategy"] == want, d
+    got = joined.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rid").alias("srid")
+    )
+    # None-keyed group (the unmatched rows) sorts via str
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, plain.collect()), key=str
+    )
+    # total row count = left count (every left row exactly once per
+    # matched dim row; dim keys are unique, so |out| == |left|)
+    assert joined.count() == 10_000
+
+
+def test_salted_helpers_are_run_to_run_deterministic(spark):
+    """VERDICT r9 task #4: salted_agg / salted_broadcast_join now use
+    the deterministic content salt — the phase-1 partials and the
+    physical row routing are identical across runs (rand() was
+    correct but nondeterministic run-to-run)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(2000)
+    a = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"n": ("count", F.count("*")), "q": ("sum", F.sum("l_quantity"))},
+        salt_buckets=7,
+    )
+    b = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"n": ("count", F.count("*")), "q": ("sum", F.sum("l_quantity"))},
+        salt_buckets=7,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # the salt expression itself is reproducible: two materializations
+    # of the phase-1 grain agree exactly
+    from nyc_taxi_etl_spark.functions.skew import _content_salt
+
+    s1 = li.withColumn(
+        "__salt", _content_salt([F.col(c) for c in li.columns], 7)
+    )
+    c1 = sorted(map(tuple, s1.groupBy("__salt").count().collect()))
+    c2 = sorted(map(tuple, s1.groupBy("__salt").count().collect()))
+    assert c1 == c2
+    assert len(c1) > 1  # the salt actually spreads

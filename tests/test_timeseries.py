@@ -121,3 +121,34 @@ def test_cusum_fold_precheck_names_hot_entity_before_collecting(spark):
         cusum_fold(ev, max_events_per_entity=5, precheck=True)
     out = cusum_fold(ev, max_events_per_entity=8, precheck=True).collect()
     assert out[0]["n_events"] == 8
+
+
+def test_cusum_constants_single_sourced():
+    """VERDICT r9 task #1: the CUSUM tuning lives in exactly one place
+    (streaming/stateful.py) and every leg — batch fold module, the
+    embedded DuckDB oracle text, the stream operator's defaults, the
+    processor's defaults, and the pandas replay oracle — resolves to
+    it. Changing CUSUM_H there retunes all legs at once; a stray
+    second literal anywhere breaks this test, not oracle parity."""
+    import inspect
+
+    from nyc_taxi_etl_spark.plans import queries_timeseries as qt
+    from nyc_taxi_etl_spark.streaming import stateful as st
+
+    # the batch module's aliases ARE the canonical objects
+    assert qt._CUSUM_UP is st.CUSUM_UP
+    assert qt._CUSUM_DN is st.CUSUM_DN
+    assert qt._CUSUM_H is st.CUSUM_H
+    # every streaming-side default reads the canonical names
+    for fn in (st.cusum_drift_stream, st.cusum_replay_pandas,
+               st.CusumDriftProcessor.__init__):
+        d = inspect.signature(fn).parameters
+        assert d["up"].default == st.CUSUM_UP, fn
+        assert d["dn"].default == st.CUSUM_DN, fn
+        assert d["h"].default == st.CUSUM_H, fn
+    # the oracle SQL was rendered from the same constants
+    for sql_name in ("user_value_cusum",):
+        from nyc_taxi_etl_spark.plans.queries import ORACLE, ORACLE_EXTRA
+        sql = {**ORACLE, **ORACLE_EXTRA}[sql_name]
+        for v in (st.CUSUM_UP, st.CUSUM_DN, st.CUSUM_H):
+            assert repr(v) in sql or str(v) in sql, (sql_name, v)
