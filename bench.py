@@ -183,6 +183,11 @@ EXTENSION = [
     "nation_revenue_trend",
     "mw_quantity_shift",
     "phrase_search_docs",
+    # r10: the adaptive join's left-outer enrich path (salted LEFT with
+    # a third of the dim missing) and the k>2 chained-postings phrase
+    # search — benched so both new join shapes stay visible
+    "adaptive_left_enrich",
+    "phrase_search_trigram",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

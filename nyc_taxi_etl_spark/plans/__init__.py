@@ -365,3 +365,69 @@ for _n in _PROMOTE_R9C:
     if _n in ORACLE_EXTRA:
         ORACLE[_n] = ORACLE_EXTRA.pop(_n)
 assert len(QUERIES) == 50, len(QUERIES)
+
+# --------------------------------------------------------------------------
+# Round-10 rotation (VERDICT r9 task #3): promote the eight
+# long-unwindowed family representatives the judge named — the quality
+# classifier, the LM bigram scorer, budget-constrained source selection,
+# the SimHash and n-gram-Jaccard near-dup paths, the interval join
+# (purchases inside error windows), sessionization, and the stratified
+# sampler — plus the two operators BUILT this round (the adaptive
+# join's left-outer enrich path and the k>2 chained-postings phrase
+# search), so CORRECTNESS_r10 green-stamps them driver-side. Demotions
+# are all multi-round greens whose §2 family keeps ≥1 in-window
+# representative:
+#   stateful streaming: EWMA (green r7-r9) and Holt (r7b-r9) hand their
+#     slots on — the CUSUM twin stays, and all three share one parity
+#     test + replay oracle locally;
+#   similarity/ANN: knn_bruteforce (green r9 + r1-r8) — ann_ivf/ann_pq
+#     stay, and the promoted simhash/ngram_jaccard add two more
+#     similarity-family rows;
+#   anonymity: the base audit + k-repair (green r8/r9) rotate out — the
+#     l-diversity repair AND the released table stay (the ladder's two
+#     strongest checks);
+#   skew tooling: the profiler + join-size audit (green r8-r9) hand
+#     their slots to the promoted adaptive_left_enrich — the closed
+#     loop (adaptive_join_revenue) stays, and the audits' arithmetic
+#     is exactly what the adaptive pre-flight re-runs;
+#   retrieval: bm25_scores (green r9 + r6-r7) — hybrid_retrieval_rrf
+#     (which re-ranks the same BM25) + both phrase entries stay;
+#   dedup: ppjoin (green r8-r9) — exact/components/curate stay and the
+#     promoted simhash + ngram_jaccard keep five dedup reps in-window;
+#   sampling: temperature mixture (green r7-r9) hands the sampling slot
+#     to the promoted stratified_order_sample (M1).
+# Demoted entries remain fully oracle-tested in the local suite
+# (tests/test_oracle.py runs QUERIES ∪ QUERIES_EXTRA).
+_PROMOTE_R10 = [
+    "doc_quality_classifier",
+    "doc_lm_bigram_scores",
+    "budget_selected_sources",
+    "simhash_near_pairs",
+    "ngram_jaccard_near_pairs",
+    "purchases_in_error_windows",
+    "user_sessions",
+    "stratified_order_sample",
+    "adaptive_left_enrich",
+    "phrase_search_trigram",
+]
+_DEMOTE_R10 = [
+    "streaming_ewma_anomalies",
+    "streaming_holt_trend",
+    "knn_bruteforce_cosine",
+    "customer_k_anonymity",
+    "customer_k_anonymity_repair",
+    "key_skew_profiles",
+    "join_size_audits",
+    "bm25_scores",
+    "ppjoin_near_pairs",
+    "temperature_mixture_counts",
+]
+for _n in _DEMOTE_R10:
+    QUERIES_EXTRA[_n] = QUERIES.pop(_n)
+    if _n in ORACLE:
+        ORACLE_EXTRA[_n] = ORACLE.pop(_n)
+for _n in _PROMOTE_R10:
+    QUERIES[_n] = QUERIES_EXTRA.pop(_n)
+    if _n in ORACLE_EXTRA:
+        ORACLE[_n] = ORACLE_EXTRA.pop(_n)
+assert len(QUERIES) == 50, len(QUERIES)
