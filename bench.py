@@ -188,6 +188,14 @@ EXTENSION = [
     # search — benched so both new join shapes stay visible
     "adaptive_left_enrich",
     "phrase_search_trigram",
+    # r10 analytics additions: count-table KS test, Theil-Sen
+    # median-of-pairwise-slopes, market-basket pair lift, per-source
+    # Jensen-Shannon divergence — benched so the pair-join and
+    # vocab-grid shapes stay visible round-over-round
+    "ks_quantity_shift",
+    "nation_revenue_theilsen",
+    "part_pair_lift",
+    "source_token_jsd",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

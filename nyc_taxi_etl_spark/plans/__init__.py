@@ -19,6 +19,7 @@ from . import queries_seasonal  # noqa: F401  (registers decomposition/MAD/collo
 from . import queries_pysource  # noqa: F401  (registers Python Data Source API entries)
 from . import queries_tpch  # noqa: F401  (registers the remaining TPC-H query shapes)
 from . import queries_linkage  # noqa: F401  (registers sorted-neighborhood linkage + skyline)
+from . import queries_basket  # noqa: F401  (registers market-basket association rules)
 
 # --------------------------------------------------------------------------
 # Driver-window rotation (round 6, VERDICT r5 task #3).

@@ -1,0 +1,141 @@
+"""Market-basket analysis over order line items: frequent part pairs
+with support / confidence / lift — the association-rule core (Agrawal,
+Imieliński & Swami 1993) every retail-shaped warehouse ships, here in
+the exact-counting form a SQL oracle can replay.
+
+Reference scope note: the reference's notebooks stop at top-k
+single-dimension counts (zones, hours — SURVEY §2.4 A3/A10); this
+family extends the same "what co-occurs" question to item PAIRS, the
+first genuinely relational analytics step beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query, t
+
+_PAIR_MIN_SUPPORT = 2
+_PAIR_TOP_K = 20
+
+_PAIR_LIFT_SQL = f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM b),
+    pc AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS part_n
+      FROM b GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS pair_n
+      FROM b a
+      JOIN b b2 ON b2.l_orderkey = a.l_orderkey
+                AND b2.l_partkey > a.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_PAIR_MIN_SUPPORT})
+    SELECT p.part_a, p.part_b, p.pair_n,
+           ca.part_n AS a_n, cb.part_n AS b_n,
+           CAST(p.pair_n AS DOUBLE) / CAST(n.n_orders AS DOUBLE)
+             AS support,
+           CAST(p.pair_n AS DOUBLE) / CAST(ca.part_n AS DOUBLE)
+             AS confidence_a_to_b,
+           CAST(p.pair_n * n.n_orders AS DOUBLE)
+             / CAST(ca.part_n * cb.part_n AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN pc ca ON ca.l_partkey = p.part_a
+    JOIN pc cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, p.part_a, p.part_b
+    LIMIT {_PAIR_TOP_K}
+"""
+
+
+@query("part_pair_lift", _PAIR_LIFT_SQL, extra=True)
+def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} part pairs by LIFT among pairs co-ordered at least
+    {s} times: for parts A < B, support = P(A,B), confidence(A→B) =
+    P(B|A), lift = P(A,B)/(P(A)·P(B)) over the distinct
+    (order, part) basket relation — association rules in their exact
+    integer-counting form (no sampling, no approximate itemset
+    mining), deterministically ordered (lift DESC, then both keys).
+
+    Exactness: every probability is a single IEEE division of exact
+    integer counts (pair_n·N and a_n·b_n are exact long products
+    first), so both engines produce bit-identical doubles — no
+    rounding anywhere.
+
+    Scale shape: pair generation is a self-join of the basket
+    relation ON THE ORDER KEY, so the blowup is Σ_o C(items_o, 2) —
+    bounded by the per-order basket size (≤ 7 lines in this schema,
+    ≤ 21 pairs per order), i.e. LINEAR in orders, never |parts|².
+    The pair table then hash-aggregates on (part_a, part_b), the
+    min-support HAVING prunes the long tail before the two bounded
+    dimension joins (per-part counts), and the top-k is a TakeOrdered,
+    never a global sort. A hot part (every order contains it) inflates
+    its pairs linearly, not quadratically, because the join is keyed
+    on orders — the same reason the basket form scales where the
+    part×part co-occurrence matrix would not."""
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    pc = b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("part_n")
+    )
+    a = b.alias("a")
+    b2 = b.alias("b2")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("b2.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b2.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b2.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+        .filter(F.col("pair_n") >= _PAIR_MIN_SUPPORT)
+    )
+    ca = pc.select(
+        F.col("l_partkey").alias("_ka"), F.col("part_n").alias("a_n")
+    )
+    cb = pc.select(
+        F.col("l_partkey").alias("_kb"), F.col("part_n").alias("b_n")
+    )
+    out = (
+        pairs.join(ca, F.col("part_a") == F.col("_ka"))
+        .join(cb, F.col("part_b") == F.col("_kb"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            "a_n",
+            "b_n",
+            (
+                F.col("pair_n").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("support"),
+            (
+                F.col("pair_n").cast("double")
+                / F.col("a_n").cast("double")
+            ).alias("confidence_a_to_b"),
+            (
+                (F.col("pair_n") * F.col("n_orders")).cast("double")
+                / (F.col("a_n") * F.col("b_n")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(_PAIR_TOP_K)
+
+
+part_pair_lift.__doc__ = part_pair_lift.__doc__.replace(
+    "{k}", str(_PAIR_TOP_K)
+).replace("{s}", str(_PAIR_MIN_SUPPORT))

@@ -1354,3 +1354,278 @@ def mw_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             poly * F.exp(-(F.col("x") * F.col("x"))), 4
         ).alias("p_two_sided"),
     )
+
+
+_KS_SQL = """
+    WITH q AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+               AS n_r,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT)
+               AS n_n
+      FROM lineitem
+      WHERE l_returnflag IN ('R', 'N') AND l_quantity IS NOT NULL
+      GROUP BY 1),
+    c AS (
+      SELECT qty,
+             sum(n_r) OVER (ORDER BY qty) AS cum_r,
+             sum(n_n) OVER (ORDER BY qty) AS cum_n
+      FROM q),
+    tot AS (
+      SELECT CAST(sum(n_r) AS BIGINT) AS n_r,
+             CAST(sum(n_n) AS BIGINT) AS n_n
+      FROM q),
+    d AS (
+      SELECT qty,
+             abs(CAST(cum_r AS DOUBLE) / CAST(t.n_r AS DOUBLE)
+                 - CAST(cum_n AS DOUBLE) / CAST(t.n_n AS DOUBLE)) AS dd
+      FROM c CROSS JOIN tot t
+      WHERE t.n_r > 0 AND t.n_n > 0),
+    best AS (
+      SELECT dd AS d_stat, qty AS d_at_qty
+      FROM d ORDER BY dd DESC, qty LIMIT 1),
+    lam AS (
+      SELECT t.n_r, t.n_n, b.d_stat, b.d_at_qty,
+             b.d_stat * sqrt(CAST(t.n_r AS DOUBLE)
+                             * CAST(t.n_n AS DOUBLE)
+                             / (CAST(t.n_r AS DOUBLE)
+                                + CAST(t.n_n AS DOUBLE))) AS lambda_stat
+      FROM tot t CROSS JOIN best b
+      WHERE t.n_r > 0 AND t.n_n > 0)
+    SELECT n_r, n_n, d_stat, d_at_qty, lambda_stat,
+           round(least(1.0, 2.0
+                 * (exp(-2.0 * (lambda_stat * lambda_stat))
+                    - exp(-8.0 * (lambda_stat * lambda_stat))
+                    + exp(-18.0 * (lambda_stat * lambda_stat)))), 4)
+             AS p_asym
+    FROM lam
+"""
+
+
+@query("ks_quantity_shift", _KS_SQL, extra=True)
+def ks_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test of returned ('R') vs
+    non-returned ('N') lineitem quantity — the distribution-SHAPE
+    companion to ``mw_quantity_shift``'s location test: D = max over
+    the value domain of |F_R − F_N| (the largest CDF gap, with the
+    quantity where it occurs), the scaled statistic
+    λ = D·√(n_R·n_N/N), and the asymptotic two-sided p from the
+    Kolmogorov distribution 2·Σ_{k≥1}(−1)^{k−1}e^{−2k²λ²} truncated
+    at k=3 (remaining terms < e^{−32λ²}, far below the 4-decimal
+    rounding; both engines evaluate the SAME truncated form, rounded
+    because exp() may differ in the last ulp between libms).
+
+    Scale shape (Kolmogorov 1933; Smirnov 1939): like the MW-U entry,
+    everything derives from the COUNT-OF-VALUES table — one
+    conditional hash agg bounded by the value domain, cumulative
+    windows over that bounded table, a 1-row broadcast of the totals,
+    and an argmax (ties to the smallest quantity). The empirical CDFs
+    are ratios of exact integers, so D and λ are bit-identical
+    cross-engine; no data-sized sort exists anywhere."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+        & F.col("l_quantity").isNotNull()
+    )
+    q = li.groupBy(F.col("l_quantity").cast("long").alias("qty")).agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1))
+        .cast("long")
+        .alias("n_r"),
+        F.count(F.when(F.col("l_returnflag") == "N", 1))
+        .cast("long")
+        .alias("n_n"),
+    )
+    w = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+    c = q.select(
+        "qty",
+        F.sum("n_r").over(w).alias("cum_r"),
+        F.sum("n_n").over(w).alias("cum_n"),
+    )
+    tot = q.agg(
+        F.sum("n_r").cast("long").alias("t_r"),
+        F.sum("n_n").cast("long").alias("t_n"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(tot))
+        .filter((F.col("t_r") > 0) & (F.col("t_n") > 0))
+        .select(
+            "qty",
+            "t_r",
+            "t_n",
+            F.abs(
+                F.col("cum_r").cast("double") / F.col("t_r").cast("double")
+                - F.col("cum_n").cast("double") / F.col("t_n").cast("double")
+            ).alias("dd"),
+        )
+    )
+    best = d.agg(
+        F.max(F.struct(F.col("dd"), (-F.col("qty")).alias("nq"))).alias("b"),
+        # t_r/t_n are constant across rows (1-row broadcast); max = the value
+        F.max("t_r").alias("n_r"),
+        F.max("t_n").alias("n_n"),
+    ).select(
+        "n_r",
+        "n_n",
+        F.col("b.dd").alias("d_stat"),
+        (-F.col("b.nq")).cast("long").alias("d_at_qty"),
+    )
+    lam = (
+        F.col("d_stat")
+        * F.sqrt(
+            F.col("n_r").cast("double")
+            * F.col("n_n").cast("double")
+            / (
+                F.col("n_r").cast("double")
+                + F.col("n_n").cast("double")
+            )
+        )
+    )
+    # empty input ⇒ the aggregate above yields one all-null row; drop
+    # it so empty-in → empty-out matches the oracle (chi2 pattern)
+    withlam = best.filter(F.col("d_stat").isNotNull()).withColumn(
+        "lambda_stat", lam
+    )
+    l2 = F.col("lambda_stat") * F.col("lambda_stat")
+    return withlam.select(
+        "n_r",
+        "n_n",
+        "d_stat",
+        "d_at_qty",
+        "lambda_stat",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0)
+                * (
+                    F.exp(F.lit(-2.0) * l2)
+                    - F.exp(F.lit(-8.0) * l2)
+                    + F.exp(F.lit(-18.0) * l2)
+                ),
+            ),
+            4,
+        ).alias("p_asym"),
+    )
+
+
+_THEILSEN_SQL = """
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             CAST((EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o.o_orderdate) - 1 AS BIGINT)
+               AS x,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.nation,
+             (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+               / (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) AS slope,
+             a.x AS x1, b.x AS x2
+      FROM m a JOIN m b ON b.nation = a.nation AND b.x > a.x),
+    ranked AS (
+      SELECT nation, slope,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY slope, x1, x2) AS rn,
+             count(*) OVER (PARTITION BY nation) AS m_cnt
+      FROM pairs),
+    months AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_months
+      FROM m GROUP BY 1),
+    med AS (
+      SELECT nation,
+             CAST(max(m_cnt) AS BIGINT) AS n_pairs,
+             avg(slope) AS theil_sen_slope_cents
+      FROM ranked
+      WHERE rn IN ((m_cnt + 1) // 2, (m_cnt + 2) // 2)
+      GROUP BY nation)
+    SELECT med.nation, months.n_months, med.n_pairs,
+           med.theil_sen_slope_cents
+    FROM med JOIN months ON months.nation = med.nation
+"""
+
+
+@query("nation_revenue_theilsen", _THEILSEN_SQL, extra=True)
+def nation_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per nation: the MEDIAN of all pairwise
+    slopes (y_j−y_i)/(x_j−x_i) over each nation's monthly revenue
+    series (Theil 1950; Sen 1968) — the robust companion to
+    ``nation_revenue_trend``'s OLS: one wild month (a backfill, an
+    outage) drags a least-squares slope arbitrarily far but moves the
+    pairwise-slope median almost not at all (29% breakdown point).
+
+    Exactness: monthly y is exact cents, x an exact month index, so
+    every pairwise slope is one IEEE division of exact integers —
+    bit-identical cross-engine — and the exact median (mean of the two
+    middle slopes under a deterministic (slope, x1, x2) total order)
+    is bit-identical too. No rounding anywhere.
+
+    Scale shape: the pair join runs at the (nation, month) POST-AGG
+    grain — ≤ C(months,2) ≈ 7k pairs per nation for a decade of
+    months, bounded regardless of row scale — so the O(n²) that makes
+    textbook Theil-Sen infeasible on raw data never touches the data:
+    one hash agg to the bounded grain, a grain-local self-join, a
+    grain-local rank window. The same posture as the OLS entry: the
+    100-TB cost is the first aggregation, everything after is
+    metadata-sized."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.nation") == F.col("a.nation"))
+        & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.nation").alias("nation"),
+        (
+            (F.col("b.y").cast("double") - F.col("a.y").cast("double"))
+            / (F.col("b.x").cast("double") - F.col("a.x").cast("double"))
+        ).alias("slope"),
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+    )
+    wr = Window.partitionBy("nation").orderBy("slope", "x1", "x2")
+    wc = Window.partitionBy("nation")
+    ranked = pairs.select(
+        "nation",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("m_cnt"),
+    )
+    months = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months")
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("m_cnt") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("m_cnt") + 2) / 2))
+        )
+        .groupBy("nation")
+        .agg(
+            F.max("m_cnt").cast("long").alias("n_pairs"),
+            F.avg("slope").alias("theil_sen_slope_cents"),
+        )
+    )
+    return med.join(months, "nation").select(
+        "nation", "n_months", "n_pairs", "theil_sen_slope_cents"
+    )

@@ -1649,3 +1649,110 @@ def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("id_batch"),
         "jaccard",
     )
+
+
+_JSD_SQL = """
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''),
+    cs AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c_s
+      FROM tok GROUP BY 1, 2),
+    ts AS (
+      SELECT source, CAST(sum(c_s) AS BIGINT) AS t_s
+      FROM cs GROUP BY 1),
+    cg AS (
+      SELECT w, CAST(sum(c_s) AS BIGINT) AS c_g
+      FROM cs GROUP BY 1),
+    tg AS (SELECT CAST(sum(c_g) AS BIGINT) AS t_g FROM cg),
+    grid AS (
+      SELECT ts.source, ts.t_s, cg.w, cg.c_g
+      FROM ts CROSS JOIN cg),
+    j AS (
+      SELECT g.source, g.t_s, g.c_g,
+             COALESCE(cs.c_s, 0) AS c_s
+      FROM grid g
+      LEFT JOIN cs ON cs.source = g.source AND cs.w = g.w),
+    terms AS (
+      SELECT source, t_s,
+             CAST(c_s AS DOUBLE) / CAST(t_s AS DOUBLE) AS p,
+             CAST(c_g AS DOUBLE) / CAST(t.t_g AS DOUBLE) AS q
+      FROM j CROSS JOIN tg t)
+    SELECT source,
+           CAST(max(t_s) AS BIGINT) AS n_tokens,
+           round(sum(CASE WHEN p > 0
+                          THEN 0.5 * p * log2(p / ((p + q) / 2.0))
+                          ELSE 0.0 END
+                     + 0.5 * q * log2(q / ((p + q) / 2.0))), 4)
+             AS jsd_bits
+    FROM terms GROUP BY 1
+"""
+
+
+@query("source_token_jsd", _JSD_SQL, extra=True)
+def source_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution
+    from the CORPUS distribution (Lin 1991) — the mixture-curation
+    readout that ranks sources by how distributionally deviant they
+    are before reweighting: JSD(P_s ‖ Q) = ½KL(P_s‖M) + ½KL(Q‖M),
+    M = (P_s+Q)/2, in bits (log2; bounded [0,1], symmetric, finite
+    even where a source is missing vocabulary — exactly why JSD and
+    not raw KL, which is infinite on any unseen token).
+
+    Cross-engine: counts are exact integers and each p, q is one IEEE
+    division, but the Σ over the vocabulary is an order-dependent
+    double sum and log2 is a libm call, so the result is rounded to 4
+    decimals (the catalog's r4 convention for order-dependent float
+    aggregates; the accumulated noise is ~1e-12).
+
+    Scale shape: one token explode + hash agg to the (source, token)
+    grain, then everything runs at VOCABULARY scale, never corpus
+    scale — the dense (source × vocab) grid the missing-token terms
+    require is |sources| (bounded mixture registry) × |vocab|
+    (language-bounded), built by replicating the broadcast per-source
+    totals over the global vocab table. Same posture as the DSIR /
+    LM-score entries that already operate at vocab grain."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = docs.select(
+        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    cs = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_s")
+    )
+    ts = cs.groupBy("source").agg(
+        F.sum("c_s").cast("long").alias("t_s")
+    )
+    cg = cs.groupBy("w").agg(F.sum("c_s").cast("long").alias("c_g"))
+    tg = cg.agg(F.sum("c_g").cast("long").alias("t_g"))
+    grid = cg.crossJoin(F.broadcast(ts))
+    j = grid.join(cs, ["source", "w"], "left").select(
+        "source",
+        "t_s",
+        "c_g",
+        F.coalesce(F.col("c_s"), F.lit(0)).alias("c_s"),
+    )
+    terms = j.crossJoin(F.broadcast(tg)).select(
+        "source",
+        "t_s",
+        (F.col("c_s").cast("double") / F.col("t_s").cast("double")).alias(
+            "p"
+        ),
+        (F.col("c_g").cast("double") / F.col("t_g").cast("double")).alias(
+            "q"
+        ),
+    )
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    contrib = (
+        F.when(
+            F.col("p") > 0,
+            F.lit(0.5) * F.col("p") * F.log2(F.col("p") / m),
+        ).otherwise(F.lit(0.0))
+        + F.lit(0.5) * F.col("q") * F.log2(F.col("q") / m)
+    )
+    return terms.groupBy("source").agg(
+        F.max("t_s").cast("long").alias("n_tokens"),
+        F.round(F.sum(contrib), 4).alias("jsd_bits"),
+    )

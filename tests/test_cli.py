@@ -23,12 +23,16 @@ def test_queries_listing_no_spark(capsys):
     assert sum(line.endswith("\toverflow") for line in lines) == len(
         QUERIES_EXTRA
     )
-    # r8 rotation: ppjoin_near_pairs promoted into the driver window;
-    # semantic_dedup (green since r6) demoted to overflow — both keep
-    # full oracles either way
+    # r10 rotation: adaptive_left_enrich promoted into the driver
+    # window; ppjoin_near_pairs (green r8-r9) demoted to overflow —
+    # both keep full oracles either way
     assert any(
-        line.startswith("ppjoin_near_pairs\toracle")
+        line.startswith("adaptive_left_enrich\toracle")
         and not line.endswith("\toverflow")
+        for line in lines
+    )
+    assert any(
+        line.startswith("ppjoin_near_pairs\toracle\toverflow")
         for line in lines
     )
     assert any(line.startswith("semantic_dedup\toracle\toverflow")
