@@ -99,3 +99,43 @@ def r4(c: Column) -> Column:
     """Round to 4 decimals — applied to every float the oracle hashes so
     last-ulp aggregation-order noise between Spark and DuckDB vanishes."""
     return F.round(c, 4)
+
+
+def normal_two_sided_p(z: Column) -> Column:
+    """Two-sided normal tail 2(1−Φ(|z|)) = erfc(|z|/√2) via the
+    Abramowitz & Stegun 7.1.26 polynomial (|error| < 1.5e-7) — shared
+    by every entry that reports a z-based p-value (Mann-Whitney,
+    Mann-Kendall). Neither Spark nor DuckDB ships a builtin erf, so
+    BOTH engines evaluate this same closed form; callers round the
+    result (r4) because exp() is the one libm call whose last ulp may
+    differ between the JVM and a C runtime. The SQL oracles embed the
+    identical expression via ``NORMAL_P_SQL``."""
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = t * (
+        F.lit(0.254829592)
+        + t
+        * (
+            F.lit(-0.284496736)
+            + t
+            * (
+                F.lit(1.421413741)
+                + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+            )
+        )
+    )
+    return poly * F.exp(-(x * x))
+
+
+def normal_p_sql(z_expr: str) -> str:
+    """The oracle-side twin of ``normal_two_sided_p``: the same A&S
+    7.1.26 erfc as a SQL expression over ``z_expr`` (which must be a
+    plain column reference — it is substituted textually several
+    times)."""
+    x = f"(abs({z_expr}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    return (
+        f"(({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741"
+        f" + {t} * (-1.453152027 + {t} * 1.061405429)))))"
+        f" * exp(-({x} * {x})))"
+    )

@@ -466,6 +466,7 @@ def adaptive_join(
         )
     decision = {
         "strategy": strategy,
+        "how": how,
         "left_rows": l_rows,
         "left_keys": l_keys,
         "max_per_key": max_pk,

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import r4
+from ..functions import normal_p_sql, normal_two_sided_p, r4
 from .queries import query, t
 
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -1203,8 +1203,11 @@ _MW_SQL = """
              CAST(sum(n_n) AS BIGINT) AS n_n,
              sum(CAST(n_r AS DOUBLE) * (CAST(below_n AS DOUBLE)
                  + 0.5 * CAST(n_n AS DOUBLE))) AS u_r,
-             CAST(sum((n_r + n_n) * (n_r + n_n) * (n_r + n_n)
-                  - (n_r + n_n)) AS BIGINT) AS tie_cubes
+             CAST(sum(CAST(n_r + n_n AS HUGEINT)
+                      * CAST(n_r + n_n AS HUGEINT)
+                      * CAST(n_r + n_n AS HUGEINT)
+                      - CAST(n_r + n_n AS HUGEINT))
+                  AS DECIMAL(38, 0)) AS tie_cubes
       FROM c),
     zc AS (
       SELECT n_r, n_n, u_r,
@@ -1217,22 +1220,15 @@ _MW_SQL = """
                            * (CAST(n_r + n_n AS DOUBLE) - 1.0))),
                    0.0)) AS z
       FROM u
-      WHERE n_r > 0 AND n_n > 0),
-    tc AS (
-      SELECT *,
-             abs(z) / sqrt(2.0) AS x,
-             1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
-      FROM zc)
+      WHERE n_r > 0 AND n_n > 0)
     SELECT n_r, n_n, u_r,
            CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE) - u_r AS u_n,
            (2.0 * u_r) / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE)) - 1.0
              AS rank_biserial,
            z,
-           round((t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
-                 + t * (-1.453152027 + t * 1.061405429)))))
-                 * exp(-(x * x)), 4) AS p_two_sided
-    FROM tc
-"""
+           round({p_sql}, 4) AS p_two_sided
+    FROM zc
+""".format(p_sql=normal_p_sql("z"))
 
 
 @query("mw_quantity_shift", _MW_SQL, extra=True)
@@ -1286,6 +1282,7 @@ def mw_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_n",
         F.coalesce(F.sum("n_n").over(w), F.lit(0)).alias("below_n"),
     )
+    _td = (F.col("n_r") + F.col("n_n")).cast("decimal(19,0)")
     u = c.agg(
         F.sum("n_r").cast("long").alias("n_r"),
         F.sum("n_n").cast("long").alias("n_n"),
@@ -1296,12 +1293,14 @@ def mw_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.5) * F.col("n_n").cast("double")
             )
         ).alias("u_r"),
+        # decimal(38,0), not long: at sf10 a single value bucket holds
+        # ~10⁶ rows, so Σ(t³−t) tops 10¹⁹ — past long, where Spark's
+        # non-ANSI sum would silently wrap and DuckDB's HUGEINT sum
+        # refuses the BIGINT cast (caught by the sf10 oracle sweep).
+        # Same pattern as the OLS entry's Σy².
         F.sum(
-            (F.col("n_r") + F.col("n_n"))
-            * (F.col("n_r") + F.col("n_n"))
-            * (F.col("n_r") + F.col("n_n"))
-            - (F.col("n_r") + F.col("n_n"))
-        ).cast("long").alias("tie_cubes"),
+            _td * _td * _td - _td
+        ).cast("decimal(38,0)").alias("tie_cubes"),
     )
     prod = F.col("n_r").cast("double") * F.col("n_n").cast("double")
     nd = (F.col("n_r") + F.col("n_n")).cast("double")
@@ -1319,24 +1318,7 @@ def mw_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.filter((F.col("n_r") > 0) & (F.col("n_n") > 0))
         .withColumn("z", (F.col("u_r") - prod / F.lit(2.0)) / F.sqrt(var_u))
     )
-    x = F.abs(F.col("z")) / F.sqrt(F.lit(2.0))
-    tc = zc.withColumn("x", x).withColumn(
-        "t", F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
-    )
-    t_ = F.col("t")
-    poly = t_ * (
-        F.lit(0.254829592)
-        + t_
-        * (
-            F.lit(-0.284496736)
-            + t_
-            * (
-                F.lit(1.421413741)
-                + t_ * (F.lit(-1.453152027) + t_ * F.lit(1.061405429))
-            )
-        )
-    )
-    return tc.select(
+    return zc.select(
         "n_r",
         "n_n",
         "u_r",
@@ -1350,9 +1332,7 @@ def mw_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(1.0)
         ).alias("rank_biserial"),
         "z",
-        F.round(
-            poly * F.exp(-(F.col("x") * F.col("x"))), 4
-        ).alias("p_two_sided"),
+        F.round(normal_two_sided_p(F.col("z")), 4).alias("p_two_sided"),
     )
 
 
@@ -1628,4 +1608,181 @@ def nation_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return med.join(months, "nation").select(
         "nation", "n_months", "n_pairs", "theil_sen_slope_cents"
+    )
+
+
+_MK_SQL = """
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             CAST((EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o.o_orderdate) - 1 AS BIGINT)
+               AS x,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.nation,
+             CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+      FROM m a JOIN m b ON b.nation = a.nation AND b.x > a.x),
+    s AS (
+      SELECT nation, CAST(sum(sgn) AS BIGINT) AS s_stat
+      FROM pairs GROUP BY 1),
+    nm AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_months
+      FROM m GROUP BY 1),
+    ties AS (
+      SELECT nation,
+             CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tt
+      FROM (SELECT nation, y, count(*) AS t FROM m GROUP BY 1, 2)
+      GROUP BY 1),
+    v AS (
+      SELECT nm.nation, nm.n_months, s.s_stat,
+             CAST(nm.n_months * (nm.n_months - 1)
+                  * (2 * nm.n_months + 5) - ties.tt AS DOUBLE) / 18.0
+               AS var_s
+      FROM nm
+      JOIN s ON s.nation = nm.nation
+      JOIN ties ON ties.nation = nm.nation),
+    zc AS (
+      SELECT nation, n_months, s_stat,
+             CASE WHEN s_stat > 0
+                  THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                  WHEN s_stat < 0
+                  THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                  ELSE 0.0 END AS z
+      FROM v WHERE var_s > 0)
+    SELECT nation, n_months, s_stat, z,
+           round({p_sql}, 4) AS p_two_sided,
+           CASE WHEN s_stat > 0 THEN 'increasing'
+                WHEN s_stat < 0 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM zc
+""".format(p_sql=normal_p_sql("z"))
+
+
+@query("nation_revenue_mannkendall", _MK_SQL, extra=True)
+def nation_revenue_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per nation (Mann 1945; Kendall 1975):
+    S = Σ_{i<j} sign(y_j − y_i) over each monthly revenue series, the
+    tie-corrected variance Var(S) = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18,
+    the continuity-corrected z, the two-sided p (shared A&S erfc,
+    ``functions/core.py::normal_two_sided_p``), and the trend verdict
+    — the SIGNIFICANCE companion to ``nation_revenue_theilsen``'s
+    robust slope: Theil-Sen says how steep, Mann-Kendall says whether
+    the monotone trend is real, and both are immune to the outlier
+    months that poison the OLS pair.
+
+    Exactness: S and both tie/variance polynomials are exact integer
+    arithmetic (y is exact cents, so sign comparisons are exact); the
+    single division by 18 and the z quotient are IEEE-identical
+    cross-engine; only p is rounded (r4, exp ulp).
+
+    Scale shape: identical to Theil-Sen — the pair comparison runs at
+    the bounded (nation, month) POST-AGG grain (≤ C(months,2) pairs
+    per nation), after one hash agg that is the only row-scale work.
+    The tie spectrum is a second tiny agg at the (nation, y) grain."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    sgn = (
+        F.when(F.col("b.y") > F.col("a.y"), F.lit(1))
+        .when(F.col("b.y") < F.col("a.y"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("b.nation") == F.col("a.nation"))
+            & (F.col("b.x") > F.col("a.x")),
+        )
+        .groupBy(F.col("a.nation").alias("nation"))
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    nm = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months")
+    )
+    ties = (
+        monthly.groupBy("nation", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("nation")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    v = (
+        nm.join(s, "nation")
+        .join(ties, "nation")
+        .select(
+            "nation",
+            "n_months",
+            "s_stat",
+            (
+                (
+                    F.col("n_months")
+                    * (F.col("n_months") - 1)
+                    * (2 * F.col("n_months") + 5)
+                    - F.col("tt")
+                ).cast("double")
+                / F.lit(18.0)
+            ).alias("var_s"),
+        )
+        .filter(F.col("var_s") > 0)
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat").cast("double") - F.lit(1.0))
+            / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat").cast("double") + F.lit(1.0))
+            / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    zc = v.withColumn("z", z)
+    return zc.select(
+        "nation",
+        "n_months",
+        "s_stat",
+        "z",
+        F.round(normal_two_sided_p(F.col("z")), 4).alias("p_two_sided"),
+        F.when(F.col("s_stat") > 0, F.lit("increasing"))
+        .when(F.col("s_stat") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
     )

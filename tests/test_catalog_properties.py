@@ -175,5 +175,11 @@ def test_catalog_plan_hygiene(spark, name):
         "key_skew_profiles",
         # r8: 1-row totals/top-3 scalar broadcasts per join audit
         "join_size_audits",
+        # r10: 1-row group-totals broadcast into the CDF diff
+        "ks_quantity_shift",
+        # r10: 1-row distinct-order-count broadcast into lift
+        "part_pair_lift",
+        # r10: bounded per-source totals grid + 1-row corpus total
+        "source_token_jsd",
     }:
         assert "BroadcastNestedLoopJoin" not in plan, name
