@@ -196,6 +196,8 @@ EXTENSION = [
     "nation_revenue_theilsen",
     "part_pair_lift",
     "source_token_jsd",
+    "nation_revenue_mannkendall",
+    "nation_revenue_acf",
 ]
 
 # Headline stays on the driver catalog; extension ops may live in the

@@ -432,3 +432,52 @@ for _n in _PROMOTE_R10:
     if _n in ORACLE_EXTRA:
         ORACLE[_n] = ORACLE_EXTRA.pop(_n)
 assert len(QUERIES) == 50, len(QUERIES)
+
+# --------------------------------------------------------------------------
+# Round-10 continuation rotation (the r7b/r8b/r9b precedent): promote the
+# six statistics/mining operators BUILT this round so CORRECTNESS_r10
+# stamps them driver-side — the count-table Kolmogorov-Smirnov test, the
+# Theil-Sen robust slope, the Mann-Kendall trend test, market-basket
+# association rules, the per-source Jensen-Shannon divergence, and the
+# exact-moment lag-k autocorrelation. All six are oracle-verified
+# locally at sf0.001 through the generated sf10. Demotions keep every
+# family ≥1 in-window:
+#   joins: purchase_asof_prior_error (green r1-r9) — the family keeps
+#     customer_order_join_matview + both adaptive-join entries, and the
+#     as-of/temporal shape stays locally gated;
+#   training: doc_chunks_packed (green r1-r9) — pii_redaction +
+#     quality classifier + lm bigram + budget selection stay;
+#   profiling/forensics: orders_benford_profile (green r8-r9) —
+#     lineitem_column_profile + order_line_fd_audit stay;
+#   lakehouse: orders_cdc_delete_totals (green r8-r9) — the join
+#     matview (same commit-log machinery) stays;
+#   stats: nation_revenue_trend (green r9) hands its slot to its own
+#     robust siblings (theilsen + mannkendall + acf share its monthly
+#     grain; the OLS remains locally gated at four SFs);
+#   retrieval: phrase_search_docs (green r9) — the promoted trigram
+#     entry exercises a strict superset of its chained-postings plan.
+_PROMOTE_R10B = [
+    "ks_quantity_shift",
+    "nation_revenue_theilsen",
+    "nation_revenue_mannkendall",
+    "part_pair_lift",
+    "source_token_jsd",
+    "nation_revenue_acf",
+]
+_DEMOTE_R10B = [
+    "purchase_asof_prior_error",
+    "doc_chunks_packed",
+    "orders_benford_profile",
+    "orders_cdc_delete_totals",
+    "nation_revenue_trend",
+    "phrase_search_docs",
+]
+for _n in _DEMOTE_R10B:
+    QUERIES_EXTRA[_n] = QUERIES.pop(_n)
+    if _n in ORACLE:
+        ORACLE_EXTRA[_n] = ORACLE.pop(_n)
+for _n in _PROMOTE_R10B:
+    QUERIES[_n] = QUERIES_EXTRA.pop(_n)
+    if _n in ORACLE_EXTRA:
+        ORACLE[_n] = ORACLE_EXTRA.pop(_n)
+assert len(QUERIES) == 50, len(QUERIES)

@@ -67,36 +67,44 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     first), so both engines produce bit-identical doubles — no
     rounding anywhere.
 
-    Scale shape: pair generation is a self-join of the basket
-    relation ON THE ORDER KEY, so the blowup is Σ_o C(items_o, 2) —
-    bounded by the per-order basket size (≤ 7 lines in this schema,
-    ≤ 21 pairs per order), i.e. LINEAR in orders, never |parts|².
-    The pair table then hash-aggregates on (part_a, part_b), the
-    min-support HAVING prunes the long tail before the two bounded
-    dimension joins (per-part counts), and the top-k is a TakeOrdered,
-    never a global sort. A hot part (every order contains it) inflates
-    its pairs linearly, not quadratically, because the join is keyed
-    on orders — the same reason the basket form scales where the
-    part×part co-occurrence matrix would not."""
+    Scale shape — the TWO-shuffle plan, measured after the first cut's
+    sf10 leg exposed spill: (1) ONE groupBy(order) builds each order's
+    sorted deduplicated basket array (collect_set folds the dedup into
+    the same exchange — no separate DISTINCT, no sort-merge
+    self-join), (2) pairs explode ARRAY-LOCALLY from each sorted
+    basket (i<j positions, so part_a < part_b by construction —
+    Σ_o C(items_o, 2) rows, ≤ 21 per order in this schema: LINEAR in
+    orders, never |parts|²), and ONE hash agg on (part_a, part_b)
+    counts them. Per-part counts and the order total reuse the basket
+    frame (cheap explode, no rescan). The min-support filter prunes
+    the long tail before the two bounded dimension joins, and the
+    top-k is a TakeOrdered, never a global sort. A hot part inflates
+    its pairs linearly, not quadratically, because pair generation is
+    order-local."""
     li = t(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    n = b.agg(
-        F.count_distinct("l_orderkey").cast("long").alias("n_orders")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    pc = b.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("part_n")
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    pc = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("part_n"))
     )
-    a = b.alias("a")
-    b2 = b.alias("b2")
+    # array-local pair expansion over the sorted basket: element i
+    # pairs with every later element, so (pa, pb) is ordered and
+    # duplicate-free without any join
+    pair_col = F.expr(
+        "flatten(transform(ps, (pa, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "pb -> struct(pa, pb))))"
+    )
     pairs = (
-        a.join(
-            b2,
-            (F.col("b2.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("b2.l_partkey") > F.col("a.l_partkey")),
-        )
+        baskets.select(F.explode(pair_col).alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b2.l_partkey").alias("part_b"),
+            F.col("p.pa").alias("part_a"),
+            F.col("p.pb").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
         .filter(F.col("pair_n") >= _PAIR_MIN_SUPPORT)

@@ -1786,3 +1786,163 @@ def nation_revenue_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     )
+
+
+_ACF_MAX_LAG = 3
+
+_ACF_SQL = f"""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             CAST((EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o.o_orderdate) - 1 AS BIGINT)
+               AS x,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    mom AS (
+      SELECT nation,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                  AS DECIMAL(38, 0)) AS syy
+      FROM m GROUP BY 1),
+    cross_k AS (
+      SELECT a.nation,
+             CAST(b.x - a.x AS BIGINT) AS lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(a.y AS HUGEINT) * CAST(b.y AS HUGEINT))
+                  AS DECIMAL(38, 0)) AS sxy,
+             CAST(sum(a.y) AS BIGINT) AS s_head,
+             CAST(sum(b.y) AS BIGINT) AS s_tail
+      FROM m a
+      JOIN m b ON b.nation = a.nation
+               AND b.x - a.x BETWEEN 1 AND {_ACF_MAX_LAG}
+      GROUP BY 1, 2),
+    j AS (
+      SELECT c.nation, c.lag, c.n_pairs,
+             CAST(mom.sy AS DOUBLE) / CAST(mom.n AS DOUBLE) AS ybar,
+             CAST(c.sxy AS DOUBLE) AS sxy,
+             CAST(c.s_head AS DOUBLE) AS s_head,
+             CAST(c.s_tail AS DOUBLE) AS s_tail,
+             CAST(mom.n AS DOUBLE) AS nd,
+             CAST(mom.syy AS DOUBLE) AS syy,
+             CAST(mom.sy AS DOUBLE) AS sy
+      FROM cross_k c JOIN mom ON mom.nation = c.nation)
+    SELECT nation, lag, n_pairs,
+           (sxy - ybar * s_head - ybar * s_tail
+              + CAST(n_pairs AS DOUBLE) * (ybar * ybar))
+             / (syy - sy * ybar) AS acf
+    FROM j
+    WHERE syy - sy * ybar > 0
+"""
+
+
+@query("nation_revenue_acf", _ACF_SQL, extra=True)
+def nation_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..{L} autocorrelation of each nation's monthly revenue
+    (Box & Jenkins ACF, exact-moment form): r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ)
+    / Σ(y_t−ȳ)², expanded so every data-dependent sum is EXACT integer
+    arithmetic — the lagged cross products Σy_t·y_{t+k} and Σy² in
+    decimal(38,0) (y is exact cents; products top 10³⁰ at scale), the
+    partial head/tail sums in longs — and the mean-centering happens
+    in a closed-form double expression both engines evaluate in the
+    same IEEE order, so the result is bit-identical with no rounding.
+    Lag pairs come from the calendar month index: a missing month
+    contributes no pair at that lag (documented; the series here are
+    dense).
+
+    The seasonality readout the monthly dashboards hint at but never
+    quantify: r_12 ≫ 0 would say "this December looks like last
+    December"; r_1 says how sticky month-over-month revenue is.
+
+    Scale shape: one hash agg to the bounded (nation, month) grain,
+    then a grain-local range self-join (≤ {L} pairs per month) and two
+    tiny aggs — the Theil-Sen/Mann-Kendall posture: row-scale work is
+    exactly one aggregation, everything after is metadata-sized."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    y19 = F.col("y").cast("decimal(19,0)")
+    mom = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(y19 * y19).cast("decimal(38,0)").alias("syy"),
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    ay19 = F.col("a.y").cast("decimal(19,0)")
+    by19 = F.col("b.y").cast("decimal(19,0)")
+    cross_k = (
+        a.join(
+            b,
+            (F.col("b.nation") == F.col("a.nation"))
+            & (F.col("b.x") - F.col("a.x")).between(1, _ACF_MAX_LAG),
+        )
+        .groupBy(
+            F.col("a.nation").alias("nation"),
+            (F.col("b.x") - F.col("a.x")).cast("long").alias("lag"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(ay19 * by19).cast("decimal(38,0)").alias("sxy"),
+            F.sum("a.y").cast("long").alias("s_head"),
+            F.sum("b.y").cast("long").alias("s_tail"),
+        )
+    )
+    j = cross_k.join(mom, "nation").select(
+        "nation",
+        "lag",
+        "n_pairs",
+        (F.col("sy").cast("double") / F.col("n").cast("double")).alias(
+            "ybar"
+        ),
+        F.col("sxy").cast("double").alias("sxyd"),
+        F.col("s_head").cast("double").alias("s_headd"),
+        F.col("s_tail").cast("double").alias("s_taild"),
+        F.col("syy").cast("double").alias("syyd"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    denom = F.col("syyd") - F.col("syd") * F.col("ybar")
+    return (
+        j.filter(denom > 0)
+        .select(
+            "nation",
+            "lag",
+            "n_pairs",
+            (
+                (
+                    F.col("sxyd")
+                    - F.col("ybar") * F.col("s_headd")
+                    - F.col("ybar") * F.col("s_taild")
+                    + F.col("n_pairs").cast("double")
+                    * (F.col("ybar") * F.col("ybar"))
+                )
+                / denom
+            ).alias("acf"),
+        )
+    )
+
+
+nation_revenue_acf.__doc__ = nation_revenue_acf.__doc__.replace(
+    "{L}", str(_ACF_MAX_LAG)
+)
