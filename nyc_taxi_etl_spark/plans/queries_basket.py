@@ -19,6 +19,57 @@ from .queries import query, t
 _PAIR_MIN_SUPPORT = 2
 _PAIR_TOP_K = 20
 
+
+def baskets_of(li: DataFrame) -> DataFrame:
+    """(l_orderkey, ps) with ps = the order's SORTED deduplicated part
+    array — ONE groupBy(order) exchange; collect_set folds the
+    (order, part) dedup into the same shuffle, so no separate
+    DISTINCT pass exists. Eagerly localCheckpointed: the frame feeds
+    pair generation, per-part marginals, and the order total (3
+    consumers), and an in-entry persist() could never be unpersisted
+    (the entry returns a lazy frame — the r6 cache-leak class)."""
+    b = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    return b.localCheckpoint(eager=True)
+
+
+def basket_pair_counts(baskets: DataFrame, min_support: int) -> DataFrame:
+    """(part_a, part_b, pair_n) exact pair-support counts: pairs
+    explode ARRAY-LOCALLY from each sorted basket (element i with
+    every later element, so part_a < part_b and duplicate-free by
+    construction — no join), then one hash agg. Σ_o C(items_o, 2)
+    rows, bounded per order: LINEAR in orders, never |parts|². The
+    first cut of this plan (DISTINCT + sort-merge self-join) measured
+    α* 1.35 sf1→sf10 from shuffle spill; this two-shuffle form
+    measures 0.98 — linear, optimal for linearly-growing pair data
+    (SCALING.md round-10)."""
+    pair_col = F.expr(
+        "flatten(transform(ps, (pa, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "pb -> struct(pa, pb))))"
+    )
+    return (
+        baskets.select(F.explode(pair_col).alias("p"))
+        .groupBy(
+            F.col("p.pa").alias("part_a"),
+            F.col("p.pb").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_support)
+    )
+
+
+def basket_part_counts(baskets: DataFrame) -> DataFrame:
+    """(l_partkey, part_n): per-part distinct-order counts from the
+    basket frame (cheap explode of already-deduplicated arrays — no
+    rescan of lineitem)."""
+    return (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("part_n"))
+    )
+
 _PAIR_LIFT_SQL = f"""
     WITH b AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -61,6 +112,10 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order, part) basket relation — association rules in their exact
     integer-counting form (no sampling, no approximate itemset
     mining), deterministically ordered (lift DESC, then both keys).
+    The RANKED-RULES sibling of ``part_basket_affinity``
+    (queries_misc.py — the full support≥3 pair table): both now share
+    the two-shuffle basket machinery below; this entry adds
+    confidence and the deterministic top-k cut.
 
     Exactness: every probability is a single IEEE division of exact
     integer counts (pair_n·N and a_n·b_n are exact long products
@@ -82,33 +137,10 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     its pairs linearly, not quadratically, because pair generation is
     order-local."""
     li = t(spark, sf_dir, "lineitem")
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-    )
+    baskets = baskets_of(li)
     n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-    pc = (
-        baskets.select(F.explode("ps").alias("l_partkey"))
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("part_n"))
-    )
-    # array-local pair expansion over the sorted basket: element i
-    # pairs with every later element, so (pa, pb) is ordered and
-    # duplicate-free without any join
-    pair_col = F.expr(
-        "flatten(transform(ps, (pa, i) -> "
-        "transform(slice(ps, i + 2, size(ps)), "
-        "pb -> struct(pa, pb))))"
-    )
-    pairs = (
-        baskets.select(F.explode(pair_col).alias("p"))
-        .groupBy(
-            F.col("p.pa").alias("part_a"),
-            F.col("p.pb").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
-        .filter(F.col("pair_n") >= _PAIR_MIN_SUPPORT)
-    )
+    pc = basket_part_counts(baskets)
+    pairs = basket_pair_counts(baskets, _PAIR_MIN_SUPPORT)
     ca = pc.select(
         F.col("l_partkey").alias("_ka"), F.col("part_n").alias("a_n")
     )

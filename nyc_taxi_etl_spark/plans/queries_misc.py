@@ -879,38 +879,31 @@ def part_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: part pairs co-purchased in the same
     order with support count and lift (together·N/(nₐ·n_b)) — the
     association-rules shape over the order⇄part bipartite relation,
-    with a support floor pruning the pair tail.
+    with a support floor pruning the pair tail. The FULL-TABLE sibling
+    of ``part_pair_lift`` (queries_basket.py — the top-k ranked rules
+    with confidence); both share the basket machinery there.
 
     Determinism: lift is an exact-int rational (counts only) —
-    bit-identical, unrounded. Scale: the self-join is keyed on
-    l_orderkey whose per-order item count is bounded (~7), so pair
-    expansion is |orders|·k² — linear in data, never all-pairs across
-    orders; marginals broadcast."""
-    li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    # shared by pairs, marginals, and N — eager localCheckpoint, not
-    # persist (same class as the r6 ngram-candidates fix): the return
-    # is lazy so a persist could never be unpersisted and would
-    # accumulate CacheManager entries per bench/oracle call; the
-    # checkpoint blocks are ContextCleaner-released when unreferenced
-    items = items.localCheckpoint(eager=True)
-    n_orders = items.agg(
-        F.count_distinct("l_orderkey").cast("double").alias("n")
+    bit-identical, unrounded. Scale (r10 restructure, measured): the
+    shared two-shuffle basket-array plan — collect_set folds the
+    (order, part) dedup into one groupBy(order) exchange, pairs
+    explode array-locally (Σ_o C(items_o,2), bounded per order:
+    linear in orders, never |parts|²) into one hash agg — replaces
+    the first-cut DISTINCT + sort-merge self-join that measured
+    α* 1.35 sf1→sf10 from spill (now 0.98: linear, matching the pair
+    data — SCALING.md round-10); marginals broadcast."""
+    from .queries_basket import (
+        basket_pair_counts,
+        basket_part_counts,
+        baskets_of,
     )
-    isup = items.groupBy("l_partkey").agg(F.count("*").alias("n_a"))
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("together"))
-        .filter(F.col("together") >= 3)
+
+    li = t(spark, sf_dir, "lineitem")
+    baskets = baskets_of(li)
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    isup = basket_part_counts(baskets).withColumnRenamed("part_n", "n_a")
+    pairs = basket_pair_counts(baskets, 3).withColumnRenamed(
+        "pair_n", "together"
     )
     return (
         pairs.join(
