@@ -241,13 +241,33 @@ def host_fingerprint() -> str:
     model = platform.processor() or ""
     try:
         with open("/proc/cpuinfo") as fh:
+            # first matching discriminator line wins; 'model name' on
+            # x86, 'CPU part'/'Hardware'/'model' on ARM/POWER — so the
+            # fingerprint keeps a model component off-x86 too instead
+            # of degrading to count+arch (review finding)
+            keys = ("model name", "cpu part", "hardware", "model")
+            best = len(keys)
             for line in fh:
-                if line.lower().startswith("model name"):
-                    model = line.split(":", 1)[1].strip()
+                low = line.lower()
+                for i, k in enumerate(keys):
+                    if i < best and low.startswith(k):
+                        model = line.split(":", 1)[1].strip()
+                        best = i
+                        break
+                if best == 0:
                     break
     except OSError:
         pass
     return f"{os.cpu_count()}cpu/{platform.machine()}/{model}"
+
+
+def _env_flag(name: str) -> bool:
+    """True only for affirmative values — '0', 'false', 'no', '' all
+    read as OFF (review finding: plain truthiness made
+    SPARK_GRAFT_BENCH_RESET_FLOOR=0 ENABLE the destructive reset)."""
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "no", "off",
+    )
 
 
 def load_probe_floor(path: str | None = None) -> dict | None:
@@ -257,7 +277,7 @@ def load_probe_floor(path: str | None = None) -> dict | None:
     cpu count), or ``SPARK_GRAFT_BENCH_RESET_FLOOR=1`` requests a
     re-baseline — in all three cases the absolute gate is skipped and
     only the relative drift gate applies."""
-    if os.environ.get("SPARK_GRAFT_BENCH_RESET_FLOOR"):
+    if _env_flag("SPARK_GRAFT_BENCH_RESET_FLOOR"):
         return None
     path = path or os.environ.get("SPARK_GRAFT_BENCH_FLOOR_FILE", FLOOR_FILE)
     try:
@@ -315,7 +335,7 @@ def write_probe_floor(
     JVM/kernel/host change legitimately moves the true idle probe and
     the old floor would stamp every future run contended."""
     path = path or os.environ.get("SPARK_GRAFT_BENCH_FLOOR_FILE", FLOOR_FILE)
-    reset = bool(os.environ.get("SPARK_GRAFT_BENCH_RESET_FLOOR"))
+    reset = _env_flag("SPARK_GRAFT_BENCH_RESET_FLOOR")
     best = observed_min
     if not reset:
         try:
@@ -566,8 +586,8 @@ def main() -> None:
         # was demonstrably clean (opt-in so CI/driver runs never touch
         # the committed file).
         if (
-            os.environ.get("SPARK_GRAFT_BENCH_WRITE_FLOOR")
-            or os.environ.get("SPARK_GRAFT_BENCH_RESET_FLOOR")
+            _env_flag("SPARK_GRAFT_BENCH_WRITE_FLOOR")
+            or _env_flag("SPARK_GRAFT_BENCH_RESET_FLOOR")
         ) and not contended:
             write_probe_floor(min(calibration), sf_val)
         compact = {

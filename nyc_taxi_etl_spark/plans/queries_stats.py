@@ -1048,8 +1048,15 @@ def adaptive_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TREND_SQL = """
-    WITH m AS (
+# --------------------------------------------------------------------------
+# Shared (nation, month, exact-cents-revenue) grain for the four trend
+# entries (OLS, Theil-Sen, Mann-Kendall, ACF). ONE definition for the
+# Spark builder and ONE for the oracle CTE (r10 review: four pasted
+# copies of each meant a month-index or cents-rounding fix had to land
+# in eight places or the entries silently disagreed on their grain —
+# the basket family's baskets_of() precedent).
+
+_MONTHLY_M_CTE = """m AS (
       SELECT n.n_name AS nation,
              CAST((EXTRACT(year FROM o.o_orderdate) - 1995) * 12
                   + EXTRACT(month FROM o.o_orderdate) - 1 AS BIGINT)
@@ -1059,7 +1066,38 @@ _TREND_SQL = """
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
-      GROUP BY 1, 2),
+      GROUP BY 1, 2)"""
+
+
+def _monthly_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, x, y): month index x (months since 1995-01) and exact
+    monthly revenue cents y per nation — the bounded post-agg grain
+    (nations × months) every trend entry runs its pair/moment math on.
+    The one row-scale operation the four entries share: orders joined
+    to the customer→nation dims (nation broadcast), one hash agg."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+
+
+_TREND_SQL = """    WITH {m_cte},
     mom AS (
       SELECT nation,
              CAST(count(*) AS BIGINT) AS n,
@@ -1091,7 +1129,7 @@ _TREND_SQL = """
              / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) AS r2
     FROM d
     WHERE den <> 0 AND deny <> 0
-"""
+""".format(m_cte=_MONTHLY_M_CTE)
 
 
 @query("nation_revenue_trend", _TREND_SQL, extra=True)
@@ -1116,26 +1154,7 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one hash agg to the (nation, month) grain (bounded:
     nations × months), one tiny agg to nation grain, closed-form
     arithmetic. No windows, no collects."""
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    n = t(spark, sf_dir, "nation")
-    monthly = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            (
-                (F.year("o_orderdate") - F.lit(1995)) * 12
-                + F.month("o_orderdate")
-                - 1
-            ).cast("long").alias("x"),
-        )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
-    )
+    monthly = _monthly_nation_revenue(spark, sf_dir)
     mom = monthly.groupBy("nation").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
@@ -1184,7 +1203,7 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MW_SQL = """
     WITH q AS (
-      SELECT CAST(l_quantity AS BIGINT) AS qty,
+      SELECT CAST(floor(l_quantity) AS BIGINT) AS qty,
              CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
                AS n_r,
              CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT)
@@ -1264,7 +1283,12 @@ def mw_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").isin("R", "N")
         & F.col("l_quantity").isNotNull()
     )
-    q = li.groupBy(F.col("l_quantity").cast("long").alias("qty")).agg(
+    # floor, not cast: Spark cast truncates toward zero while DuckDB
+    # CAST rounds-to-nearest — floor/floor makes the value bucketing
+    # convention explicit and engine-identical (r10 review; integral
+    # quantities are unaffected)
+    qty = F.floor(F.col("l_quantity")).cast("long").alias("qty")
+    q = li.groupBy(qty).agg(
         F.count(F.when(F.col("l_returnflag") == "R", 1))
         .cast("long")
         .alias("n_r"),
@@ -1338,7 +1362,7 @@ def mw_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KS_SQL = """
     WITH q AS (
-      SELECT CAST(l_quantity AS BIGINT) AS qty,
+      SELECT CAST(floor(l_quantity) AS BIGINT) AS qty,
              CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
                AS n_r,
              CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT)
@@ -1406,7 +1430,12 @@ def ks_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").isin("R", "N")
         & F.col("l_quantity").isNotNull()
     )
-    q = li.groupBy(F.col("l_quantity").cast("long").alias("qty")).agg(
+    # floor, not cast: Spark cast truncates toward zero while DuckDB
+    # CAST rounds-to-nearest — floor/floor makes the value bucketing
+    # convention explicit and engine-identical (r10 review; integral
+    # quantities are unaffected)
+    qty = F.floor(F.col("l_quantity")).cast("long").alias("qty")
+    q = li.groupBy(qty).agg(
         F.count(F.when(F.col("l_returnflag") == "R", 1))
         .cast("long")
         .alias("n_r"),
@@ -1487,17 +1516,7 @@ def ks_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _THEILSEN_SQL = """
-    WITH m AS (
-      SELECT n.n_name AS nation,
-             CAST((EXTRACT(year FROM o.o_orderdate) - 1995) * 12
-                  + EXTRACT(month FROM o.o_orderdate) - 1 AS BIGINT)
-               AS x,
-             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS y
-      FROM orders o
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n ON n.n_nationkey = c.c_nationkey
-      GROUP BY 1, 2),
+    WITH {m_cte},
     pairs AS (
       SELECT a.nation,
              (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
@@ -1523,7 +1542,7 @@ _THEILSEN_SQL = """
     SELECT med.nation, months.n_months, med.n_pairs,
            med.theil_sen_slope_cents
     FROM med JOIN months ON months.nation = med.nation
-"""
+""".format(m_cte=_MONTHLY_M_CTE)
 
 
 @query("nation_revenue_theilsen", _THEILSEN_SQL, extra=True)
@@ -1549,26 +1568,7 @@ def nation_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain-local rank window. The same posture as the OLS entry: the
     100-TB cost is the first aggregation, everything after is
     metadata-sized."""
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    n = t(spark, sf_dir, "nation")
-    monthly = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            (
-                (F.year("o_orderdate") - F.lit(1995)) * 12
-                + F.month("o_orderdate")
-                - 1
-            ).cast("long").alias("x"),
-        )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
-    )
+    monthly = _monthly_nation_revenue(spark, sf_dir)
     a = monthly.alias("a")
     b = monthly.alias("b")
     pairs = a.join(
@@ -1612,17 +1612,7 @@ def nation_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MK_SQL = """
-    WITH m AS (
-      SELECT n.n_name AS nation,
-             CAST((EXTRACT(year FROM o.o_orderdate) - 1995) * 12
-                  + EXTRACT(month FROM o.o_orderdate) - 1 AS BIGINT)
-               AS x,
-             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS y
-      FROM orders o
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n ON n.n_nationkey = c.c_nationkey
-      GROUP BY 1, 2),
+    WITH {m_cte},
     pairs AS (
       SELECT a.nation,
              CASE WHEN b.y > a.y THEN 1
@@ -1662,7 +1652,7 @@ _MK_SQL = """
                 WHEN s_stat < 0 THEN 'decreasing'
                 ELSE 'no_trend' END AS trend
     FROM zc
-""".format(p_sql=normal_p_sql("z"))
+""".format(p_sql=normal_p_sql("z"), m_cte=_MONTHLY_M_CTE)
 
 
 @query("nation_revenue_mannkendall", _MK_SQL, extra=True)
@@ -1686,26 +1676,7 @@ def nation_revenue_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded (nation, month) POST-AGG grain (≤ C(months,2) pairs
     per nation), after one hash agg that is the only row-scale work.
     The tie spectrum is a second tiny agg at the (nation, y) grain."""
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    n = t(spark, sf_dir, "nation")
-    monthly = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            (
-                (F.year("o_orderdate") - F.lit(1995)) * 12
-                + F.month("o_orderdate")
-                - 1
-            ).cast("long").alias("x"),
-        )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
-    )
+    monthly = _monthly_nation_revenue(spark, sf_dir)
     a = monthly.alias("a")
     b = monthly.alias("b")
     sgn = (
@@ -1791,17 +1762,7 @@ def nation_revenue_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ACF_MAX_LAG = 3
 
 _ACF_SQL = f"""
-    WITH m AS (
-      SELECT n.n_name AS nation,
-             CAST((EXTRACT(year FROM o.o_orderdate) - 1995) * 12
-                  + EXTRACT(month FROM o.o_orderdate) - 1 AS BIGINT)
-               AS x,
-             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS y
-      FROM orders o
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n ON n.n_nationkey = c.c_nationkey
-      GROUP BY 1, 2),
+    WITH {_MONTHLY_M_CTE},
     mom AS (
       SELECT nation,
              CAST(count(*) AS BIGINT) AS n,
@@ -1862,26 +1823,7 @@ def nation_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a grain-local range self-join (≤ {L} pairs per month) and two
     tiny aggs — the Theil-Sen/Mann-Kendall posture: row-scale work is
     exactly one aggregation, everything after is metadata-sized."""
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    n = t(spark, sf_dir, "nation")
-    monthly = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            (
-                (F.year("o_orderdate") - F.lit(1995)) * 12
-                + F.month("o_orderdate")
-                - 1
-            ).cast("long").alias("x"),
-        )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
-    )
+    monthly = _monthly_nation_revenue(spark, sf_dir)
     y19 = F.col("y").cast("decimal(19,0)")
     mom = monthly.groupBy("nation").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -163,10 +163,30 @@ def test_load_probe_floor_fingerprint_mismatch(tmp_path) -> None:
     assert got is not None and got["probe_floor_s"] == 0.15
 
 
-def test_committed_floor_matches_this_host() -> None:
-    """The committed BENCH_FLOOR.json must carry this host's
-    fingerprint — otherwise the absolute gate is silently off for
-    every driver run."""
+def test_committed_floor_matches_this_host(monkeypatch) -> None:
+    """On the REFERENCE host (same cpu count as the committed floor),
+    the absolute gate must be armed: the fingerprint matches and
+    load_probe_floor returns the floor. On a foreign host the
+    designed behavior is graceful degradation (gate off), so the test
+    SKIPS rather than failing a working design (review finding);
+    re-baseline on a new reference host with
+    SPARK_GRAFT_BENCH_RESET_FLOOR=1."""
+    import json as _json
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_RESET_FLOOR", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FLOOR_FILE", raising=False)
+    with open(bench.FLOOR_FILE) as fh:
+        raw = _json.load(fh)
+    if raw.get("host_cpus") != os.cpu_count() or (
+        raw.get("host_fingerprint") not in (None, bench.host_fingerprint())
+    ):
+        import pytest
+
+        pytest.skip(
+            "committed floor belongs to a different host — absolute "
+            "gate intentionally disabled here; re-baseline via "
+            "SPARK_GRAFT_BENCH_RESET_FLOOR=1 on the new reference host"
+        )
     ref = bench.load_probe_floor()
     assert ref is not None
     assert ref.get("host_fingerprint") == bench.host_fingerprint()
@@ -201,3 +221,25 @@ def test_reset_floor_escape_hatch(tmp_path, monkeypatch) -> None:
     # after the re-baseline the normal gate reads the new floor
     got = bench.load_probe_floor(path)
     assert got is not None and got["probe_floor_s"] == 0.25
+
+
+def test_reset_floor_zero_means_off(tmp_path, monkeypatch) -> None:
+    """Review finding: '=0'/'false' must DISABLE the reset path, not
+    enable it via string truthiness."""
+    path = str(tmp_path / "floor.json")
+    with open(path, "w") as fh:
+        json.dump(
+            {
+                "probe_floor_s": 0.10,
+                "host_cpus": os.cpu_count(),
+                "host_fingerprint": bench.host_fingerprint(),
+            },
+            fh,
+        )
+    for off in ("0", "false", "no", ""):
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_RESET_FLOOR", off)
+        got = bench.load_probe_floor(path)
+        assert got is not None and got["probe_floor_s"] == 0.10, off
+        # the downward ratchet still refuses to loosen
+        bench.write_probe_floor(0.50, 0.1, path)
+        assert bench.load_probe_floor(path)["probe_floor_s"] == 0.10, off
