@@ -340,6 +340,19 @@ def pagerank(
     return ranks
 
 
+#: Frontier-broadcast cap for ``bfs_level_hops``: a frontier at or
+#: under this many node ids joins the edge relation as an explicit
+#: broadcast (ids are scalar keys — 4M longs ≈ 32 MB framed, the same
+#: "small enough to ship everywhere" judgment as Spark's broadcast
+#: threshold); larger frontiers fall back to the shuffle join. The
+#: count is MEASURED (observe riding the level checkpoint — zero extra
+#: jobs), never guessed: a localCheckpoint's LogicalRDD carries no
+#: size statistics, so without this the planner sort-merge-joins even
+#: a 3-row seed frontier against the full edge relation (measured ~2×
+#: the whole entry at sf0.1, r10).
+BFS_FRONTIER_BROADCAST_MAX = 4_000_000
+
+
 def bfs_level_hops(
     edges: DataFrame,
     seeds: DataFrame,
@@ -347,6 +360,7 @@ def bfs_level_hops(
     src_col: str = "src",
     dst_col: str = "dst",
     node_col: str = "node",
+    broadcast_frontier_max: int = BFS_FRONTIER_BROADCAST_MAX,
 ) -> DataFrame:
     """Minimum hop distance from a seed set, breadth-first, bounded by
     ``max_hops`` — the reachability primitive (who is within h hops of
@@ -361,21 +375,56 @@ def bfs_level_hops(
     each bounded by the node table. Direction-sensitive: pass a
     symmetrized edge table for undirected reach.
 
-    Scale: a static ``max_hops``-join plan (no driver iteration state,
-    no collects); each level is one shuffle on the join key + one
-    dedup exchange. Deterministic — an unrolled SQL oracle replays it
-    level by level.
+    Scale: each level is one shuffle on the join key + one dedup
+    exchange, and both the edge relation and every frontier are
+    materialized ONCE (eager ``localCheckpoint``). Without that, the
+    lazy unrolled plan replays the whole prefix per level: level h
+    embeds levels 1..h-1, and the final union re-executes the
+    caller's edge subplan O(max_hops²/2) times — measured at sf0.1
+    the purchase-graph entry's physical plan held NINETY parquet
+    scans of a 2-table join pre-checkpoint (r10). Frontiers are
+    bounded by |V| (the point of level-set BFS), so each checkpoint
+    is a bounded materialization; no driver-side collects anywhere.
+    Deterministic — an unrolled SQL oracle replays it level by level.
     """
+    from pyspark.sql import Observation
+
     if max_hops < 0:
         raise ValueError("bfs_level_hops: max_hops must be >= 0")
     level = seeds.select(F.col(node_col)).distinct()
+    n_frontier: int | None = None
+    if max_hops >= 1:
+        # one materialization of the caller's edge subplan, reused by
+        # every hop join (the hits/triangle_counts posture); the
+        # frontier count rides each checkpoint job via observe — the
+        # adaptive_join posture: measure, then choose the join strategy
+        edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
+        obs0 = Observation("bfs_seed_count")
+        level = level.observe(
+            obs0, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
+        n_frontier = obs0.get["n"]
     out = level.select(node_col, F.lit(0).alias("hops"))
     for h in range(1, max_hops + 1):
+        frontier = (
+            F.broadcast(level)
+            if n_frontier is not None and n_frontier <= broadcast_frontier_max
+            else level
+        )
         level = (
-            level.join(edges, level[node_col] == edges[src_col])
+            frontier.join(edges, frontier[node_col] == edges[src_col])
             .select(F.col(dst_col).alias(node_col))
             .distinct()
         )
+        if h < max_hops:
+            # pin the frontier (bounded by |V| — the point of level-set
+            # BFS) so later hops join the materialized set, and measure
+            # it on the same job for the next broadcast decision
+            obs_h = Observation(f"bfs_frontier_{h}")
+            level = level.observe(
+                obs_h, F.count(F.lit(1)).alias("n")
+            ).localCheckpoint(eager=True)
+            n_frontier = obs_h.get["n"]
         out = out.unionByName(
             level.select(node_col, F.lit(h).alias("hops"))
         )

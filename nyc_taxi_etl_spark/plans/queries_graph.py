@@ -339,25 +339,37 @@ def purchase_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer_ancestor_chains, where paths are genuinely acyclic)."""
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    # BFS runs on LONG-encoded node ids (customer c ↦ 2c, supplier
+    # s ↦ 2s+1 — bijective, so hop distances are identical) and maps
+    # back to the 'c…'/'s…' strings only on the bounded result: the
+    # dedup exchange and every frontier join then hash/compare 8-byte
+    # longs instead of strings, and the per-row concat runs |V| times
+    # instead of |edges| (r10; integer min-hop output is representation
+    # -independent, oracle unchanged).
     edges = (
         orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     # no distinct on the symmetrized union: the original set (c→s) and
-    # the swapped set (s→c) are disjoint by node-id prefix and each is
+    # the swapped set (s→c) are disjoint by node-id parity and each is
     # internally distinct already — one full dedup exchange saved
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     seeds = (
         orders.filter(F.col("o_custkey") < 3)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("node")
-        )
+        .select((F.col("o_custkey") * 2).alias("node"))
         .distinct()
     )
-    return bfs_level_hops(und, seeds, max_hops=_BFS_HOPS)
+    reached = bfs_level_hops(und, seeds, max_hops=_BFS_HOPS)
+    return reached.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+            F.shiftright(F.col("node"), 1).cast("string"),
+        ).alias("node"),
+        "hops",
+    )
