@@ -196,7 +196,12 @@ def key_skew_profile(df: DataFrame, key: str, label: str) -> DataFrame:
     smallest key, stringified), ``skew_ratio`` (max/avg).
 
     Scale shape: ONE hash agg over the data builds the per-key group
-    table; everything after runs on bounded frames — the
+    table. The heaviest key folds INTO the totals aggregate as
+    ``min(struct(-n, key))`` (lexicographic struct ordering: largest
+    count first, then smallest stringified key — the same tie rule as
+    the standalone subtree it replaces, r10: one consumer of the group
+    table and one broadcast join fewer, so one fewer re-execution of
+    the scan+agg). Everything after runs on bounded frames — the
     count-of-COUNTS table (distinct group sizes, ~hundreds of rows no
     matter the key cardinality) carries the exact p99 through its own
     tiny cumulative window, and the totals ride 1-row broadcasts. No
@@ -210,6 +215,14 @@ def key_skew_profile(df: DataFrame, key: str, label: str) -> DataFrame:
         # (n_rows=0, n_keys=0, nulls elsewhere), never a null count
         F.coalesce(F.sum("_n"), F.lit(0)).alias("_n_rows"),
         F.max("_n").alias("_max_n"),
+        # heaviest key, count ties to the smallest stringified key:
+        # min over (-count, key) orders by count DESC then key ASC
+        F.min(
+            F.struct(
+                (-F.col("_n")).alias("_neg_n"),
+                F.col(key).cast("string").alias("_k"),
+            )
+        )["_k"].alias("top_key"),
     )
     # count-of-counts: bounded by #distinct group sizes; its window is
     # the scalar-table pattern, never data-sized
@@ -217,21 +230,15 @@ def key_skew_profile(df: DataFrame, key: str, label: str) -> DataFrame:
     w = Window.orderBy("_n").rowsBetween(Window.unboundedPreceding, 0)
     cum = coc.select("_n", F.sum("_keys").over(w).alias("_cum"))
     p99 = (
-        cum.join(F.broadcast(totals))
+        cum.join(F.broadcast(totals.select("_n_keys")))
         .filter(
             F.col("_cum")
             >= F.ceil(F.lit(0.99) * F.col("_n_keys").cast("double")).cast("long")
         )
         .agg(F.min("_n").alias("_p99"))
     )
-    top = (
-        g.join(F.broadcast(totals))
-        .filter(F.col("_n") == F.col("_max_n"))
-        .agg(F.min(F.col(key).cast("string")).alias("top_key"))
-    )
     return (
         totals.join(F.broadcast(p99))
-        .join(F.broadcast(top))
         .select(
             F.lit(label).alias("keyspace"),
             F.col("_n_rows").cast("long").alias("n_rows"),
@@ -275,10 +282,12 @@ def join_size_audit(
     hottest keys' combined contribution), ``amplification``
     (join_rows / max(left_rows, right_rows)).
 
-    Scale: two hash aggs (one per side) + one equi-join of the group
-    tables + one global agg; the hot-key cut is a TakeOrdered
-    ``top_keys`` rows, never a sort. Exact integer outputs — the
-    oracle replays Σ products verbatim.
+    Scale: two hash aggs (one per side — each base table is scanned
+    exactly once; the side row totals are Σ of the per-key counts, not
+    separate count() scans) + one full-outer join of the
+    co-partitioned group tables, materialized once + one global agg;
+    the hot-key cut is a TakeOrdered ``top_keys`` rows, never a sort.
+    Exact integer outputs — the oracle replays Σ products verbatim.
     """
     la = left.groupBy(F.col(left_key).alias("_k")).agg(
         F.count(F.lit(1)).alias("_ln")
@@ -286,25 +295,36 @@ def join_size_audit(
     rb = right.groupBy(F.col(right_key).alias("_k")).agg(
         F.count(F.lit(1)).alias("_rn")
     )
-    prod = la.join(rb, "_k").select(
-        "_k", (F.col("_ln") * F.col("_rn")).alias("_p")
-    )
+    # FULL-outer join of the two co-partitioned group tables (both come
+    # out of their agg hash-partitioned on _k — no extra exchange):
+    # every readout below derives from it. Pre-r10 the side totals were
+    # separate count() subtrees — two EXTRA full scans of the fact
+    # tables per audit; sum(_ln) over the full join = left row count
+    # (right-only keys hold NULL _ln, which sum skips), so the group
+    # tables are now the only consumers of the base tables. The inner
+    # product table is the both-sides-present subset.
+    full = la.join(rb, "_k", "full_outer")
+    prod = full.filter(
+        F.col("_ln").isNotNull() & F.col("_rn").isNotNull()
+    ).select("_k", (F.col("_ln") * F.col("_rn")).alias("_p"))
     top = (
         prod.orderBy(F.desc("_p"), F.asc("_k"))
         .limit(top_keys)
         .agg(F.coalesce(F.sum("_p"), F.lit(0)).alias("_top_p"))
     )
-    lt = left.agg(F.count(F.lit(1)).alias("_lrows"))
-    rt = right.agg(F.count(F.lit(1)).alias("_rrows"))
-    tot = prod.agg(
-        F.count(F.lit(1)).alias("_mk"),
-        F.coalesce(F.sum("_p"), F.lit(0)).alias("_jrows"),
-        F.max("_p").alias("_maxp"),
+    tot = full.agg(
+        F.coalesce(F.sum("_ln"), F.lit(0)).alias("_lrows"),
+        F.coalesce(F.sum("_rn"), F.lit(0)).alias("_rrows"),
+        F.count(F.when(
+            F.col("_ln").isNotNull() & F.col("_rn").isNotNull(), F.lit(1)
+        )).alias("_mk"),
+        F.coalesce(F.sum(F.col("_ln") * F.col("_rn")), F.lit(0)).alias(
+            "_jrows"
+        ),
+        F.max(F.col("_ln") * F.col("_rn")).alias("_maxp"),
     )
     return (
         tot.join(F.broadcast(top))
-        .join(F.broadcast(lt))
-        .join(F.broadcast(rt))
         .select(
             F.lit(label).alias("join_name"),
             F.col("_lrows").cast("long").alias("left_rows"),
