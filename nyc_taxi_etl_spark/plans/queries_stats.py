@@ -1069,16 +1069,27 @@ _MONTHLY_M_CTE = """m AS (
       GROUP BY 1, 2)"""
 
 
-def _monthly_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _monthly_nation_revenue(
+    spark: SparkSession, sf_dir: str, materialize: bool = False
+) -> DataFrame:
     """(nation, x, y): month index x (months since 1995-01) and exact
     monthly revenue cents y per nation — the bounded post-agg grain
     (nations × months) every trend entry runs its pair/moment math on.
     The one row-scale operation the four entries share: orders joined
-    to the customer→nation dims (nation broadcast), one hash agg."""
+    to the customer→nation dims (nation broadcast), one hash agg.
+
+    ``materialize=True`` pins the grain with an eager localCheckpoint:
+    entries that consume it from 3-4 independent subtrees (Theil-Sen's
+    pair sides + month counts, Mann-Kendall's pair sides + tie
+    spectrum, ACF's lag sides + moments) otherwise re-execute the
+    row-scale join+agg once per subtree (r10; the grain is
+    nations×months rows, so the checkpoint is metadata-sized).
+    Single-consumer entries (the OLS moments) skip it — a checkpoint
+    job would only add a driver barrier."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
-    return (
+    grain = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(
@@ -1095,6 +1106,9 @@ def _monthly_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y")
         )
     )
+    if materialize:
+        grain = grain.localCheckpoint(eager=True)
+    return grain
 
 
 _TREND_SQL = """    WITH {m_cte},
@@ -1568,7 +1582,7 @@ def nation_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain-local rank window. The same posture as the OLS entry: the
     100-TB cost is the first aggregation, everything after is
     metadata-sized."""
-    monthly = _monthly_nation_revenue(spark, sf_dir)
+    monthly = _monthly_nation_revenue(spark, sf_dir, materialize=True)
     a = monthly.alias("a")
     b = monthly.alias("b")
     pairs = a.join(
@@ -1676,7 +1690,7 @@ def nation_revenue_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded (nation, month) POST-AGG grain (≤ C(months,2) pairs
     per nation), after one hash agg that is the only row-scale work.
     The tie spectrum is a second tiny agg at the (nation, y) grain."""
-    monthly = _monthly_nation_revenue(spark, sf_dir)
+    monthly = _monthly_nation_revenue(spark, sf_dir, materialize=True)
     a = monthly.alias("a")
     b = monthly.alias("b")
     sgn = (
@@ -1823,7 +1837,7 @@ def nation_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a grain-local range self-join (≤ {L} pairs per month) and two
     tiny aggs — the Theil-Sen/Mann-Kendall posture: row-scale work is
     exactly one aggregation, everything after is metadata-sized."""
-    monthly = _monthly_nation_revenue(spark, sf_dir)
+    monthly = _monthly_nation_revenue(spark, sf_dir, materialize=True)
     y19 = F.col("y").cast("decimal(19,0)")
     mom = monthly.groupBy("nation").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
