@@ -61,6 +61,19 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_events_stream(spark, d, max_files_per_trigger=None)
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Per-run scratch directory for stream checkpoints/staging,
+    preferring tmpfs (``/dev/shm``) when present: the checkpoint of a
+    drain-the-backlog-and-stop run is ephemeral coordinator state
+    (offsets/commits/state snapshots live exactly as long as the
+    drain), and the state store's per-batch snapshot+WAL writes are
+    pure fixed cost on a disk-backed /tmp. Production streams pass
+    their own durable ``checkpoint_dir`` to ``run_available_now`` —
+    this helper only serves the catalog's finite drains."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def _drain(sdf: DataFrame, mode: str) -> DataFrame:
     name = "q_" + uuid.uuid4().hex[:12]
     # 8 state-store partitions: every stateful entry here keys on a
@@ -69,7 +82,7 @@ def _drain(sdf: DataFrame, mode: str) -> DataFrame:
     return run_available_now(
         sdf,
         name,
-        tempfile.mkdtemp(prefix="ckpt_"),
+        _scratch_dir("ckpt_"),
         output_mode=mode,
         shuffle_partitions=8,
     )
