@@ -138,9 +138,17 @@ def generalization_report(
         )
     )
     ok = F.col(pct) <= F.lit(max_suppress_frac)
-    sel = per_level.agg(
-        F.min(F.when(ok, F.col("lvl"))).alias("_ok_lvl"),
-        F.max("lvl").alias("_max_lvl"),
+    # the chosen-level scalars (lowest qualifying level / ladder top)
+    # are cross-row minima over the LADDER-LENGTH frame — take them
+    # with an unbounded window over per_level instead of a separate
+    # aggregate + self-join, which would re-execute the full-table
+    # level-groups aggregation a second time (per_level is a lazy
+    # subtree, not a materialized table). The window's "partition" is
+    # the whole ladder: a handful of rows, one task.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     out_cols = [
         F.col("lvl").cast("long").alias("level"),
@@ -151,12 +159,14 @@ def generalization_report(
         out_cols.append("min_l_diversity")
     out_cols += [viol, pct, "chosen"]
     return (
-        per_level.join(F.broadcast(sel))
-        .withColumn(
+        per_level.withColumn(
             "chosen",
             (
                 F.col("lvl")
-                == F.coalesce(F.col("_ok_lvl"), F.col("_max_lvl"))
+                == F.coalesce(
+                    F.min(F.when(ok, F.col("lvl"))).over(w_all),
+                    F.max("lvl").over(w_all),
+                )
             ).cast("long"),
         )
         .select(*out_cols)

@@ -220,37 +220,85 @@ def fd_check(
     whether), ``passed`` 1/0 with the vacuous-pass convention on
     empty input.
 
-    Scale: each FD is ONE exact distinct-count aggregation (map-side
-    partial over the (lhs, rhs) projection — Catalyst plans
-    count(distinct) as the two-phase expand/merge) reduced to a 1-row
-    summary; the per-FD rows union. No joins, no windows, no collects.
+    Scale: ALL declared FDs are profiled in ONE pass over the table —
+    a row-local explode emits ``(fd, lhs-as-strings, rhs-as-string)``
+    per FD per row, one distinct-count aggregation keyed on
+    ``(fd, lhs)`` reduces to the per-group variant counts, and a
+    second (fd-keyed, |fds|-row) aggregation yields the summaries.
+    The naive per-FD formulation re-scans and re-shuffles the table
+    once per declared FD; this plan pays one scan and one shuffle of
+    |rows|·|fds| NARROW rows regardless of how many FDs are audited.
+    The string casts are safe for distinct-counting: Spark's value→
+    string rendering is injective per type (longs trivially; doubles
+    via shortest-round-trip repr), and NULL rhs is ignored by
+    count_distinct in both formulations. No windows, no collects; the
+    label attach is a |fds|-row broadcast join of plan-time literals.
     """
     if not fds:
         raise ValueError("fd_check: fds must be non-empty")
-    out = []
-    for lhs, rhs in fds:
-        lhs = list(lhs)
+    fds = [(list(lhs), rhs) for lhs, rhs in fds]
+    for lhs, _rhs in fds:
         if not lhs:
             raise ValueError("fd_check: FD lhs must be non-empty")
-        label = f"{', '.join(lhs)} -> {rhs}"
-        per = df.groupBy(*lhs).agg(
-            F.count_distinct(F.col(rhs)).alias("_nd")
-        )
-        viol = F.coalesce(
-            F.sum((F.col("_nd") > 1).cast("long")), F.lit(0)
-        )
-        out.append(
-            per.agg(
-                F.lit(label).alias("fd"),
-                F.count("*").cast("long").alias("n_groups"),
-                viol.cast("long").alias("violating_groups"),
-                F.coalesce(F.max("_nd"), F.lit(0))
-                .cast("long")
-                .alias("max_rhs_variants"),
-                (viol == 0).cast("long").alias("passed"),
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("_fd"),
+                F.array(
+                    *[F.col(c).cast("string") for c in lhs]
+                ).alias("_key"),
+                F.col(rhs).cast("string").alias("_rhs"),
             )
+            for i, (lhs, rhs) in enumerate(fds)
+        ]
+    )
+    per = (
+        df.select(F.explode(packed).alias("p"))
+        .select("p.*")
+        .groupBy("_fd", "_key")
+        .agg(F.count_distinct(F.col("_rhs")).alias("_nd"))
+    )
+    viol = F.coalesce(F.sum((F.col("_nd") > 1).cast("long")), F.lit(0))
+    summary = per.groupBy("_fd").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        viol.cast("long").alias("violating_groups"),
+        F.coalesce(F.max("_nd"), F.lit(0))
+        .cast("long")
+        .alias("max_rhs_variants"),
+    )
+    # plan-time literal (fd index → label) frame; the left join keeps
+    # the vacuous-pass row for FDs with no groups (empty input)
+    labels = (
+        df.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("_fd"),
+                            F.lit(
+                                f"{', '.join(lhs)} -> {rhs}"
+                            ).alias("fd"),
+                        )
+                        for i, (lhs, rhs) in enumerate(fds)
+                    ]
+                )
+            ).alias("p")
         )
-    res = out[0]
-    for other in out[1:]:
-        res = res.unionByName(other)
-    return res
+        .select("p.*")
+    )
+    return labels.join(F.broadcast(summary), "_fd", "left").select(
+        "fd",
+        F.coalesce(F.col("n_groups"), F.lit(0))
+        .cast("long")
+        .alias("n_groups"),
+        F.coalesce(F.col("violating_groups"), F.lit(0))
+        .cast("long")
+        .alias("violating_groups"),
+        F.coalesce(F.col("max_rhs_variants"), F.lit(0))
+        .cast("long")
+        .alias("max_rhs_variants"),
+        (F.coalesce(F.col("violating_groups"), F.lit(0)) == 0)
+        .cast("long")
+        .alias("passed"),
+    )

@@ -15,10 +15,46 @@ as chained CTEs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import contextlib
+import math
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["hits", "pagerank", "triangle_counts", "bfs_level_hops"]
+
+#: Target edge rows per partition for the per-iteration co-partitioned
+#: layouts. An iteration relation row is fixed-width scalars (two
+#: longs + a double ≈ 24 B in Tungsten), so 2^18 rows ≈ 6 MB —
+#: deliberately small in bytes because iterative rounds are
+#: SCHEDULING-bound long before they are bandwidth-bound: every round
+#: pays (tasks × launch cost) whether or not a task has meaningful
+#: work. Sized so a small graph runs its rounds in a handful of tasks
+#: while a cluster-scale edge list saturates the session's configured
+#: parallelism (the cap below).
+_ITER_ROWS_PER_PARTITION = 1 << 18
+
+
+@contextlib.contextmanager
+def _iter_shuffle_scope(spark: SparkSession, n_rows: int):
+    """Pin ``spark.sql.shuffle.partitions`` to a size-derived width
+    for an iterative section, restoring the session value on exit.
+
+    Why the conf and not per-op ``repartition``: the round's zero-
+    exchange property needs EVERY relation in the loop — the persisted
+    edge/node layouts AND each round's hash-agg output — on the same
+    partition count, and aggregation width is only reachable through
+    the conf. Width = ceil(n_rows / _ITER_ROWS_PER_PARTITION), capped
+    by the session's configured value (at cluster scale the measured
+    size exceeds the cap and behavior is unchanged); the measurement
+    arrives free as an observed metric on the edge checkpoint job."""
+    cur = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    n_part = max(1, min(int(cur), math.ceil(n_rows / _ITER_ROWS_PER_PARTITION)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        yield n_part
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
 
 
 def hits(
@@ -53,18 +89,23 @@ def hits(
     if iterations < 1:
         raise ValueError("hits() needs iterations >= 1")
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     # pin the distinct edge list ONCE before forking into the two
     # per-key layouts — without this, e_by_src and e_by_dst are
     # independent lineages that would each re-execute the caller's
     # edge subplan (for the purchase graph: the orders⋈lineitem join
-    # + distinct, the most expensive stage, twice)
+    # + distinct, the most expensive stage, twice). The edge count for
+    # the size-adaptive iteration width rides the checkpoint job as an
+    # observed metric — zero extra jobs, and it replaces the separate
+    # isEmpty() probe.
+    obs_e = Observation("hits_edges")
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    if e.isEmpty():
+    n_edges = int(obs_e.get["n"])
+    if n_edges == 0:
         empty_h = e.select(
             F.col("src").alias("node"), F.lit(1.0).alias("hub")
         ).limit(0)
@@ -72,66 +113,72 @@ def hits(
             F.col("dst").alias("node"), F.lit(1.0).alias("authority")
         ).limit(0)
         return empty_h, empty_a
-    e_by_src = e.repartition(n_part, "src").sortWithinPartitions("src").persist()
-    e_by_dst = e.repartition(n_part, "dst").sortWithinPartitions("dst").persist()
-    hubs = (
-        e_by_src.select("src").distinct().select(
-            F.col("src").alias("node"), F.lit(1.0).alias("hub")
+    with _iter_shuffle_scope(spark, n_edges) as n_part:
+        e_by_src = (
+            e.repartition(n_part, "src").sortWithinPartitions("src").persist()
         )
-    )
-
-    def _a_raw(h: DataFrame) -> DataFrame:
-        # Aᵀh — comes out of its agg hash-partitioned on dst, exactly
-        # the layout the following e_by_dst join wants
-        return (
-            e_by_src.join(h, e_by_src["src"] == h["node"])
-            .groupBy("dst")
-            .agg(F.sum("hub").alias("a"))
+        e_by_dst = (
+            e.repartition(n_part, "dst").sortWithinPartitions("dst").persist()
+        )
+        hubs = (
+            e_by_src.select("src").distinct().select(
+                F.col("src").alias("node"), F.lit(1.0).alias("hub")
+            )
         )
 
-    # One materialization per ROUND, not per half-step: h's L2
-    # normalization makes the a-scale cancel — normalize(A·a_raw/‖a‖)
-    # = normalize(A·a_raw) — so a_raw stays a lazy subplan inside the
-    # round and only h_raw is checkpointed (its ‖·‖₂ observed on that
-    # same job). The authority frame the caller sees is computed ONCE
-    # at the end from the second-to-last h, exactly the classic
-    # half-step pairing (a_k = normalize(Aᵀh_{k-1}),
-    # h_k = normalize(A·a_k)); float drift vs per-half-step
-    # normalization is ulp-scale, far under the catalog's r4 rounding.
-    prev = hubs
-    for it in range(iterations):
+        def _a_raw(h: DataFrame) -> DataFrame:
+            # Aᵀh — comes out of its agg hash-partitioned on dst,
+            # exactly the layout the following e_by_dst join wants
+            return (
+                e_by_src.join(h, e_by_src["src"] == h["node"])
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("a"))
+            )
+
+        # One materialization per ROUND, not per half-step: h's L2
+        # normalization makes the a-scale cancel —
+        # normalize(A·a_raw/‖a‖) = normalize(A·a_raw) — so a_raw stays
+        # a lazy subplan inside the round and only h_raw is
+        # checkpointed (its ‖·‖₂ observed on that same job). The
+        # authority frame the caller sees is computed ONCE at the end
+        # from the second-to-last h, exactly the classic half-step
+        # pairing (a_k = normalize(Aᵀh_{k-1}), h_k = normalize(A·a_k));
+        # float drift vs per-half-step normalization is ulp-scale, far
+        # under the catalog's r4 rounding.
         prev = hubs
-        h_raw = (
-            e_by_dst.join(_a_raw(hubs), "dst")
-            .groupBy("src")
-            .agg(F.sum("a").alias("hub"))
-        )
-        obs_h = Observation(f"hits_h_{it}")
-        h_raw = h_raw.observe(
-            obs_h, F.sum(F.col("hub") * F.col("hub")).alias("ss")
+        for it in range(iterations):
+            prev = hubs
+            h_raw = (
+                e_by_dst.join(_a_raw(hubs), "dst")
+                .groupBy("src")
+                .agg(F.sum("a").alias("hub"))
+            )
+            obs_h = Observation(f"hits_h_{it}")
+            h_raw = h_raw.observe(
+                obs_h, F.sum(F.col("hub") * F.col("hub")).alias("ss")
+            ).localCheckpoint(eager=True)
+            h_norm = float(obs_h.get["ss"]) ** 0.5 or 1.0
+            hubs = h_raw.select(
+                F.col("src").alias("node"),
+                (F.col("hub") / F.lit(h_norm)).alias("hub"),
+            )
+        obs_a = Observation("hits_a_final")
+        a_final = _a_raw(prev).observe(
+            obs_a, F.sum(F.col("a") * F.col("a")).alias("ss")
         ).localCheckpoint(eager=True)
-        h_norm = float(obs_h.get["ss"]) ** 0.5 or 1.0
-        hubs = h_raw.select(
-            F.col("src").alias("node"),
-            (F.col("hub") / F.lit(h_norm)).alias("hub"),
+        a_norm = float(obs_a.get["ss"]) ** 0.5 or 1.0
+        auth = a_final.select(
+            F.col("dst").alias("node"),
+            (F.col("a") / F.lit(a_norm)).alias("authority"),
         )
-    obs_a = Observation("hits_a_final")
-    a_final = _a_raw(prev).observe(
-        obs_a, F.sum(F.col("a") * F.col("a")).alias("ss")
-    ).localCheckpoint(eager=True)
-    a_norm = float(obs_a.get["ss"]) ** 0.5 or 1.0
-    auth = a_final.select(
-        F.col("dst").alias("node"),
-        (F.col("a") / F.lit(a_norm)).alias("authority"),
-    )
-    # hubs/auth are selects over EAGER localCheckpoints — their lineage
-    # no longer references the persisted edge layouts, so release them
-    # now instead of leaking one cached edge copy per call (bench runs
-    # each entry 5×). Intermediate per-iteration checkpoint blocks are
-    # reclaimed by ContextCleaner once the loop drops its references
-    # (only prev/current are ever held).
-    e_by_src.unpersist()
-    e_by_dst.unpersist()
+        # hubs/auth are selects over EAGER localCheckpoints — their
+        # lineage no longer references the persisted edge layouts, so
+        # release them now instead of leaking one cached edge copy per
+        # call (bench runs each entry 5×). Intermediate per-iteration
+        # checkpoint blocks are reclaimed by ContextCleaner once the
+        # loop drops its references (only prev/current are ever held).
+        e_by_src.unpersist()
+        e_by_dst.unpersist()
     return hubs, auth
 
 
@@ -263,80 +310,100 @@ def pagerank(
     polling so the driver loop does no data reads. Skewed in-degree
     (celebrity nodes) degrades only the final agg — salting composes
     if needed (functions/skew.py)."""
+    from pyspark.sql import Observation
+
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
-    # edges ⋈ out-degree once, laid out on the per-round join key AND
-    # sorted within partitions on it: every iteration's sort-merge join
-    # then reuses both the partitioning and the ordering from the cache
-    # — no exchange and no re-sort of the (large) edge side per round
-    ed = (
-        e.join(deg, "src")
-        .repartition(n_part, "src")
-        .sortWithinPartitions("src")
-        .persist()
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+    # pin the distinct edge list ONCE before forking into the three
+    # consumers (degree agg, edge⋈degree layout, node-list union) —
+    # without this each is an independent lineage re-executing the
+    # caller's edge subplan (for the purchase graph: the
+    # orders⋈lineitem join + distinct, the most expensive stage, 3×).
+    # The edge count for the size-adaptive iteration width rides the
+    # checkpoint job as an observed metric — zero extra jobs.
+    obs_e = Observation("pr_edges")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .repartition(n_part, "node")
-        .sortWithinPartitions("node")
-        .persist()
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()  # also materializes the persisted relations
-    if n_nodes == 0:
+    n_edges = int(obs_e.get["n"])
+    if n_edges == 0:
         # empty graph: typed empty result (SURVEY §7.3 posture), and
         # guards the 1/N terms below
-        out = nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
+        return e.select(
+            F.col("src").alias("node"), F.lit(0.0).alias("rank")
+        ).limit(0)
+    with _iter_shuffle_scope(spark, n_edges) as n_part:
+        deg = e.groupBy("src").agg(
+            F.count("*").cast("double").alias("outdeg")
+        )
+        # edges ⋈ out-degree once, laid out on the per-round join key
+        # AND sorted within partitions on it: every iteration's
+        # sort-merge join then reuses both the partitioning and the
+        # ordering from the cache — no exchange and no re-sort of the
+        # (large) edge side per round
+        ed = (
+            e.join(deg, "src")
+            .repartition(n_part, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .repartition(n_part, "node")
+            .sortWithinPartitions("node")
+            .persist()
+        )
+        n_nodes = nodes.count()  # also materializes the persisted layouts
+        base = (1.0 - damping) / n_nodes
+        ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+        for it in range(iterations):
+            contrib = (
+                ed.join(ranks, ed["src"] == ranks["node"])
+                .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("inc"))
+            )
+            raw = nodes.join(
+                contrib, nodes["node"] == contrib["dst"], "left"
+            ).select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("inc"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            # raw feeds BOTH the deficit sum and the final per-node
+            # add: localCheckpoint materializes it once, truncates
+            # lineage (constant plan depth across rounds — the
+            # connected-components posture, dedup.py) and PRESERVES
+            # the hash(node) partitioning the next round's edge join
+            # needs. The Σ rank needed for the dangling deficit rides
+            # the SAME checkpoint job via df.observe (CollectMetrics
+            # fires on materialization) — zero extra jobs, one scalar
+            # to the driver per round.
+            obs = Observation(f"pr_mass_{it}")
+            raw = raw.observe(
+                obs, F.sum("rank").alias("mass")
+            ).localCheckpoint(eager=True)
+            # Σ ranks = 1 invariant ⇒ the dangling mass d·dm is exactly
+            # the deficit 1 − Σ raw; redistribute it uniformly
+            deficit = 1.0 - obs.get["mass"]
+            ranks = raw.select(
+                "node",
+                (
+                    F.col("rank") + F.lit(deficit / float(n_nodes))
+                ).alias("rank"),
+            )
+        # the returned ranks are a select over the last EAGER
+        # checkpoint; the persisted edge/node layouts are out of its
+        # lineage — release them so repeated calls don't accumulate
+        # cached edge copies
         ed.unpersist()
         nodes.unpersist()
-        return out
-    base = (1.0 - damping) / n_nodes
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for it in range(iterations):
-        contrib = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inc"))
-        )
-        raw = nodes.join(
-            contrib, nodes["node"] == contrib["dst"], "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("inc"), F.lit(0.0))
-            ).alias("rank"),
-        )
-        # raw feeds BOTH the deficit sum and the final per-node add:
-        # localCheckpoint materializes it once, truncates lineage
-        # (constant plan depth across rounds — the connected-components
-        # posture, dedup.py) and PRESERVES the hash(node) partitioning
-        # the next round's edge join needs. The Σ rank needed for the
-        # dangling deficit rides the SAME checkpoint job via
-        # df.observe (CollectMetrics fires on materialization) — zero
-        # extra jobs, one scalar to the driver per round.
-        from pyspark.sql import Observation
-
-        obs = Observation(f"pr_mass_{it}")
-        raw = raw.observe(obs, F.sum("rank").alias("mass")).localCheckpoint(
-            eager=True
-        )
-        # Σ ranks = 1 invariant ⇒ the dangling mass d·dm is exactly the
-        # deficit 1 − Σ raw; redistribute it uniformly
-        deficit = 1.0 - obs.get["mass"]
-        ranks = raw.select(
-            "node",
-            (F.col("rank") + F.lit(deficit / float(n_nodes))).alias("rank"),
-        )
-    # the returned ranks are a select over the last EAGER checkpoint;
-    # the persisted edge/node layouts are out of its lineage — release
-    # them so repeated calls don't accumulate cached edge copies
-    ed.unpersist()
-    nodes.unpersist()
     return ranks
 
 

@@ -67,10 +67,22 @@ def ppjoin_pairs(
 
     Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``; jaccard
     is an exact-integer ratio (bit-identical cross-engine)."""
-    arr = df.select(
-        F.col(id_col).alias("doc"),
-        shingles(F.col(text_col), k).alias("arr"),
-    ).filter(F.size("arr") > 0)
+    # the shingled corpus feeds FOUR plan sites (postings → document
+    # frequencies, postings → prefix ranks, and both sides of the
+    # verify join); without materialization Spark re-runs the
+    # shingling pass — the dominant row-local cost of the whole
+    # operator — once per site. Eager localCheckpoint, not persist:
+    # the returned frame is lazy, so a persist here could never be
+    # unpersisted and would accumulate cached blocks across calls
+    # (the dedup.py convention).
+    arr = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            shingles(F.col(text_col), k).alias("arr"),
+        )
+        .filter(F.size("arr") > 0)
+        .localCheckpoint(eager=True)
+    )
 
     post = arr.select(
         "doc", F.size("arr").cast("long").alias("n"), F.explode("arr").alias("s")
@@ -87,11 +99,16 @@ def ppjoin_pairs(
         - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("long")
         + F.lit(1)
     )
+    # both sides of the candidate self-join consume the prefix frame;
+    # materializing it runs the df-join + per-doc window ONCE instead
+    # of twice, and the frame is small by construction — prefixes keep
+    # only (1-t)/(1+ε) of each doc's postings
     prefix = (
         post.join(dfreq, "s")
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= prefix_len)
         .select("doc", "n", "s", "r")
+        .localCheckpoint(eager=True)
     )
 
     pa = prefix.select(

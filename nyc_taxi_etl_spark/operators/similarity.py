@@ -351,10 +351,18 @@ def hyperplane_lsh_pairs(
     if probe_hamming not in (0, 1):
         raise ValueError("probe_hamming must be 0 or 1")
     bucket_arr = _signature_array(vec_col, bits, tables, dim, seed)
+    # BOTH sides of the bucket self-join consume this frame, and its
+    # parent is the signature computation — tables×bits dot-product
+    # folds per vector, the operator's dominant row-local cost.
+    # Materialize once (rows are three scalars — id, tbl, bucket — so
+    # the checkpoint is narrow) instead of running the fold subtree
+    # twice. Eager localCheckpoint, not persist: the returned frame is
+    # lazy, so a persist could never be unpersisted (dedup.py
+    # convention).
     banded = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(bucket_arr).alias("tbl", "bucket"),
-    )
+    ).localCheckpoint(eager=True)
     probed = banded
     if probe_hamming == 1:
         # identity + each single-bit flip, exploded row-locally; only

@@ -638,9 +638,8 @@ def orders_matview_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     cost follows the append batch; the stored view is |months| rows.
     Mergeable aggregates only (count/sum/min/max); the r4 display
     rounding absorbs merge-order ulp on the float sum."""
-    import tempfile
-
     from ..sources.matview import MaterializedAgg
+    from ..sources.scratch import scratch_dir
     from ..sources.versioned import VersionedTable
 
     od = (
@@ -652,11 +651,14 @@ def orders_matview_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             "o_cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
         )
     )
-    root = tempfile.mkdtemp(prefix="mv_src_")
+    # scratch on tmpfs when present: the versioned source and matview
+    # state are per-run demo roots, so their parquet round-trips are
+    # pure fixed cost on a disk-backed /tmp (guide §6)
+    root = scratch_dir("mv_src_")
     src = VersionedTable(spark, root)
     mv = MaterializedAgg(
         src,
-        tempfile.mkdtemp(prefix="mv_state_"),
+        scratch_dir("mv_state_"),
         ["order_month"],
         {
             "n_orders": ("count", None),
@@ -1499,9 +1501,8 @@ def customer_order_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket that side on the key and the probe co-locates), never the
     full A ⋈ B recompute; revenue in exact integer cents so append
     order can never perturb the total."""
-    import tempfile
-
     from ..sources.matview import MaterializedJoin
+    from ..sources.scratch import scratch_dir
     from ..sources.versioned import VersionedTable
 
     cu = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -1512,10 +1513,12 @@ def customer_order_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("o_cents"),
     )
-    left = VersionedTable(spark, tempfile.mkdtemp(prefix="jmv_cust_"))
-    right = VersionedTable(spark, tempfile.mkdtemp(prefix="jmv_ord_"))
+    # scratch on tmpfs when present (guide §6 — see the agg-matview
+    # entry's sizing note; these roots live one invocation)
+    left = VersionedTable(spark, scratch_dir("jmv_cust_"))
+    right = VersionedTable(spark, scratch_dir("jmv_ord_"))
     mv = MaterializedJoin(
-        left, right, tempfile.mkdtemp(prefix="jmv_view_"), ["c_custkey"]
+        left, right, scratch_dir("jmv_view_"), ["c_custkey"]
     )
     for i in range(3):
         cb = cu.filter(F.col("c_custkey") % 3 == i)

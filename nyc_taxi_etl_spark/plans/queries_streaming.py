@@ -70,8 +70,9 @@ def _scratch_dir(prefix: str) -> str:
     pure fixed cost on a disk-backed /tmp. Production streams pass
     their own durable ``checkpoint_dir`` to ``run_available_now`` —
     this helper only serves the catalog's finite drains."""
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    from ..sources.scratch import scratch_dir
+
+    return scratch_dir(prefix)
 
 
 def _drain(sdf: DataFrame, mode: str) -> DataFrame:

@@ -198,7 +198,12 @@ def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus totals ride the 1-row broadcast scalar-join pattern.
     """
     docs = t(spark, sf_dir, "documents")
-    return score_documents(docs, train_unigram(docs))
+    # the scorer consumes the model twice (corpus totals + per-token
+    # join); materialize the vocab-grain aggregate once instead of
+    # re-running the tokenize+agg training pass per reference
+    return score_documents(
+        docs, train_unigram(docs).localCheckpoint(eager=True)
+    )
 
 
 @query(
@@ -604,9 +609,16 @@ def doc_lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride the 1-row broadcast scalar join.
     """
     docs = t(spark, sf_dir, "documents")
-    return score_documents_bigram(
-        docs, train_unigram(docs), train_bigram(docs)
-    )
+    # materialize the two model frames once: scoring consumes the
+    # unigram twice (corpus totals + the per-token join) and the
+    # bigram twice (context totals + the pair join), and each lazy
+    # reference re-runs the full tokenize+explode+agg training pass —
+    # 4 extra corpus tokenizations without this. Both frames are
+    # aggregates (vocab / distinct-pair grain), far smaller than the
+    # corpus they summarize.
+    uni = train_unigram(docs).localCheckpoint(eager=True)
+    big = train_bigram(docs).localCheckpoint(eager=True)
+    return score_documents_bigram(docs, uni, big)
 
 
 def _classifier_sql() -> str:
@@ -942,7 +954,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sequence import global_sequence
 
     docs = t(spark, sf_dir, "documents")
-    scored = score_documents(docs, train_unigram(docs))
+    # model checkpoint: see doc_lm_scores (the scorer reads it twice)
+    scored = score_documents(
+        docs, train_unigram(docs).localCheckpoint(eager=True)
+    )
     sc = (
         scored.join(docs.select("doc_id", "lang"), "doc_id")
         .filter(F.col("perplexity").isNotNull())
