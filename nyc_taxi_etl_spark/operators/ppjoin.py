@@ -54,6 +54,7 @@ def ppjoin_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact word-``k``-shingle Jaccard pairs with similarity >=
     ``threshold``, generated through prefix filtering (lossless — the
@@ -65,8 +66,19 @@ def ppjoin_pairs(
     values get a conservative epsilon so the prefix can only be
     LONGER than required (still lossless, never lossy).
 
+    ``materialize=False`` skips the two eager localCheckpoints and
+    returns the fully lazy plan — the multi-consumed subtrees then
+    re-execute per plan site. Exists for plan inspection (the
+    plan-quality tests assert on the window/join shapes that a
+    checkpoint would truncate out of the final frame's explain) and
+    for callers composing larger pipelines that materialize at their
+    own boundaries.
+
     Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``; jaccard
     is an exact-integer ratio (bit-identical cross-engine)."""
+
+    def _pin(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint(eager=True) if materialize else frame
     # the shingled corpus feeds FOUR plan sites (postings → document
     # frequencies, postings → prefix ranks, and both sides of the
     # verify join); without materialization Spark re-runs the
@@ -75,13 +87,11 @@ def ppjoin_pairs(
     # the returned frame is lazy, so a persist here could never be
     # unpersisted and would accumulate cached blocks across calls
     # (the dedup.py convention).
-    arr = (
+    arr = _pin(
         df.select(
             F.col(id_col).alias("doc"),
             shingles(F.col(text_col), k).alias("arr"),
-        )
-        .filter(F.size("arr") > 0)
-        .localCheckpoint(eager=True)
+        ).filter(F.size("arr") > 0)
     )
 
     post = arr.select(
@@ -103,12 +113,11 @@ def ppjoin_pairs(
     # materializing it runs the df-join + per-doc window ONCE instead
     # of twice, and the frame is small by construction — prefixes keep
     # only (1-t)/(1+ε) of each doc's postings
-    prefix = (
+    prefix = _pin(
         post.join(dfreq, "s")
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= prefix_len)
         .select("doc", "n", "s", "r")
-        .localCheckpoint(eager=True)
     )
 
     pa = prefix.select(

@@ -374,14 +374,36 @@ def test_tpch_scalar_aggregates_reuse_exchange(spark):
 def test_ppjoin_no_cartesian_single_shingle_pass_per_side(spark):
     """PPJoin: candidates come from the prefix equi-join (no nested
     loop anywhere), and the doc-partitioned rank window is never a
-    single-partition sort."""
-    plan = _plan(spark, "ppjoin_near_pairs")
+    single-partition sort.
+
+    Inspected with ``materialize=False``: the production path eagerly
+    localCheckpoints the shingle/prefix frames (they feed multiple
+    plan sites), which truncates those subtrees out of the final
+    frame's explain — the lazy variant exposes the full plan the
+    checkpoint jobs execute."""
+    import io as _io
+    import contextlib as _ctx
+
+    from nyc_taxi_etl_spark.operators.ppjoin import ppjoin_pairs
+    from nyc_taxi_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = ppjoin_pairs(docs, threshold=0.5, materialize=False)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
     # the rank window partitions by doc — a global (unpartitioned)
     # window would plan an Exchange SinglePartition
     assert "SinglePartition" not in plan
+    # the production (materialized) plan keeps the same join posture
+    mplan = _plan(spark, "ppjoin_near_pairs")
+    assert "CartesianProduct" not in mplan
+    assert "BroadcastNestedLoopJoin" not in mplan
+    assert "SinglePartition" not in mplan
 
 
 def test_completing_tpch_shapes_plan_posture(spark):
