@@ -204,7 +204,9 @@ def run_checks(df: DataFrame, checks: list) -> DataFrame:
 
 
 def fd_check(
-    df: DataFrame, fds: list[tuple[list[str], str]]
+    df: DataFrame,
+    fds: list[tuple[list[str], str]],
+    one_pass: bool = False,
 ) -> DataFrame:
     """Functional-dependency audit: for each declared FD
     ``lhs_cols → rhs_col``, does every LHS group determine exactly one
@@ -220,19 +222,30 @@ def fd_check(
     whether), ``passed`` 1/0 with the vacuous-pass convention on
     empty input.
 
-    Scale: ALL declared FDs are profiled in ONE pass over the table —
-    a row-local explode emits ``(fd, lhs-as-strings, rhs-as-string)``
-    per FD per row, one distinct-count aggregation keyed on
-    ``(fd, lhs)`` reduces to the per-group variant counts, and a
-    second (fd-keyed, |fds|-row) aggregation yields the summaries.
-    The naive per-FD formulation re-scans and re-shuffles the table
-    once per declared FD; this plan pays one scan and one shuffle of
-    |rows|·|fds| NARROW rows regardless of how many FDs are audited.
-    The string casts are safe for distinct-counting: Spark's value→
-    string rendering is injective per type (longs trivially; doubles
-    via shortest-round-trip repr), and NULL rhs is ignored by
-    count_distinct in both formulations. No windows, no collects; the
-    label attach is a |fds|-row broadcast join of plan-time literals.
+    Scale — two formulations, measured against each other (r10):
+
+    * default (``one_pass=False``): one exact distinct-count
+      aggregation per FD over a COLUMN-PRUNED scan of just that FD's
+      2-3 columns, each reduced to a 1-row summary before the union.
+      Each exchange carries partially-deduplicated native-typed rows.
+      Measured at sf0.1 (5 interleaved noop passes): **2.45 s** for
+      the 5-FD order/line audit.
+    * ``one_pass=True``: all FDs in one table pass — a row-local
+      explode emits ``(fd, lhs-as-strings, rhs-as-string)`` per FD
+      per row, then one distinct-count agg keyed on ``(fd, lhs)``.
+      Measured **5.03 s** on the same A/B: the |rows|·|fds| explode
+      plus string casts cost more than the extra column-pruned scans
+      saved, and its exchanges carry strings instead of native types.
+      It remains available for genuinely scan-bound inputs (very wide
+      tables with heavily-overlapping FD columns, object storage with
+      high per-scan latency), which is the one regime where one pass
+      over the table beats |fds| pruned passes.
+
+    The string casts on the one-pass path are safe for
+    distinct-counting: Spark's value→string rendering is injective
+    per type (longs trivially; doubles via shortest-round-trip repr),
+    and NULL rhs is ignored by count_distinct in both formulations.
+    No windows, no collects.
     """
     if not fds:
         raise ValueError("fd_check: fds must be non-empty")
@@ -240,6 +253,31 @@ def fd_check(
     for lhs, _rhs in fds:
         if not lhs:
             raise ValueError("fd_check: FD lhs must be non-empty")
+    if not one_pass:
+        out = []
+        for lhs, rhs in fds:
+            label = f"{', '.join(lhs)} -> {rhs}"
+            per = df.groupBy(*lhs).agg(
+                F.count_distinct(F.col(rhs)).alias("_nd")
+            )
+            viol = F.coalesce(
+                F.sum((F.col("_nd") > 1).cast("long")), F.lit(0)
+            )
+            out.append(
+                per.agg(
+                    F.lit(label).alias("fd"),
+                    F.count("*").cast("long").alias("n_groups"),
+                    viol.cast("long").alias("violating_groups"),
+                    F.coalesce(F.max("_nd"), F.lit(0))
+                    .cast("long")
+                    .alias("max_rhs_variants"),
+                    (viol == 0).cast("long").alias("passed"),
+                )
+            )
+        res = out[0]
+        for other in out[1:]:
+            res = res.unionByName(other)
+        return res
     packed = F.array(
         *[
             F.struct(

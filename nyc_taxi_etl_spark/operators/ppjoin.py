@@ -66,27 +66,35 @@ def ppjoin_pairs(
     values get a conservative epsilon so the prefix can only be
     LONGER than required (still lossless, never lossy).
 
-    ``materialize=False`` skips the two eager localCheckpoints and
-    returns the fully lazy plan — the multi-consumed subtrees then
-    re-execute per plan site. Exists for plan inspection (the
-    plan-quality tests assert on the window/join shapes that a
-    checkpoint would truncate out of the final frame's explain) and
-    for callers composing larger pipelines that materialize at their
-    own boundaries.
+    ``materialize=False`` skips the eager localCheckpoint of the
+    shingled corpus and returns the fully lazy plan — the
+    multi-consumed subtrees then re-execute per plan site. Exists for
+    plan inspection (the plan-quality tests assert on the window/join
+    shapes that a checkpoint would truncate out of the final frame's
+    explain) and for callers composing larger pipelines that
+    materialize at their own boundaries.
 
     Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``; jaccard
     is an exact-integer ratio (bit-identical cross-engine)."""
 
     def _pin(frame: DataFrame) -> DataFrame:
         return frame.localCheckpoint(eager=True) if materialize else frame
-    # the shingled corpus feeds FOUR plan sites (postings → document
-    # frequencies, postings → prefix ranks, and both sides of the
-    # verify join); without materialization Spark re-runs the
-    # shingling pass — the dominant row-local cost of the whole
-    # operator — once per site. Eager localCheckpoint, not persist:
-    # the returned frame is lazy, so a persist here could never be
-    # unpersisted and would accumulate cached blocks across calls
-    # (the dedup.py convention).
+    # ONLY the shingled corpus is pinned. It feeds FOUR plan sites
+    # (postings → document frequencies, postings → prefix ranks, and
+    # both sides of the verify join); lazily each site re-scans the
+    # corpus and re-runs the shingling regex — measured r10 at sf0.1
+    # (min of 5 interleaved passes, noop sink): lazy 3.60 s vs
+    # arr-pinned 2.93 s, and at scale 1 write + 4 reads beats 4
+    # scans+shingle passes outright. The PREFIX frame, by contrast,
+    # must NOT be checkpointed even though two join sides consume it:
+    # pinning it forces a full extra materialization of the
+    # dfreq-join + per-doc rank window ahead of the candidate join and
+    # measured 6.92 s (prefix-only) / 5.69 s (both pinned) on the same
+    # A/B — the window recompute per side is cheaper than its
+    # checkpoint. Eager localCheckpoint, not persist: the returned
+    # frame is lazy, so a persist here could never be unpersisted and
+    # would accumulate cached blocks across calls (the dedup.py
+    # convention).
     arr = _pin(
         df.select(
             F.col(id_col).alias("doc"),
@@ -109,11 +117,13 @@ def ppjoin_pairs(
         - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("long")
         + F.lit(1)
     )
-    # both sides of the candidate self-join consume the prefix frame;
-    # materializing it runs the df-join + per-doc window ONCE instead
-    # of twice, and the frame is small by construction — prefixes keep
-    # only (1-t)/(1+ε) of each doc's postings
-    prefix = _pin(
+    # both sides of the candidate self-join consume the prefix frame
+    # LAZILY (re-running the dfreq join + per-doc window once per
+    # side): checkpointing it instead measured 1.9-3.3 s SLOWER at
+    # sf0.1 (see the A/B note above) because the checkpoint serializes
+    # the window output as an extra blocking materialization that the
+    # pipelined recompute avoids
+    prefix = (
         post.join(dfreq, "s")
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= prefix_len)

@@ -75,7 +75,7 @@ def test_empty_suite_is_empty_frame(spark):
     ]
 
 
-def test_fd_check_one_pass_values(spark):
+def test_fd_check_values_both_formulations(spark):
     # o1 -> two custs (violates), c-keyed FD holds, NULL rhs ignored
     rows = [
         (1, 10, "A"),
@@ -84,51 +84,57 @@ def test_fd_check_one_pass_values(spark):
         (3, None, "B"),
     ]
     df = spark.createDataFrame(rows, "ok int, ck int, pr string")
-    out = {
-        r.fd: r
-        for r in ex.fd_check(
-            df, [(["ok"], "ck"), (["ck"], "pr")]
-        ).collect()
-    }
-    assert set(out) == {"ok -> ck", "ck -> pr"}
-    v = out["ok -> ck"]
-    assert (v.n_groups, v.violating_groups, v.max_rhs_variants, v.passed) == (
-        3,
-        1,
-        2,
-        0,
-    )
-    # ck groups: 10 -> {A,B} violates; 11 -> {A}; NULL ck is a group
-    w = out["ck -> pr"]
-    assert (w.n_groups, w.violating_groups, w.max_rhs_variants, w.passed) == (
-        3,
-        1,
-        2,
-        0,
-    )
+    for one_pass in (False, True):
+        out = {
+            r.fd: r
+            for r in ex.fd_check(
+                df, [(["ok"], "ck"), (["ck"], "pr")], one_pass=one_pass
+            ).collect()
+        }
+        assert set(out) == {"ok -> ck", "ck -> pr"}, one_pass
+        v = out["ok -> ck"]
+        assert (
+            v.n_groups,
+            v.violating_groups,
+            v.max_rhs_variants,
+            v.passed,
+        ) == (3, 1, 2, 0), one_pass
+        # ck groups: 10 -> {A,B} violates; 11 -> {A}; NULL ck is a group
+        w = out["ck -> pr"]
+        assert (
+            w.n_groups,
+            w.violating_groups,
+            w.max_rhs_variants,
+            w.passed,
+        ) == (3, 1, 2, 0), one_pass
 
 
 def test_fd_check_empty_input_vacuous_pass(spark):
     df = spark.createDataFrame([], "ok int, ck int")
-    row = ex.fd_check(df, [(["ok"], "ck")]).first()
-    assert (
-        row.fd,
-        row.n_groups,
-        row.violating_groups,
-        row.max_rhs_variants,
-        row.passed,
-    ) == ("ok -> ck", 0, 0, 0, 1)
+    for one_pass in (False, True):
+        row = ex.fd_check(df, [(["ok"], "ck")], one_pass=one_pass).first()
+        assert (
+            row.fd,
+            row.n_groups,
+            row.violating_groups,
+            row.max_rhs_variants,
+            row.passed,
+        ) == ("ok -> ck", 0, 0, 0, 1), one_pass
 
 
-def test_fd_check_single_scan_for_many_fds(spark):
+def test_fd_check_one_pass_single_scan_for_many_fds(spark):
     df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
     plan = (
-        ex.fd_check(df, [(["a"], "b"), (["b"], "c"), (["a", "b"], "c")])
+        ex.fd_check(
+            df,
+            [(["a"], "b"), (["b"], "c"), (["a", "b"], "c")],
+            one_pass=True,
+        )
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
     )
     # one Generate (the per-FD explode) over one relation scan: adding
-    # FDs must not add passes over the audited table
+    # FDs must not add passes over the audited table on this path
     assert plan.count("Generate") <= 2  # FD explode + label literals
     assert plan.count("LogicalRDD") + plan.count("Relation") <= 2
