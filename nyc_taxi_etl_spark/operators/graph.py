@@ -34,6 +34,20 @@ __all__ = ["hits", "pagerank", "triangle_counts", "bfs_level_hops"]
 #: parallelism (the cap below).
 _ITER_ROWS_PER_PARTITION = 1 << 18
 
+#: Score-frame broadcast cap for the iterative rank loops (pagerank /
+#: hits): when the per-round rank/score relation is bounded by this
+#: many rows, each round joins the (large, stationary) edge relation
+#: against an explicit BROADCAST of the scores instead of a
+#: sort-merge/shuffled-hash join — zero join exchange, zero sort, and
+#: the pre-partitioned+sorted edge layouts become unnecessary
+#: (bfs_level_hops posture: measure, then choose the join strategy; a
+#: checkpointed score frame carries no stats, so the planner cannot
+#: make this call itself). 2M (key, double) rows ≈ 32 MB framed —
+#: the same "small enough to ship everywhere" judgment as the BFS
+#: frontier cap, halved for the wider rows. Above the cap the
+#: co-partitioned layouts run exactly as before.
+SCORE_BROADCAST_MAX = 2_000_000
+
 
 @contextlib.contextmanager
 def _iter_shuffle_scope(spark: SparkSession, n_rows: int):
@@ -62,6 +76,7 @@ def hits(
     iterations: int = 4,
     src: str = "src",
     dst: str = "dst",
+    score_broadcast_max: int = SCORE_BROADCAST_MAX,
 ) -> tuple[DataFrame, DataFrame]:
     """HITS (Kleinberg): hub scores for source nodes, authority scores
     for target nodes, over a directed edge list. Returns
@@ -113,22 +128,42 @@ def hits(
             F.col("dst").alias("node"), F.lit(1.0).alias("authority")
         ).limit(0)
         return empty_h, empty_a
+    # Score frames are bounded by the node count, itself bounded by
+    # n_edges+1 per side of the bipartite update: at or under the
+    # broadcast cap every per-round join ships the SCORES to the
+    # stationary edge relation (map-side hash join — no exchange, no
+    # sort, no pre-partitioned edge layouts needed); above it, the
+    # co-partitioned sorted layouts pay off exactly as before.
+    small = n_edges <= score_broadcast_max
     with _iter_shuffle_scope(spark, n_edges) as n_part:
-        e_by_src = (
-            e.repartition(n_part, "src").sortWithinPartitions("src").persist()
-        )
-        e_by_dst = (
-            e.repartition(n_part, "dst").sortWithinPartitions("dst").persist()
-        )
+        if small:
+            e_by_src = e_by_dst = e
+        else:
+            e_by_src = (
+                e.repartition(n_part, "src")
+                .sortWithinPartitions("src")
+                .persist()
+            )
+            e_by_dst = (
+                e.repartition(n_part, "dst")
+                .sortWithinPartitions("dst")
+                .persist()
+            )
         hubs = (
             e_by_src.select("src").distinct().select(
                 F.col("src").alias("node"), F.lit(1.0).alias("hub")
             )
         )
 
+        def _score(s: DataFrame) -> DataFrame:
+            return F.broadcast(s) if small else s
+
         def _a_raw(h: DataFrame) -> DataFrame:
-            # Aᵀh — comes out of its agg hash-partitioned on dst,
-            # exactly the layout the following e_by_dst join wants
+            # Aᵀh — on the large path it comes out of its agg
+            # hash-partitioned on dst, exactly the layout the
+            # following e_by_dst join wants; on the small path h is
+            # broadcast so the join moves nothing at all
+            h = _score(h)
             return (
                 e_by_src.join(h, e_by_src["src"] == h["node"])
                 .groupBy("dst")
@@ -149,7 +184,7 @@ def hits(
         for it in range(iterations):
             prev = hubs
             h_raw = (
-                e_by_dst.join(_a_raw(hubs), "dst")
+                e_by_dst.join(_score(_a_raw(hubs)), "dst")
                 .groupBy("src")
                 .agg(F.sum("a").alias("hub"))
             )
@@ -177,8 +212,9 @@ def hits(
         # call (bench runs each entry 5×). Intermediate per-iteration
         # checkpoint blocks are reclaimed by ContextCleaner once the
         # loop drops its references (only prev/current are ever held).
-        e_by_src.unpersist()
-        e_by_dst.unpersist()
+        if not small:
+            e_by_src.unpersist()
+            e_by_dst.unpersist()
     return hubs, auth
 
 
@@ -282,6 +318,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    score_broadcast_max: int = SCORE_BROADCAST_MAX,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list; returns
     ``(node, rank)`` for every node appearing as source or target.
@@ -334,76 +371,132 @@ def pagerank(
         return e.select(
             F.col("src").alias("node"), F.lit(0.0).alias("rank")
         ).limit(0)
+    # Rank frames are bounded by the node count: at or under the
+    # broadcast cap every round joins the stationary edge relation
+    # against a BROADCAST of the ranks (and the node list against a
+    # broadcast of the round's contributions) — zero join exchange,
+    # zero sort, no pre-partitioned edge layout; above it, the
+    # co-partitioned sorted layouts pay off exactly as before.
+    small = n_edges <= score_broadcast_max
     with _iter_shuffle_scope(spark, n_edges) as n_part:
         deg = e.groupBy("src").agg(
             F.count("*").cast("double").alias("outdeg")
         )
-        # edges ⋈ out-degree once, laid out on the per-round join key
-        # AND sorted within partitions on it: every iteration's
-        # sort-merge join then reuses both the partitioning and the
-        # ordering from the cache — no exchange and no re-sort of the
-        # (large) edge side per round
-        ed = (
-            e.join(deg, "src")
-            .repartition(n_part, "src")
-            .sortWithinPartitions("src")
-            .persist()
-        )
-        nodes = (
-            e.select(F.col("src").alias("node"))
-            .union(e.select(F.col("dst").alias("node")))
-            .distinct()
-            .repartition(n_part, "node")
-            .sortWithinPartitions("node")
-            .persist()
-        )
-        n_nodes = nodes.count()  # also materializes the persisted layouts
+        if small:
+            # one materialization; partitioning is irrelevant to the
+            # broadcast-probe rounds. The node count rides the
+            # checkpoint job as an observed metric — zero extra jobs
+            ed = e.join(deg, "src").localCheckpoint(eager=True)
+            obs_n = Observation("pr_nodes")
+            nodes = (
+                e.select(F.col("src").alias("node"))
+                .union(e.select(F.col("dst").alias("node")))
+                .distinct()
+                .observe(obs_n, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            n_nodes = int(obs_n.get["n"])
+        else:
+            # edges ⋈ out-degree once, laid out on the per-round join
+            # key AND sorted within partitions on it: every
+            # iteration's sort-merge join then reuses both the
+            # partitioning and the ordering from the cache — no
+            # exchange and no re-sort of the (large) edge side per
+            # round
+            ed = (
+                e.join(deg, "src")
+                .repartition(n_part, "src")
+                .sortWithinPartitions("src")
+                .persist()
+            )
+            nodes = (
+                e.select(F.col("src").alias("node"))
+                .union(e.select(F.col("dst").alias("node")))
+                .distinct()
+                .repartition(n_part, "node")
+                .sortWithinPartitions("node")
+                .persist()
+            )
+            n_nodes = nodes.count()  # also materializes the layouts
         base = (1.0 - damping) / n_nodes
-        ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+        # Rounds carry only the CONTRIBUTION table (one row per node
+        # with in-edges), never the full per-node rank relation: a
+        # node absent from the contribution table has the same rank as
+        # every other such node — base + deficit/N, a per-round
+        # CONSTANT — so rank_{r-1}(src) is reconstructible inside the
+        # round-r join expression (left join on the previous
+        # contributions + coalesce). The per-round node-table left
+        # join the previous formulation materialized (|V| rows,
+        # checkpointed every round) collapses into ONE final join; each
+        # round is now a single edge⋈contrib join plus the
+        # contribution hash-agg, and the per-round checkpoint shrinks
+        # to the in-degree>0 node set. Σ raw over ALL nodes — the
+        # dangling-deficit input — is recovered algebraically:
+        # Σ_v (base + d·inc(v)) = N·base + d·Σ inc, with Σ inc
+        # observed on the contribution checkpoint job (zero extra
+        # jobs, one scalar per round, the same invariant as before at
+        # float-ulp difference — absorbed by the entry's r4 rounding).
+        contrib: DataFrame | None = None
+        deficit = 0.0
+
+        def _attach_prev():
+            """(joined frame, rank_{r-1}(src) expression) for a round."""
+            if contrib is None:
+                # round 1: every node's rank is exactly 1/N
+                return ed, F.lit(1.0 / n_nodes)
+            c = (F.broadcast(contrib) if small else contrib).select(
+                F.col("dst").alias("_cdst"), F.col("inc").alias("_cinc")
+            )
+            joined = ed.join(c, ed["src"] == c["_cdst"], "left")
+            expr = (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("_cinc"), F.lit(0.0))
+                + F.lit(deficit / float(n_nodes))
+            )
+            return joined, expr
+
         for it in range(iterations):
-            contrib = (
-                ed.join(ranks, ed["src"] == ranks["node"])
-                .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            joined, prev_rank = _attach_prev()
+            stepped = (
+                joined.select(
+                    ed["dst"].alias("dst"),
+                    (prev_rank / F.col("outdeg")).alias("c"),
+                )
                 .groupBy("dst")
                 .agg(F.sum("c").alias("inc"))
             )
-            raw = nodes.join(
-                contrib, nodes["node"] == contrib["dst"], "left"
+            obs = Observation(f"pr_inc_{it}")
+            contrib = stepped.observe(
+                obs, F.coalesce(F.sum("inc"), F.lit(0.0)).alias("s")
+            ).localCheckpoint(eager=True)
+            deficit = 1.0 - (n_nodes * base + damping * float(obs.get["s"]))
+        if contrib is None:  # iterations == 0: the uniform init
+            ranks = nodes.select(
+                "node", F.lit(1.0 / n_nodes).alias("rank")
+            )
+        else:
+            c = (F.broadcast(contrib) if small else contrib).select(
+                F.col("dst").alias("_cdst"), F.col("inc").alias("_cinc")
+            )
+            ranks = nodes.join(
+                c, nodes["node"] == c["_cdst"], "left"
             ).select(
                 "node",
                 (
                     F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("inc"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            # raw feeds BOTH the deficit sum and the final per-node
-            # add: localCheckpoint materializes it once, truncates
-            # lineage (constant plan depth across rounds — the
-            # connected-components posture, dedup.py) and PRESERVES
-            # the hash(node) partitioning the next round's edge join
-            # needs. The Σ rank needed for the dangling deficit rides
-            # the SAME checkpoint job via df.observe (CollectMetrics
-            # fires on materialization) — zero extra jobs, one scalar
-            # to the driver per round.
-            obs = Observation(f"pr_mass_{it}")
-            raw = raw.observe(
-                obs, F.sum("rank").alias("mass")
-            ).localCheckpoint(eager=True)
-            # Σ ranks = 1 invariant ⇒ the dangling mass d·dm is exactly
-            # the deficit 1 − Σ raw; redistribute it uniformly
-            deficit = 1.0 - obs.get["mass"]
-            ranks = raw.select(
-                "node",
-                (
-                    F.col("rank") + F.lit(deficit / float(n_nodes))
+                    + F.lit(damping)
+                    * F.coalesce(F.col("_cinc"), F.lit(0.0))
+                    + F.lit(deficit / float(n_nodes))
                 ).alias("rank"),
             )
         # the returned ranks are a select over the last EAGER
         # checkpoint; the persisted edge/node layouts are out of its
         # lineage — release them so repeated calls don't accumulate
-        # cached edge copies
-        ed.unpersist()
-        nodes.unpersist()
+        # cached edge copies (checkpoint blocks on the small path are
+        # ContextCleaner-released when unreferenced)
+        if not small:
+            ed.unpersist()
+            nodes.unpersist()
     return ranks
 
 

@@ -47,6 +47,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold (one side buildable per partition and
+        # ~3x smaller), and let AQE rewrite a planned sort-merge to
+        # shuffled-hash at runtime when every post-shuffle partition
+        # is under 64 MB. Both are ratio/threshold-guarded, so the
+        # choice stays size-driven at any scale — sort-merge remains
+        # the fallback whenever a build side could not fit. Measured
+        # r10 on the 12 join-heaviest catalog entries at sf0.1 (same
+        # window, 5 interleaved passes, min): 44.78 s -> 38.85 s
+        # (-13%), every entry flat or faster — the checkpointed
+        # intermediates these plans join on carry no stats, so the
+        # static planner was sort-merge-joining (sorting both sides
+        # of) frames that fit comfortably in a per-partition hash map.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The driver's events table stores TIMESTAMP(NANOS) which the

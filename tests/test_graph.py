@@ -235,3 +235,44 @@ def test_bfs_level_hops_min_distance_and_direction(spark):
     assert [(r["node"], r["hops"]) for r in got0] == [("a", 0)]
     with pytest.raises(ValueError, match="max_hops"):
         bfs_level_hops(edges, seeds, max_hops=-1)
+
+
+# ---------------------------------------------------------------------------
+# broadcast-round vs co-partitioned-round path equivalence (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_broadcast_and_copartitioned_paths_agree(spark):
+    """The measured score-broadcast rounds (small graphs) and the
+    co-partitioned sorted-layout rounds (the at-scale path, forced
+    with score_broadcast_max=0) are the same power iteration — ranks
+    must agree to float ulp on a graph with dangling mass."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    small = {r.node: r.rank for r in pagerank(df).collect()}
+    large = {
+        r.node: r.rank
+        for r in pagerank(df, score_broadcast_max=0).collect()
+    }
+    assert set(small) == set(large)
+    for node in small:
+        assert small[node] == pytest.approx(large[node], rel=1e-12), node
+
+
+def test_hits_broadcast_and_copartitioned_paths_agree(spark):
+    from nyc_taxi_etl_spark.operators.graph import hits
+
+    edges = [("u1", "v1"), ("u1", "v2"), ("u2", "v2"), ("u3", "v1"),
+             ("u3", "v3")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    h1, a1 = hits(df)
+    h2, a2 = hits(df, score_broadcast_max=0)
+    hs1 = {r.node: r.hub for r in h1.collect()}
+    hs2 = {r.node: r.hub for r in h2.collect()}
+    as1 = {r.node: r.authority for r in a1.collect()}
+    as2 = {r.node: r.authority for r in a2.collect()}
+    assert set(hs1) == set(hs2) and set(as1) == set(as2)
+    for n in hs1:
+        assert hs1[n] == pytest.approx(hs2[n], rel=1e-12), n
+    for n in as1:
+        assert as1[n] == pytest.approx(as2[n], rel=1e-12), n
