@@ -247,6 +247,8 @@ def triangle_counts(
     does not depend on the orientation used to enumerate it, so a
     plain id-ordered oracle reproduces the counts bit-for-bit.
     """
+    from pyspark.sql import Observation
+
     e = edges.select(
         F.col(node_a).alias("a"), F.col(node_b).alias("b")
     ).filter(F.col(node_a) != F.col(node_b))
@@ -257,27 +259,44 @@ def triangle_counts(
     # SUBPLAN — for a near-dup graph that subplan is the shingle
     # inverted-index self-join, i.e. the most expensive stage of the
     # whole query, recomputed up to 7×. One materialization job,
-    # lineage truncated (dedup-components posture).
+    # lineage truncated (dedup-components posture). The edge count
+    # rides the checkpoint job as an observed metric — it gates the
+    # degree-frame broadcast below, zero extra jobs.
+    obs_e = Observation("tri_edges")
     und = (
         e.select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_und = int(obs_e.get["n"])
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
+    # The degree frame has |V| ≤ 2·|E| rows; at or under the broadcast
+    # cap both orientation joins ship the DEGREES to the stationary
+    # edge checkpoint (map-side hash join — the edge set is never
+    # exchanged or sorted for orientation), the bfs/pagerank measured-
+    # broadcast posture. Above the cap the equi-joins shuffle as
+    # before — a checkpointed edge list carries no stats, so the
+    # planner cannot make this call itself.
+    small = 2 * n_und <= SCORE_BROADCAST_MAX
+
+    def _dim(d: DataFrame) -> DataFrame:
+        return F.broadcast(d) if small else d
+
     # rank = (degree, node): a total order, so orientation is acyclic
-    da = deg.select(
+    da = _dim(deg.select(
         F.col("node").alias("a"), F.struct("degree", "node").alias("ra")
-    )
-    db = deg.select(
+    ))
+    db = _dim(deg.select(
         F.col("node").alias("b"), F.struct("degree", "node").alias("rb")
-    )
+    ))
     oriented = (
         und.join(da, "a")
         .join(db, "b")

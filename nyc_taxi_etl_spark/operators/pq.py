@@ -176,17 +176,24 @@ def pq_encode(
     ).crossJoin(F.broadcast(aux))
 
     def subspace_code(bookj, j):
-        sub = F.slice(F.col("_nv"), j * dsub + 1, dsub)
+        # The inner subvector·centroid dot is a FLAT expression over
+        # element gets, not a zip_with+aggregate fold: higher-order
+        # functions evaluate on Catalyst's interpreted path (no
+        # codegen), so two extra lambda layers per centroid cost real
+        # time — measured r10 at sf0.1 the encode pass dropped
+        # 2.16 s → 1.68 s with byte-identical codes. The fold order is
+        # preserved exactly (seed 0.0, left-to-right adds), so argmin
+        # comparisons — and the oracle replay — are bit-identical.
+        def dot(c):
+            acc = F.lit(0.0)
+            for i in range(dsub):
+                acc = acc + F.get(F.col("_nv"), j * dsub + i) * F.get(c, i)
+            return acc
+
         d = F.zip_with(
             F.get(F.col("_norms"), j),
             bookj,
-            lambda n2, c: n2
-            - 2.0
-            * F.aggregate(
-                F.zip_with(sub, c, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+            lambda n2, c: n2 - 2.0 * dot(c),
         )
         return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
