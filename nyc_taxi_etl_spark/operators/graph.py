@@ -92,10 +92,14 @@ def hits(
     for determinism): a ← Aᵀh / ‖Aᵀh‖₂ ; h ← Aa / ‖Aa‖₂.
 
     Scale: per half-step ONE exchange (the hash agg on the receiving
-    key). The edge relation is persisted twice, pre-partitioned and
+    key). How the score frame reaches the edge relation is a MEASURED
+    choice (r10): at or under ``score_broadcast_max`` rows the scores
+    are explicitly broadcast into each join — the edge relation is
+    never moved or sorted and needs no per-key layouts at all; above
+    the cap the edge relation is persisted twice, pre-partitioned and
     sorted on EACH join key (src for the a-step, dst for the h-step),
-    so the per-round joins reuse layout instead of moving edges; the
-    aggregated score frame comes out of its shuffle already
+    so the per-round joins reuse layout instead of moving edges, and
+    the aggregated score frame comes out of its shuffle already
     partitioned on the key the NEXT join needs. ‖·‖₂ rides the
     checkpoint job as an observed metric (the pagerank posture —
     zero extra jobs, one scalar per half-step to the driver)."""
@@ -350,22 +354,28 @@ def pagerank(
     preserves that invariant.
 
     Scale: per round, ONE exchange — the contribution hash-agg on the
-    destination key. Everything else is exchange-free by
-    CO-PARTITIONING: the edge⋈degree relation and the node list are
-    hash-repartitioned ONCE on their join keys (src / node, same
-    partition count) and persisted, and each round's rank relation
-    comes out of a join whose streamed side is the co-partitioned node
-    list — ``localCheckpoint`` preserves that physical partitioning,
-    so the next round's edge join lines up again without moving the
-    edges. The dangling-node term needs no anti-join at all: ranks sum
-    to 1 every round, so the undistributed mass is ``1 − Σ new_raw``
-    (new_raw = base + d·inc), recovered as an OBSERVED metric on the
-    checkpoint job itself (``df.observe`` / CollectMetrics — zero
-    extra jobs, one scalar per round to the driver, never node
-    state). A fixed iteration count (‖Δ‖ ≈ d^k) replaces convergence
-    polling so the driver loop does no data reads. Skewed in-degree
-    (celebrity nodes) degrades only the final agg — salting composes
-    if needed (functions/skew.py)."""
+    destination key — and the round state is the CONTRIBUTION table
+    (one row per node with in-edges), never the full per-node rank
+    relation: a node absent from the contributions has the per-round
+    CONSTANT rank ``base + deficit/N``, so the previous round's rank
+    is reconstructed inside the round's join expression and the
+    per-node materialization collapses into one final join against
+    the node list. How the previous contributions reach the edge
+    relation is a MEASURED choice (r10): at or under
+    ``score_broadcast_max`` rows they are explicitly broadcast (the
+    edge relation is never moved or sorted at all); above it, the
+    edge⋈degree relation is hash-repartitioned ONCE on src, sorted,
+    and persisted, so each round's sort-merge join reuses that layout
+    and only the (post-agg, much smaller) contribution frame moves.
+    The dangling-node term needs no anti-join: ranks sum to 1 every
+    round, so the undistributed mass is ``1 − (N·base + d·Σ inc)``
+    with ``Σ inc`` recovered as an OBSERVED metric on the round's
+    checkpoint job (``df.observe`` / CollectMetrics — zero extra
+    jobs, one scalar per round to the driver, never node state). A
+    fixed iteration count (‖Δ‖ ≈ d^k) replaces convergence polling so
+    the driver loop does no data reads. Skewed in-degree (celebrity
+    nodes) degrades only the final agg — salting composes if needed
+    (functions/skew.py)."""
     from pyspark.sql import Observation
 
     spark = edges.sparkSession
