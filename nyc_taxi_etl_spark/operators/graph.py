@@ -54,6 +54,17 @@ def _iter_shuffle_scope(spark: SparkSession, n_rows: int):
     """Pin ``spark.sql.shuffle.partitions`` to a size-derived width
     for an iterative section, restoring the session value on exit.
 
+    NOT REENTRANT / NOT THREAD-SAFE (r10 VERDICT what's-wrong #4):
+    the conf is session-global, so any OTHER query planned on the
+    shared session while a graph entry is inside this scope silently
+    plans with the pinned width (results unchanged — AQE still
+    coalesces — but parallelism may be wrong). The engine's harnesses
+    are single-threaded per session; callers that submit concurrent
+    jobs from driver threads must use separate sessions
+    (``SparkSession.newSession()``) around graph entries. A per-plan
+    alternative (repartition hints) cannot reach aggregation output
+    width, which is why the conf is used at all (see below).
+
     Why the conf and not per-op ``repartition``: the round's zero-
     exchange property needs EVERY relation in the loop — the persisted
     edge/node layouts AND each round's hash-agg output — on the same
@@ -226,6 +237,7 @@ def triangle_counts(
     edges: DataFrame,
     node_a: str = "id_a",
     node_b: str = "id_b",
+    score_broadcast_max: int = SCORE_BROADCAST_MAX,
 ) -> DataFrame:
     """Per-node triangle participation over an undirected edge list;
     returns ``(node, degree, triangles)`` for every node with an edge.
@@ -288,8 +300,14 @@ def triangle_counts(
     # exchanged or sorted for orientation), the bfs/pagerank measured-
     # broadcast posture. Above the cap the equi-joins shuffle as
     # before — a checkpointed edge list carries no stats, so the
-    # planner cannot make this call itself.
-    small = 2 * n_und <= SCORE_BROADCAST_MAX
+    # planner cannot make this call itself. Cap sizing (r10 ADVICE):
+    # each broadcast row is (node, struct(degree, node)) — roughly
+    # DOUBLE a (key, double) rank row, and possibly string-keyed — and
+    # TWO broadcasts are built (da, db), so the |V|-bound is charged 4×
+    # against the cap instead of pagerank/hits' 1×: at the 2M default
+    # that keeps the pair of built relations within the same ~32 MB
+    # judgment the constant documents.
+    small = 4 * n_und <= score_broadcast_max
 
     def _dim(d: DataFrame) -> DataFrame:
         return F.broadcast(d) if small else d
@@ -518,12 +536,17 @@ def pagerank(
                     + F.lit(deficit / float(n_nodes))
                 ).alias("rank"),
             )
-        # the returned ranks are a select over the last EAGER
-        # checkpoint; the persisted edge/node layouts are out of its
-        # lineage — release them so repeated calls don't accumulate
-        # cached edge copies (checkpoint blocks on the small path are
-        # ContextCleaner-released when unreferenced)
+        # Release the persisted layouts so repeated calls don't
+        # accumulate cached edge copies (checkpoint blocks on the small
+        # path are ContextCleaner-released when unreferenced). On the
+        # large path the returned plan JOINS the persisted ``nodes``
+        # frame (r10 ADVICE: unpersisting before the caller
+        # materializes would silently re-execute the node-list
+        # union+distinct+repartition+sort from lineage), so pin the
+        # final ranks eagerly first — one bounded |V|-row job — and
+        # only then drop both layouts.
         if not small:
+            ranks = ranks.localCheckpoint(eager=True)
             ed.unpersist()
             nodes.unpersist()
     return ranks

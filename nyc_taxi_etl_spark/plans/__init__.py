@@ -481,3 +481,45 @@ for _n in _PROMOTE_R10B:
     if _n in ORACLE_EXTRA:
         ORACLE[_n] = ORACLE_EXTRA.pop(_n)
 assert len(QUERIES) == 50, len(QUERIES)
+
+# --------------------------------------------------------------------------
+# Round-11 rotation (VERDICT r10 task #7): promote the four entries whose
+# r10 optimization rewrites touched float-level numerics or join internals
+# so the driver hash-stamps the NEW formulations — `purchase_graph_hits`
+# (round-level L2 normalization), `purchase_graph_pagerank` (algebraic
+# dangling-deficit recovery + contribution-only rounds),
+# `near_dup_triangles` (degree-broadcast orientation) and
+# `ppjoin_near_pairs` (shingle-only checkpoint shape). All four are
+# oracle-verified locally every round (tests/test_oracle.py), but none has
+# sat in the driver's 50-slot window since r8, so the driver has never
+# stamped the rewritten paths. Demotions are multi-round driver greens
+# whose family keeps an in-window representative:
+#   simhash_near_pairs (green r1-r6, r10) — near-pair dedup keeps
+#     ngram_jaccard_near_pairs + the promoted ppjoin/triangles entries;
+#   user_value_cusum (green r9-r10) — its stateful twin
+#     streaming_cusum_drift stays (same CUSUM recurrence + oracle);
+#   weighted_median_price (green r1-r10) — exact-percentile/agg family
+#     keeps lineitem_column_profile + the full agg window;
+#   customer_k_anonymity_release (green r9-r10) — anonymization keeps
+#     customer_l_diversity_repair (same ladder machinery).
+_PROMOTE_R11 = [
+    "purchase_graph_pagerank",
+    "purchase_graph_hits",
+    "near_dup_triangles",
+    "ppjoin_near_pairs",
+]
+_DEMOTE_R11 = [
+    "simhash_near_pairs",
+    "user_value_cusum",
+    "weighted_median_price",
+    "customer_k_anonymity_release",
+]
+for _n in _DEMOTE_R11:
+    QUERIES_EXTRA[_n] = QUERIES.pop(_n)
+    if _n in ORACLE:
+        ORACLE_EXTRA[_n] = ORACLE.pop(_n)
+for _n in _PROMOTE_R11:
+    QUERIES[_n] = QUERIES_EXTRA.pop(_n)
+    if _n in ORACLE_EXTRA:
+        ORACLE[_n] = ORACLE_EXTRA.pop(_n)
+assert len(QUERIES) == 50, len(QUERIES)

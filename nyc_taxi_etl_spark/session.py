@@ -53,7 +53,16 @@ def get_spark(
         # shuffled-hash at runtime when every post-shuffle partition
         # is under 64 MB. Both are ratio/threshold-guarded, so the
         # choice stays size-driven at any scale — sort-merge remains
-        # the fallback whenever a build side could not fit. Measured
+        # the fallback whenever a build side could not fit. Failure
+        # mode to know (r10 ADVICE): unlike sort-merge, a shuffled-hash
+        # join's in-memory build side cannot spill gracefully, so a bad
+        # plan-time size UNDERESTIMATE (highly compressed source,
+        # post-filter estimate) can OOM an executor where SMJ would
+        # have spilled. The threshold guards bound the exposure; a
+        # deployment sharing this factory with non-benchmark workloads
+        # that hit it should drop the static flag (keep only the AQE
+        # runtime-size-guarded rewrite below, which uses OBSERVED map
+        # sizes) via extra_conf. Measured
         # r10 on the 12 join-heaviest catalog entries at sf0.1 (same
         # window, 5 interleaved passes, min): 44.78 s -> 38.85 s
         # (-13%), every entry flat or faster — the checkpointed

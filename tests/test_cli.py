@@ -23,16 +23,26 @@ def test_queries_listing_no_spark(capsys):
     assert sum(line.endswith("\toverflow") for line in lines) == len(
         QUERIES_EXTRA
     )
-    # r10 rotation: adaptive_left_enrich promoted into the driver
-    # window; ppjoin_near_pairs (green r8-r9) demoted to overflow —
-    # both keep full oracles either way
+    # r11 rotation: ppjoin_near_pairs + purchase_graph_pagerank promoted
+    # into the driver window (driver must hash-stamp the r10 rewrites);
+    # simhash_near_pairs demoted to overflow — all keep full oracles
     assert any(
         line.startswith("adaptive_left_enrich\toracle")
         and not line.endswith("\toverflow")
         for line in lines
     )
     assert any(
-        line.startswith("ppjoin_near_pairs\toracle\toverflow")
+        line.startswith("ppjoin_near_pairs\toracle")
+        and not line.endswith("\toverflow")
+        for line in lines
+    )
+    assert any(
+        line.startswith("purchase_graph_pagerank\toracle")
+        and not line.endswith("\toverflow")
+        for line in lines
+    )
+    assert any(
+        line.startswith("simhash_near_pairs\toracle\toverflow")
         for line in lines
     )
     assert any(line.startswith("semantic_dedup\toracle\toverflow")

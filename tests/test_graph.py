@@ -259,6 +259,27 @@ def test_pagerank_broadcast_and_copartitioned_paths_agree(spark):
         assert small[node] == pytest.approx(large[node], rel=1e-12), node
 
 
+def test_triangle_broadcast_and_shuffle_paths_agree(spark):
+    """The degree-broadcast orientation (small graphs) and the shuffle
+    orientation joins (the at-scale path, forced with
+    score_broadcast_max=0) enumerate the same triangle set — counts
+    are exact integers so the paths must agree exactly (r10 ADVICE:
+    the large path was previously untestable)."""
+    from nyc_taxi_etl_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    small = {
+        r["node"]: (r["degree"], r["triangles"])
+        for r in triangle_counts(df).collect()
+    }
+    large = {
+        r["node"]: (r["degree"], r["triangles"])
+        for r in triangle_counts(df, score_broadcast_max=0).collect()
+    }
+    assert small == large
+
+
 def test_hits_broadcast_and_copartitioned_paths_agree(spark):
     from nyc_taxi_etl_spark.operators.graph import hits
 
