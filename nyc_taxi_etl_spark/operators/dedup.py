@@ -152,6 +152,35 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def _pin_verify_width(pairs: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition a candidate-pair frame at the session's
+    configured shuffle width before its dedup/verify stage.
+
+    Why (r11, measured on fuzzy/ppjoin/semantic_dedup): the
+    ``distinct()`` that follows candidate generation plans an
+    ENSURE_REQUIREMENTS exchange which AQE coalesces by BYTES — but
+    every row downstream of that exchange pays the expensive per-pair
+    verify (banded Levenshtein DP, ``array_intersect`` over full
+    shingle sets, 64-dim dot folds). A few MB of (id_a, id_b) longs
+    coalesce to 1-2 tasks and tens of CPU-seconds of verify run nearly
+    serial (fuzzy: 14 s vs 4 s at sf0.1). An explicit
+    ``repartition(n, cols)`` is REPARTITION_BY_NUM — it satisfies the
+    distinct's clustering requirement, so it REPLACES the coalescible
+    exchange rather than adding one, and AQE never shrinks it. The
+    width comes from ``spark.sql.shuffle.partitions`` — the session's
+    scale-configured parallelism, not a local constant; bytes-based
+    coalescing is simply the wrong model when per-row compute, not
+    transport, dominates (the sizing assumption of guide §2.2
+    inverted)."""
+    try:
+        n_part = int(
+            pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except (TypeError, ValueError):  # pragma: no cover - exotic conf
+        return pairs
+    return pairs.repartition(n_part, *cols)
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _ensure_parallelism
+from .dedup import _ensure_parallelism, _pin_verify_width
 from .text import _norm, shingles
 
 __all__ = ["fuzzy_candidates", "fuzzy_near_pairs"]
@@ -113,23 +113,12 @@ def fuzzy_candidates(
         .where(cond)
         .select("id_a", "id_b")
     )
-    # Pin the dedup exchange at the session's configured width
-    # (REPARTITION_BY_NUM satisfies the distinct's clustering, so this
-    # REPLACES the ENSURE_REQUIREMENTS exchange rather than adding one).
-    # Why: AQE coalesces that exchange by BYTES, but every downstream
-    # row pays a banded-DP verify — at sf0.1 the band-filtered pair set
-    # is ~4 MB, AQE shrank the verify stage to 2 tasks, and the ~19
-    # CPU-seconds of Levenshtein ran 2-wide (measured 14 s vs 4 s
-    # entry). Bytes-based coalescing is the wrong model when per-row
-    # compute, not per-byte transport, dominates (guide §2.2's sizing
-    # assumption inverted); the conf-derived width stays scale-adaptive.
-    try:
-        n_part = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
-    except (TypeError, ValueError):
-        n_part = 200
-    return pairs.repartition(n_part, "id_a", "id_b").distinct()
+    # Pin the dedup exchange at the session's configured width: AQE
+    # coalesces it by BYTES, but every downstream row pays the banded
+    # Levenshtein DP — at sf0.1 the ~4 MB band-filtered pair set was
+    # shrunk to 2 tasks and ~19 CPU-seconds of DP ran 2-wide (measured
+    # 14 s vs 4 s entry). See dedup._pin_verify_width.
+    return _pin_verify_width(pairs, "id_a", "id_b").distinct()
 
 
 def fuzzy_near_pairs(

@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _pin_verify_width
 from .text import shingles
 
 __all__ = ["ppjoin_pairs"]
@@ -156,7 +157,12 @@ def ppjoin_pairs(
     pos_bound = F.lit(1) + F.least(
         F.col("n_a") - F.col("r_a"), F.col("n_b") - F.col("r_b")
     )
-    cands = (
+    # width pin before the dedup exchange: the verify stage below pays
+    # an array_intersect over the FULL shingle sets per surviving pair,
+    # and AQE's bytes-based coalescing shrank the few-MB pair exchange
+    # to 1-2 tasks (measured 3.5 s vs 2.0 s entry at sf0.1 — see
+    # dedup._pin_verify_width)
+    cands = _pin_verify_width(
         pa.join(pb, "s")
         .filter(
             (F.col("id_a") < F.col("id_b"))
@@ -165,9 +171,10 @@ def ppjoin_pairs(
             & (F.lit(threshold) * F.col("n_b") <= F.col("n_a") + eps)
             & (pos_bound >= overlap_req)
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+        .select("id_a", "id_b"),
+        "id_a",
+        "id_b",
+    ).distinct()
 
     a = arr.select(F.col("doc").alias("id_a"), F.col("arr").alias("arr_a"))
     b = arr.select(F.col("doc").alias("id_b"), F.col("arr").alias("arr_b"))
