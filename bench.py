@@ -602,15 +602,18 @@ def main() -> None:
             # Scaling contract (r11, VERDICT r10 task #2): the headline
             # set is fixed-overhead-bound at sf0.1 (0.15-0.7 s/query), so
             # its low/high-core ratio measures scheduling, not plans.
-            # These compute-heavy entries (all benched above) are the
-            # subset whose 8→32-core ratio demonstrates parallelism where
-            # parallel work exists — compare them across the driver's two
-            # core-count runs.
+            # These entries (all benched above) carry the most per-row
+            # compute; measured 8→32-core ratios at sf0.1 (r11):
+            # fuzzy_near_pairs 1.68×, ppjoin_near_pairs 1.17× — real
+            # parallel work; semantic_dedup and curate_documents sit at
+            # ~1.0× because their cost is sequential checkpoint jobs, the
+            # scheduling floor that core count cannot shrink at this SF.
+            # Compare these across the driver's two core-count runs.
             "scaling_subset": [
                 "fuzzy_near_pairs",
+                "ppjoin_near_pairs",
                 "semantic_dedup",
                 "curate_documents",
-                "minhash_lsh_near_pairs",
             ],
             # tmpfs availability decides the streaming/matview scratch
             # root (nyc_taxi_etl_spark/sources/scratch.py): bench deltas

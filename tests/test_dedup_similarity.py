@@ -473,6 +473,64 @@ def test_fuzzy_near_pairs_semantics(spark):
     assert (0, 2) in cands and (0, 2) not in out
 
 
+def test_fuzzy_length_band_is_lossless(spark):
+    """The r11 length-band prefilter (|len_a − len_b| ≤ band pushed into
+    the candidate self-join) is a NECESSARY condition for levenshtein ≤
+    band, so the near-pair result must be identical with and without it
+    — including pairs sitting exactly ON the band boundary."""
+    from nyc_taxi_etl_spark.operators.fuzzy import (
+        fuzzy_candidates,
+        fuzzy_near_pairs,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta xx"),      # +3 chars, distance 3
+        (2, "alpha beta gamma delta " + "y" * 40),  # way out of band
+        (3, "alpha beta gamma delta zz"),      # distance 3 from 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_near_pairs(df, max_distance=3).collect()
+    }
+    unbanded = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_near_pairs(
+            df, max_distance=3, candidates=fuzzy_candidates(df)
+        ).collect()
+    }
+    assert banded == unbanded
+    assert (0, 1, 3) in banded  # boundary pair survives the band
+    # candidate stage: the band drops the out-of-band doc's pairs
+    n_all = fuzzy_candidates(df).count()
+    n_band = fuzzy_candidates(df, length_band=3).count()
+    assert n_band < n_all
+
+
+def test_pin_verify_width_replaces_dedup_exchange(spark):
+    """_pin_verify_width must land as REPARTITION_BY_NUM satisfying the
+    following distinct's clustering — ONE pinned exchange, not a pinned
+    exchange plus a coalescible ENSURE_REQUIREMENTS one (the r11 AQE
+    width-starvation fix; a future refactor reintroducing the second
+    exchange would silently re-expose the verify stage to bytes-based
+    coalescing)."""
+    from nyc_taxi_etl_spark.operators.dedup import _pin_verify_width
+
+    pairs = spark.range(100).selectExpr(
+        "id AS id_a", "id + 1 AS id_b"
+    )
+    plan = (
+        _pin_verify_width(pairs, "id_a", "id_b")
+        .distinct()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "REPARTITION_BY_NUM" in plan
+    assert "ENSURE_REQUIREMENTS" not in plan
+
+
 def test_fuzzy_hot_posting_cap_drops_stop_shingles(spark):
     from nyc_taxi_etl_spark.operators.fuzzy import fuzzy_candidates
 

@@ -122,6 +122,34 @@ def test_fd_check_empty_input_vacuous_pass(spark):
         ) == ("ok -> ck", 0, 0, 0, 1), one_pass
 
 
+def test_fd_check_default_path_prunes_columns_per_fd(spark):
+    """The default (per-FD) formulation must scan only each FD's own
+    2-3 columns — the measured reason it beats the one-pass explode
+    (r10: 2.45 s vs 5.03 s) is column-pruned native-typed exchanges; a
+    refactor silently widening the per-FD scans would erase it (r10
+    ADVICE: only the one_pass shape had a plan pin)."""
+    df = spark.createDataFrame(
+        [(1, 2, 3, "x", 5.0)], "a int, b int, c int, d string, e double"
+    )
+    plan = (
+        ex.fd_check(df, [(["a"], "b"), (["b"], "c")])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # each FD branch must prune to exactly its own 2 columns right
+    # above the relation (d/e still appear in the LogicalRDD's schema
+    # line — pruning for in-memory relations happens via the Project)
+    import re
+
+    pruned = re.findall(r"Project \[([a-z]#\d+(?:, [a-z]#\d+)*)\]", plan)
+    assert len(pruned) == 2, plan
+    assert all(len(p.split(", ")) == 2 for p in pruned), pruned
+    assert not any(c.startswith(("d#", "e#")) for p in pruned for c in p.split(", ")), pruned
+    # and each FD reads its own pruned pass (2 scans for 2 FDs)
+    assert plan.count("LogicalRDD") == 2
+
+
 def test_fd_check_one_pass_single_scan_for_many_fds(spark):
     df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
     plan = (
